@@ -1,0 +1,80 @@
+"""Driver simulator — exercises the repo exactly as the round driver does.
+
+Imports ``__spark_entry__`` from the repo root, smoke-runs ``entry(spark)``,
+then runs every ``queries()`` entry at a given sf_dir and compares it to its
+``oracle_sql()`` twin via DuckDB: row count, sorted column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+stringified). Exit code 0 = all green.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as contract  # noqa: E402
+from streaming_ecom_analytics_spark.schema import TESTDATA_TABLES  # noqa: E402
+from streaming_ecom_analytics_spark.session import get_spark  # noqa: E402
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        out[c] = out[c].map(lambda v: "NULL" if v is None or v != v else str(v))
+    rows = sorted("|".join(r) for r in out.astype(str).itertuples(index=False))
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="driver_sim")
+
+    entry_df = contract.entry(spark)
+    n = entry_df.count()
+    print(f"entry(): {n} rows, schema={[f.name for f in entry_df.schema.fields]}")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracle_sql keys not in queries: {unknown}"
+
+    failures = []
+    for name, fn in sorted(qs.items()):
+        spdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"  {name:40s} rows-only: {len(spdf)} rows")
+            continue
+        opdf = con.sql(oracles[name]).df()
+        scols, ocols = sorted(spdf.columns), sorted(opdf.columns)
+        sh, oh = value_hash(spdf), value_hash(opdf)
+        ok = scols == ocols and len(spdf) == len(opdf) and sh == oh
+        print(
+            f"  {name:40s} {'OK ' if ok else 'MISMATCH'} rows={len(spdf)}/{len(opdf)} "
+            f"hash={sh}/{oh}"
+        )
+        if not ok:
+            failures.append(name)
+            if scols != ocols:
+                print(f"    columns: spark={scols} oracle={ocols}")
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("ALL GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""Table loaders over the parquet lake.
+
+One place that knows where tables live and how to read them. Readers are
+plain ``spark.read.parquet`` — Parquet scans get column pruning and
+predicate pushdown from Catalyst for free, which is the 100 TB-critical
+property (a daily aggregate over a date-partitioned lake reads one
+partition and four columns, not the whole table).
+
+Nanosecond timestamps: the driver testdata stores TIMESTAMP(NANOS)
+columns, which Spark's vectorized Parquet reader rejects. We read them
+via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a timestamp
+with integer division (``DIV 1000`` — nanos exceed double's 2^53
+mantissa, so float division would corrupt them). This truncates to
+microseconds, exactly what DuckDB's reader does, so oracle comparison
+stays bit-identical. Footer inspection is driver-side metadata only —
+no data pass.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nano_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Column names with parquet TIMESTAMP(NANOS) type (footer-only read)."""
+    if os.path.isdir(path):
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not files:
+            return ()
+        path = os.path.join(path, files[0])
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
+    path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
+    nano_cols = _nano_timestamp_cols(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+def documents(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def embeddings(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)

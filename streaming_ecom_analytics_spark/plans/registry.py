@@ -1,0 +1,237 @@
+"""The query registry: every implemented operator/query, each as a
+(spark_fn, duckdb_oracle_sql) pair consumed by ``__spark_entry__``.
+
+Conventions that keep the driver's hash-compare green:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- day grouping is a day-truncated TIMESTAMP on both sides (Spark
+  date_trunc('day') ↔ DuckDB CAST(CAST(ts AS DATE) AS TIMESTAMP)):
+  DuckDB's date_trunc yields DATE, and DATE materializes differently
+  into pandas across the two engines (datetime.date vs datetime64);
+- money sums go through DECIMAL(18,2) and back to DOUBLE so the result
+  is exact and independent of floating-point summation order;
+- conditional counts use COUNT(CASE ...) (BIGINT in both engines;
+  DuckDB SUM(int) widens to HUGEINT);
+- top-K queries carry a deterministic tiebreak in the ORDER BY.
+
+Mapping of reference semantics onto the driver testdata's ``events``
+table (event_id, ts, user_id, event_type, value, props): the testdata
+event_type domain is {signup, click, error, view, purchase}; ``click``
+stands in for the reference's ``cart`` stage, ``value`` for ``price``,
+``user_id`` for the order key, and props->'k' for category_code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark import catalog
+from streaming_ecom_analytics_spark.operators import aggregates, sampler, validation
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # included in bench.py's timed set
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None, *, headline: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = RegisteredQuery(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+# Exact money arithmetic: DOUBLE → DECIMAL(18,2) → SUM (exact) → DOUBLE.
+def _money_sum(col: str):
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+_SQL_MONEY_SUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: the six reporting aggregates + dashboard tile
+# (snowflake_refresh.py:5-80, README.md:95-97)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue",
+    f"""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           ROUND({_SQL_MONEY_SUM.format(col='value')}, 2) AS total_revenue
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP)
+    """,
+    headline=True,
+)
+def q_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (snowflake_refresh.py:6-15): purchase revenue per day."""
+    return (
+        catalog.events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("event_date"))
+        .agg(F.round(_money_sum("value"), 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "conversion_funnel",
+    """
+    SELECT event_type, COUNT(*) AS event_count
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY event_type
+    """,
+    headline=True,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (snowflake_refresh.py:30-39): funnel stage counts.
+
+    Testdata funnel: view → click (cart analog) → purchase.
+    """
+    return aggregates.conversion_funnel(
+        catalog.events(spark, sf_dir), funnel_types=("view", "click", "purchase")
+    )
+
+
+@register(
+    "abandoned_cart_users",
+    """
+    SELECT user_id, COUNT(*) AS cart_events
+    FROM events
+    WHERE event_type = 'click'
+      AND user_id NOT IN (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      )
+    GROUP BY user_id
+    """,
+    headline=True,
+)
+def q_abandoned_cart_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A7 (snowflake_refresh.py:41-56): click ('cart') counts for
+    users who never purchased — broadcast left_anti realization."""
+    return aggregates.abandoned_cart_users(
+        catalog.events(spark, sf_dir), cart_type="click", purchase_type="purchase"
+    )
+
+
+@register(
+    "average_order_value_daily",
+    f"""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           ROUND({_SQL_MONEY_SUM.format(col='value')} / COUNT(DISTINCT user_id), 2)
+             AS average_order_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP)
+    """,
+    headline=True,
+)
+def q_average_order_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (snowflake_refresh.py:58-67): SUM(price)/COUNT(DISTINCT key) per day."""
+    return (
+        catalog.events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("event_date"))
+        .agg(
+            F.round(_money_sum("value") / F.countDistinct("user_id"), 2).alias(
+                "average_order_value"
+            )
+        )
+    )
+
+
+@register(
+    "daily_active_users_by_event_type",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
+           COUNT(DISTINCT user_id) AS daily_active_users
+    FROM events
+    GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP), event_type
+    """,
+    headline=True,
+)
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (snowflake_refresh.py:69-79): distinct users per (day, type)."""
+    return (
+        catalog.events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("event_date"), "event_type")
+        .agg(F.countDistinct("user_id").alias("daily_active_users"))
+    )
+
+
+@register(
+    "top_revenue_by_category",
+    f"""
+    SELECT category, revenue FROM (
+      SELECT json_extract_string(props, '$.k') AS category,
+             ROUND({_SQL_MONEY_SUM.format(col='value')}, 2) AS revenue
+      FROM events
+      WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY json_extract_string(props, '$.k')
+    ) ORDER BY revenue DESC, category ASC LIMIT 15
+    """,
+    headline=True,
+)
+def q_top_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (README.md:95-97): top-15 categories by purchase revenue.
+
+    Category := props->'k' (the testdata's only categorical payload).
+    get_json_object is a codegen'd JVM expression — no UDF. orderBy+limit
+    fuses to TakeOrderedAndProject (per-partition K-heaps, no global sort).
+    """
+    cat = F.get_json_object(F.col("props"), "$.k")
+    return (
+        catalog.events(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & cat.isNotNull())
+        .groupBy(cat.alias("category"))
+        .agg(F.round(_money_sum("value"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("category"))
+        .limit(15)
+    )
+
+
+@register(
+    "validate_events",
+    """
+    SELECT COUNT(*) AS total_rows,
+           COUNT(CASE WHEN event_id IS NULL OR ts IS NULL OR user_id IS NULL
+                        OR event_type IS NULL THEN 1 END) AS null_key_rows,
+           MAX(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS max_event_date
+    FROM events
+    """,
+)
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (snowflake.py:15-47): single-pass quality summary."""
+    return validation.validate_events(catalog.events(spark, sf_dir))
+
+
+@register(
+    "event_ingest_sample",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+      ) AS rn FROM events
+    ) WHERE rn <= 50
+    """,
+)
+def q_event_ingest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (extractor.py:117-124): deterministic first-N-per-day sampler
+    (N=50 at test scale; the reference uses 10_000)."""
+    return sampler.daily_event_sample(catalog.events(spark, sf_dir), n=50).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
