@@ -129,6 +129,41 @@ def q_abandoned_cart_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "abandoned_carts_daily",
+    """
+    SELECT event_date, user_id, COUNT(*) AS cart_events FROM (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, user_id
+      FROM events WHERE event_type = 'click'
+    ) c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND CAST(CAST(p.ts AS DATE) AS TIMESTAMP) = c.event_date
+    )
+    GROUP BY event_date, user_id
+    """,
+)
+def q_abandoned_carts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain variant of the abandoned-cart anti-join: (user, day)
+    pairs with clicks but no same-day purchase — a compound-key
+    left_anti join, non-degenerate on the testdata (the user-level
+    variant is empty there because every user eventually purchases)."""
+    ev = catalog.events(spark, sf_dir)
+    day = F.date_trunc("day", "ts").alias("event_date")
+    clicks = ev.filter(F.col("event_type") == "click").select(day, "user_id")
+    purchase_days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(day, "user_id")
+        .distinct()
+    )
+    return (
+        clicks.join(purchase_days, on=["event_date", "user_id"], how="left_anti")
+        .groupBy("event_date", "user_id")
+        .agg(F.count("*").alias("cart_events"))
+    )
+
+
+@register(
     "average_order_value_daily",
     f"""
     SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
@@ -235,3 +270,10 @@ def q_event_ingest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampler.daily_event_sample(catalog.events(spark, sf_dir), n=50).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+# Populate the registry with the other query families. Imported at module
+# end so their register() calls see the infrastructure above.
+from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401
+    relational_queries,
+)

@@ -1,0 +1,317 @@
+"""Relational capability queries — the join / window / pivot / rollup
+operator classes on the driver's TPC-H-style tables.
+
+The reference's only join is the NOT-IN anti-join
+(snowflake_refresh.py:48-53); ``df.join`` gives the full equi-join
+family "for free" (SURVEY.md §2.3), and these queries pin each class to
+a DuckDB oracle so the capability is *proven*, not assumed.
+
+Cross-engine determinism rules (see registry.py): money math in exact
+DECIMAL then cast to DOUBLE; averages as exact-decimal-sum / count
+divided in double (IEEE division is engine-identical); top-K queries
+carry a full tiebreak.
+
+Scale notes per query are in the docstrings; the common themes:
+- dimension tables (region/nation/part/supplier/customer at fact scale)
+  are broadcast — replicated hash joins, no shuffle of the fact side;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  Catalyst reuses the partitioning for the downstream groupBy when keys
+  align; AQE coalesces the post-shuffle partitions;
+- rollup/pivot are single-shuffle Expand-based plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark import catalog
+from streaming_ecom_analytics_spark.plans.registry import register
+
+_DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(_DEC)
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide-aggregate scan.
+
+    Single hash-aggregate with partial/final split; the shipdate filter
+    and 7-column projection push into the parquet scan. Exact decimal
+    accumulation makes the result independent of partition order.
+    """
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    headline=True,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join: fact⋈fact shuffle join + broadcast dims.
+
+    orders⋈lineitem is the only shuffle pair (both sides hashed on
+    orderkey); customer and nation are broadcast, so the big side never
+    reshuffles for them. At 100 TB the same shape holds — customer is
+    ~1% of lineitem and nation is 25 rows.
+    """
+    c = catalog.load_table(spark, "customer", sf_dir)
+    o = catalog.load_table(spark, "orders", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    n = catalog.load_table(spark, "nation", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_customers",
+    """
+    SELECT customer, revenue FROM (
+      SELECT c.c_name AS customer,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY c.c_name
+    ) ORDER BY revenue DESC, customer ASC LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + grouped sum + global top-K (TakeOrderedAndProject)."""
+    c = catalog.load_table(spark, "customer", sf_dir)
+    o = catalog.load_table(spark, "orders", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_name").alias("customer"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("customer"))
+        .limit(10)
+    )
+
+
+@register(
+    "parts_never_ordered",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (
+      SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1995-02-01 00:00:00'
+    )
+    """,
+)
+def q_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J1's class) with the *fact* side as the subquery:
+    part LEFT ANTI lineitem on partkey — parts with no shipment in the
+    dataset's first month. The distinct partkey set from lineitem is
+    aggregated before the join (shuffle on partkey), then the join is a
+    broadcast of the small distinct set when AQE sizes it under the
+    threshold."""
+    p = catalog.load_table(spark, "part", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    early = li.filter(
+        F.col("l_shipdate") < F.lit("1995-02-01 00:00:00").cast("timestamp")
+    )
+    return p.join(
+        early.select(F.col("l_partkey").alias("p_partkey")).distinct(),
+        on="p_partkey",
+        how="left_anti",
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "customers_by_segment_with_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_customers_by_segment_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): customers with at least one order, by segment."""
+    c = catalog.load_table(spark, "customer", sf_dir)
+    o = catalog.load_table(spark, "orders", sf_dir)
+    return (
+        c.join(
+            o.select(F.col("o_custkey").alias("c_custkey")),
+            on="c_custkey",
+            how="left_semi",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "running_daily_order_revenue",
+    """
+    SELECT event_date, daily_revenue,
+           CAST(SUM(daily_revenue_dec) OVER (
+             ORDER BY event_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cumulative_revenue
+    FROM (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS event_date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_revenue_dec
+      FROM orders
+      GROUP BY CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)
+    )
+    """,
+)
+def q_running_daily_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: running cumulative revenue over day-grain totals.
+
+    The running sum's window is unpartitioned — fine here because the
+    input is one row per day (the upstream aggregate collapsed the fact
+    table); at 100 TB the aggregate output is still only ~years×365 rows.
+    Never put an unpartitioned window over a fact table.
+    """
+    o = catalog.load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("event_date")
+    ).agg(F.sum(_dec("o_totalprice")).alias("daily_revenue_dec"))
+    w = Window.orderBy("event_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "event_date",
+        F.col("daily_revenue_dec").cast("double").alias("daily_revenue"),
+        F.sum("daily_revenue_dec").over(w).cast("double").alias("cumulative_revenue"),
+    )
+
+
+@register(
+    "top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_name, p_retailprice FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+      ) AS rn FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window — one shuffle on the group key."""
+    p = catalog.load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "order_priority_status_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority × status. Explicit pivot values
+    keep the plan single-pass (no distinct-values pre-query) — at scale,
+    always enumerate pivot columns."""
+    o = catalog.load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grand total + per-flag + per-pair) via
+    Expand — one shuffle, three grouping sets."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("gross_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "distinct_order_priorities",
+    """
+    SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+    """,
+)
+def q_distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4's class: multi-column DISTINCT (hash aggregate, no agg exprs)."""
+    return catalog.load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", "o_orderstatus"
+    ).distinct()
