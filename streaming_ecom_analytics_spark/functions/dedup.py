@@ -1,0 +1,290 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four tiers, all shuffle-aware:
+
+- ``exact_dedup``       : content-hash groupBy — one shuffle on a 128-bit
+                          key, the canonical first pass at any scale.
+- ``jaccard_pairs``     : exact n-gram-shingle Jaccard via explode +
+                          shingle-equijoin — quadratic only within a
+                          shingle's posting list, used as ground truth
+                          and for modest corpora.
+- ``minhash_lsh_pairs`` : MinHash signatures + banded LSH — the 100 TB
+                          path. Candidate generation touches only
+                          same-bucket pairs; exact Jaccard verification
+                          runs on candidates only.
+- ``simhash_signatures``: 64-bit SimHash per document (Charikar 2002);
+                          near-dup = small Hamming distance.
+
+Everything except SimHash is pure built-in expressions (codegen'd);
+hashing uses xxhash64 — a fixed, seedable JVM-side hash.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash; keep the smallest id as representative.
+
+    Output: (doc_id, content_hash, n_copies). md5 keeps the shuffle key
+    at 16 bytes regardless of document size — never shuffle the text.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+def shingles(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Built-in array ops: split → sliding windows via transform(sequence)
+    → explode → distinct. The distinct is the only shuffle.
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {k}, 0)),"
+                    f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold).
+
+    Shingle equi-join computes |A∩B| per pair; |A∪B| = |A|+|B|−|A∩B|.
+    The join fans out only within each shingle's posting list — hot
+    shingles are the skew risk at scale, which the LSH variant avoids.
+    Jaccard is an exact integer ratio divided once in double → bit-equal
+    across engines.
+    """
+    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, *, id_col: str = "doc_id", num_perm: int = 64
+) -> DataFrame:
+    """MinHash signature per document: num_perm columns of
+    min(xxhash64(seed_i, shingle)) — one aggregation, JVM-side hashing.
+
+    xxhash64's seed argument gives num_perm independent hash families
+    without string concatenation tricks.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, verified by exact Jaccard.
+
+    bands=16 × rows=4 over 64 perms → P[miss | j=0.8] ≈ 4e-8: candidate
+    recall is effectively exact above the threshold, while candidate
+    generation only joins within LSH buckets (linear-ish in corpus size,
+    no all-pairs blowup). Final output is exact-verified, so results are
+    engine-comparable; LSH only prunes the search space.
+    """
+    rows_per_band = num_perm // bands
+    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    sig = minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.band_hash")
+    a = stacked.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+    b = stacked.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
+    candidates = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Exact verification on the candidate set only.
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa_sh = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb_sh = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa_sh, on="doc_a")
+        .join(sb_sh, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash_signatures(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002): sum ±1 per bit over
+    feature hashes, take the sign vector. Features are word k-gram
+    shingles — unigrams saturate on small vocabularies (every document
+    shares most words, so all signatures collapse). Pandas UDF — the
+    per-feature bit unpacking is a numpy kernel, far clearer than 64
+    nested column expressions and still Arrow-batched."""
+    import numpy as np
+
+    def sim_batches(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").split()
+                feats = (
+                    [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+                    if len(words) >= k
+                    else [" ".join(words)]
+                )
+                acc = np.zeros(64, dtype=np.int64)
+                for w in set(feats):
+                    h = _hash61(w)
+                    bits = (h >> np.arange(64)) & 1
+                    acc += bits * 2 - 1
+                sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                # store as signed 64-bit
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                out.append((doc_id, sig))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        sim_batches, schema=_SIMHASH_SCHEMA
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 10,
+    k: int = 3,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on signature
+    chunks so the join never goes all-pairs.
+
+    Pigeonhole guarantee: distance ≤ n_chunks−1 ⇒ at least one chunk
+    equal; beyond that, blocking is probabilistic (pairs differing in
+    every chunk are missed). Wider chunks → fewer candidates but a
+    tighter guarantee; n_chunks=8 (8-bit chunks) guarantees ≤7 and
+    empirically catches ≤10 on shingled text."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, k=k)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk_id", "chunk"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, on=["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _hash61(s: str) -> int:
+    """Deterministic 61-bit polynomial string hash (process-stable,
+    unlike Python's salted builtin hash)."""
+    h = 0
+    for ch in s:
+        h = (h * 131 + ord(ch)) % ((1 << 61) - 1)
+    return h

@@ -1,0 +1,212 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis over the documents/embeddings tables.
+
+Oracle-checkable where cross-engine determinism holds (exact hashes,
+integer-ratio Jaccard, fixed-fold-order double dot products — verified
+bit-exact against DuckDB); rows-only where the operator is inherently
+engine-specific (MinHash signatures themselves, SimHash, winnowing,
+LSH-bucketed approximations).
+
+The LSH dedup query shares its oracle with the brute-force one: LSH at
+64 perms / 16 bands has P[miss | j≥0.8] ≈ 4e-8 and candidates are
+exact-verified, so its output must equal the brute-force ground truth —
+the oracle doubles as a recall test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark import catalog
+from streaming_ecom_analytics_spark.functions import dedup, similarity, text
+from streaming_ecom_analytics_spark.plans.registry import register
+
+_JACCARD_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: one shuffle on a 16-byte key."""
+    return dedup.exact_dedup(catalog.documents(spark, sf_dir))
+
+
+@register("near_dup_jaccard", _JACCARD_ORACLE, headline=True)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (ground truth)."""
+    return dedup.jaccard_pairs(catalog.documents(spark, sf_dir), k=3, threshold=0.8)
+
+
+@register("near_dup_minhash_lsh", _JACCARD_ORACLE, headline=True)
+def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified — must reproduce the
+    brute-force oracle (the oracle doubles as an LSH recall test)."""
+    return dedup.minhash_lsh_pairs(
+        catalog.documents(spark, sf_dir), k=3, num_perm=64, bands=16, threshold=0.8
+    )
+
+
+@register("near_dup_simhash", None)
+def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs (engine-specific bits →
+    rows-only; semantics unit-tested on crafted fixtures)."""
+    return dedup.simhash_pairs(catalog.documents(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    headline=True,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 vectors as
+    queries — the ANN correctness baseline. Dot products are
+    fixed-fold-order double folds, verified bit-exact vs DuckDB."""
+    emb = catalog.embeddings(spark, sf_dir)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed approximate top-k (scale path;
+    approximation quality asserted in unit tests, not oracle-matched)."""
+    emb = catalog.embeddings(spark, sf_dir)
+    return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_near_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                6) >= 0.99
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at threshold 0.99."""
+    return similarity.embedding_near_dup_pairs(
+        catalog.embeddings(spark, sf_dir), threshold=0.99
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)
+
+
+@register(
+    "doc_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/stopword/punctuation statistics —
+    single codegen'd projection, no shuffle."""
+    return text.doc_stats(catalog.documents(spark, sf_dir))
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + least(stopword_ratio * 10.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2, 6) AS quality_score
+    FROM s
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality heuristic (length / stopword / punct)."""
+    return text.quality_score(catalog.documents(spark, sf_dir))
+
+
+@register("language_id", None)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (Arrow-batched Pandas UDF;
+    accuracy unit-tested on real-language fixtures)."""
+    return text.language_id(catalog.documents(spark, sf_dir))
+
+
+@register("doc_fingerprint", None)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (engine-specific hashes →
+    rows-only; overlap semantics unit-tested)."""
+    return text.winnow_fingerprint(catalog.documents(spark, sf_dir))

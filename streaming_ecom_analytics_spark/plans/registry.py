@@ -275,5 +275,6 @@ def q_event_ingest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Populate the registry with the other query families. Imported at module
 # end so their register() calls see the infrastructure above.
 from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401
+    extension_queries,
     relational_queries,
 )

@@ -1,0 +1,53 @@
+"""Unit tests for similarity-search operators on crafted vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from streaming_ecom_analytics_spark.functions import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    inv2 = 1 / math.sqrt(2)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal to 0
+        (3, [inv2, inv2, 0.0]),    # 45° from 0
+        (4, [-1.0, 0.0, 0.0]),     # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(vectors):
+    q = vectors.filter("vec_id = 0")
+    out = similarity.cosine_topk(vectors, q, k=4).collect()
+    order = [r.neighbor_id for r in out]
+    assert order == [1, 3, 2, 4]
+    cosines = [r.cosine for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+    assert cosines[0] > 0.999 and abs(cosines[1] - 1 / math.sqrt(2)) < 1e-6
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(vectors, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_bucketed_topk_finds_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])] + [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(2, 60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.lsh_bucketed_topk(df, df.filter("vec_id = 0"), k=3, n_planes=4)
+    neighbors = [r.neighbor_id for r in out.collect()]
+    # the planted near-dup lands in the same bucket and ranks first
+    assert neighbors and neighbors[0] == 1

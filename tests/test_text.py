@@ -1,0 +1,62 @@
+"""Unit tests for text-analysis operators on crafted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_ecom_analytics_spark.functions import text
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a good day for walking in the park"),
+        (2, "der Hund ist nicht zu Hause und die Katze ist mit dem Kind im Garten"),
+        (3, "le chat est dans la maison et les enfants sont dans le jardin avec un chien"),
+        (4, "el perro es grande y la casa es bonita para los niños en el parque"),
+        (5, "zzz qqq xxx yyy www"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_language_id_predictions(lang_docs):
+    out = {r.doc_id: r.lang_pred for r in text.language_id(lang_docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "und"
+
+
+def test_doc_stats_values(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox!")], "doc_id long, text string")
+    row = text.doc_stats(df).collect()[0]
+    assert row.n_chars == 20
+    assert row.n_tokens == 4
+    assert row.n_stopwords == 1  # 'the'
+    assert row.n_punct == 1  # '!'
+    assert row.stopword_ratio == 0.25
+
+
+def test_quality_score_bounds(spark):
+    rows = [
+        (1, "the a of and to in is that it for on with as are this " * 10),  # stopword-rich, long
+        (2, "x"),  # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.quality_score for r in text.quality_score(df).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_winnow_fingerprint_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = "PREFIX WORDS HERE " + base
+    other = "completely different words entirely unrelated content here " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: set(r.fingerprint) for r in text.winnow_fingerprint(df).collect()}
+    overlap_near = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    overlap_other = len(fps[1] & fps[3]) / max(len(fps[1] | fps[3]), 1)
+    assert overlap_near > 0.5
+    assert overlap_other == 0.0
