@@ -1,0 +1,58 @@
+"""Benchmark harness: times every registered query at the bench scale
+factor and prints ONE JSON line for the driver
+({"metric", "value", "unit", "queries", "sf"}).
+
+- Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- Parallelism: local[$SPARK_GRAFT_CPUS] (default 32)
+- Each query materializes through the noop sink — full execution, no
+  driver collect, no disk write in the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from streaming_ecom_analytics_spark.plans import REGISTRY  # noqa: E402
+from streaming_ecom_analytics_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/codegen paths once so per-query timings measure the
+    # plan, not session startup.
+    REGISTRY["daily_revenue"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, rq in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed by Arrow-batched UDFs.
+
+Design for 100 TB of media:
+- Media bytes live in a ``binary`` column (or a path column pointing at
+  an object store) beside a typed metadata struct — schema below. Bytes
+  are NEVER shuffled by analytic ops: metadata predicates (codec, size,
+  dims) push down to parquet and prune files before any decode.
+- Decode / resize / frame-sample run in ``mapInPandas``: one Python
+  worker per partition, Arrow batches in, so the expensive step scales
+  with executors and keeps the JVM row path untouched.
+- The actual codec work needs PIL/ffmpeg-class libraries that are NOT
+  in this container — ``decode_image`` raises NotImplementedError
+  unless ``fake=True``, which substitutes a deterministic synthetic
+  decode (seeded by content hash) so the full pipeline — schema,
+  partitioning, UDF signatures, batch shapes — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthesize_media(spark, n: int = 64, *, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA —
+    fixture generator for tests and pipeline dry-runs."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        content = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        rows.append(
+            (i, "image", "fake-raw", bytearray(content), (w, h, None, len(content)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: interprets the
+    bytes as a single-channel raster. Seeded by content, so identical
+    inputs give identical 'pixels' on every executor."""
+    arr = np.frombuffer(content, dtype=np.uint8)
+    if arr.size < width * height:
+        pad = int(hashlib.md5(content).hexdigest()[:8], 16) % 256
+        arr = np.concatenate([arr, np.full(width * height - arr.size, pad, np.uint8)])
+    return arr[: width * height].reshape(height, width)
+
+
+def decode_image(content: bytes, width: int, height: int, *, fake: bool = False) -> np.ndarray:
+    """Decode one image. Real codecs (PIL/libjpeg) are unavailable in
+    this environment — STUB: only the deterministic fake path exists."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding requires PIL/libjpeg (not in this container); "
+            "pass fake=True for the deterministic synthetic decoder"
+        )
+    return _fake_decode(content, width, height)
+
+
+def image_features(
+    media: DataFrame, *, target_dim: int = 16, fake_decode: bool = True
+) -> DataFrame:
+    """Decode → downsample → feature-vector pipeline over mapInPandas.
+
+    Output: (media_id, width, height, mean_luma, feature[target_dim]).
+    The Spark-side contract — Arrow batch iteration, pruned input
+    columns, typed output schema — is the real implementation; only the
+    pixel decode is a stub (see decode_image).
+    """
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                w, h = row["meta"]["width"], row["meta"]["height"]
+                img = decode_image(bytes(row["content"]), w, h, fake=fake_decode)
+                # crude box-downsample to a fixed-length feature
+                ys = np.array_split(img.astype(np.float64).ravel(), target_dim)
+                feat = [float(chunk.mean()) for chunk in ys]
+                out.append(
+                    (
+                        row["media_id"],
+                        int(w),
+                        int(h),
+                        float(img.mean()),
+                        [np.float32(x) for x in feat],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_luma", "feature"]
+            )
+
+    pruned = media.filter(F.col("media_type") == "image").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, *, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into frame
+    timestamps (metadata-only — the decode of each frame is the stubbed
+    step). Demonstrates the explode-by-duration pattern that shards one
+    huge video row into many small work units before the expensive UDF,
+    which is what keeps partitions balanced at scale."""
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -48,18 +48,22 @@ def cosine_topk(
     (query_id, candidate) pairs, i.e. |queries| × |corpus| rows. For
     large query sets switch to lsh_bucketed_topk.
     """
+    # Norms are projected once per vector BEFORE the join — the naive
+    # form recomputes both norms inside every pair (2·|Q|·|C| redundant
+    # folds). cos = dot/(na*nb) keeps the exact expression shape of the
+    # oracle, so precomputation changes cost, not bits.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("qnorm"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("cnorm"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("qvec"), F.col("cvec")) / (
-        _norm(F.col("qvec")) * _norm(F.col("cvec"))
-    )
+    cos = _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
     scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -116,6 +120,7 @@ def lsh_bucketed_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         v.alias("neighbor_id_vec"),
+        _norm(v).alias("neighbor_norm"),
         hyperplane_bucket(v, planes).alias("bucket"),
     )
     base_bucket = hyperplane_bucket(v, planes)
@@ -125,13 +130,14 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         v.alias("query_id_vec"),
+        _norm(v).alias("query_norm"),
         F.explode(probe_buckets).alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), on="bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     cos = _dot(F.col("query_id_vec"), F.col("neighbor_id_vec")) / (
-        _norm(F.col("query_id_vec")) * _norm(F.col("neighbor_id_vec"))
+        F.col("query_norm") * F.col("neighbor_norm")
     )
     scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -148,22 +154,98 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
 
-    All-pairs within the frame — intended for post-LSH candidate sets or
-    modest corpora; the LSH variants are the scale path.
+    Two-phase plan:
+    1. *Prefilter* — the corpus (when under ``broadcast_limit`` rows) is
+       collected into one L2-normalized float64 matrix, broadcast, and
+       each partition computes its block's Gram product against it in
+       BLAS (mapInPandas). Pairs scoring ≥ threshold−1e-6 become
+       candidates: the 1e-6 margin dwarfs the ~1e-15 difference between
+       BLAS summation order and a sequential fold, so recall is exact.
+    2. *Verify* — candidates (a tiny set) join back to the vectors and
+       are re-scored with the sequential-fold expression, so the output
+       bits match the naive definition (and the DuckDB oracle) exactly.
+
+    Above the broadcast limit, fall back to the exact quadratic join —
+    at that scale use minhash/simhash/LSH blocking instead (this
+    operator is the within-candidate-set verifier in those pipelines).
     """
+    n_rows = embeddings.count()
+    if n_rows <= broadcast_limit:
+        return _near_dups_gram_prefiltered(
+            embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
+    # Per-vector norms precomputed before the quadratic join (see
+    # cosine_topk) — the per-pair work is a single dot fold.
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("na"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("nb"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _near_dups_gram_prefiltered(
+    embeddings: DataFrame, *, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """BLAS prefilter + exact-fold verify (see embedding_near_dup_pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, matn))
+    margin = 1e-6
+
+    def candidates(batches):
+        all_ids, all_mat = bc.value
+        for block in batches:
+            if not len(block):
+                continue
+            bids = block[id_col].to_numpy(dtype=np.int64)
+            bmat = np.stack([np.asarray(v, dtype=np.float64) for v in block[vec_col]])
+            bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+            sims = bmat @ all_mat.T
+            ia, ib = np.nonzero(sims >= threshold - margin)
+            lo, hi = bids[ia], all_ids[ib]
+            keep = lo < hi
+            yield pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        candidates, schema="id_a long, id_b long"
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        F.broadcast(cand)
+        .join(a, on="id_a")
+        .join(b, on="id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -28,9 +28,13 @@ def clean_events(raw: DataFrame) -> DataFrame:
     - brand/category_code: identity when/otherwise keeping nulls (P4)
     - price: coalesce(cast double, 0.0) (P5)
     """
+    # try_to_timestamp / try_cast: unparseable input → NULL, the
+    # reference's legacy-mode semantics (Spark 4's default ANSI mode
+    # would throw on the first dirty row of a 100 TB backfill).
+    ts = F.try_to_timestamp(F.col("event_time"))
     return raw.select(
-        F.to_timestamp("event_time").alias("event_time"),
-        F.to_date(F.to_timestamp("event_time")).alias("event_date"),
+        ts.alias("event_time"),
+        F.to_date(ts).alias("event_date"),
         F.col("event_type").cast("string").alias("event_type"),
         F.col("product_id").cast("string").alias("product_id"),
         F.col("category_id").cast("string").alias("category_id"),
@@ -40,7 +44,7 @@ def clean_events(raw: DataFrame) -> DataFrame:
         F.when(F.col("brand").isNotNull(), F.col("brand"))
         .otherwise(F.lit(None).cast("string"))
         .alias("brand"),
-        F.coalesce(F.col("price").cast("double"), F.lit(0.0)).alias("price"),
+        F.coalesce(F.expr("try_cast(price AS double)"), F.lit(0.0)).alias("price"),
         F.col("user_id").cast("string").alias("user_id"),
         F.col("user_session").cast("string").alias("user_session"),
     )

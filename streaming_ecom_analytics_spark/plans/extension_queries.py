@@ -135,13 +135,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                6) >= 0.99
+                6) >= 0.45
     """,
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at threshold 0.99."""
+    """Embedding-cosine high-similarity pairs. The operator's default
+    threshold is 0.99 (true near-dups); the testdata plants no pairs
+    above ~0.6, so the registered query runs at 0.45 to stay
+    non-degenerate while exercising the same plan."""
     return similarity.embedding_near_dup_pairs(
-        catalog.embeddings(spark, sf_dir), threshold=0.99
+        catalog.embeddings(spark, sf_dir), threshold=0.45
     )
 
 

@@ -277,4 +277,5 @@ def q_event_ingest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401
     extension_queries,
     relational_queries,
+    streaming_queries,
 )

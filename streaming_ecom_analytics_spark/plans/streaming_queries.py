@@ -1,0 +1,130 @@
+"""Batch-mode registrations of the streaming window operators.
+
+The window functions in ``streaming/windows.py`` build identical
+logical plans for batch and streaming inputs; registering them here on
+the batch events table gives the windowed operators (tumbling, sliding,
+session, windowed-distinct) a DuckDB oracle. The streaming execution of
+the *same plans* — watermarks, late data, incremental state, restart —
+is covered by tests/test_streaming.py (the driver's oracle harness is
+batch-only by design).
+
+Window-alignment note: Spark aligns epoch-based windows to 1970-01-01,
+DuckDB's time_bucket to 2000-01-03 — identical for divisors of a day.
+Session windows: Spark merges while ts < prev_session_end (end
+exclusive), so the oracle's new-session predicate is gap >= threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streaming_ecom_analytics_spark import catalog
+from streaming_ecom_analytics_spark.plans.registry import register
+from streaming_ecom_analytics_spark.streaming import windows
+
+
+@register(
+    "funnel_5m_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS event_count
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    headline=True,
+)
+def q_funnel_5m_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2/ST5 (README.md:47): tumbling 5-minute funnel counts."""
+    return windows.tumbling_event_counts(
+        catalog.events(spark, sf_dir), watermark=None
+    )
+
+
+@register(
+    "sliding_revenue_10m",
+    """
+    WITH starts AS (
+      SELECT unnest([
+               time_bucket(INTERVAL '5 minutes', ts),
+               time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+             ]) AS window_start,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           CAST(SUM(v) AS DOUBLE) AS revenue
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_revenue_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: sliding 10-minute/5-minute purchase revenue. Each event
+    lands in size/slide windows (the oracle materializes both starts)."""
+    return windows.sliding_revenue(catalog.events(spark, sf_dir), watermark=None)
+
+
+@register(
+    "user_sessions_30m",
+    """
+    WITH l AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    headline=True,
+)
+def q_user_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: per-user 30-minute-gap session windows. The oracle is the
+    classic gaps-and-islands rewrite of session_window semantics."""
+    return windows.session_windows(catalog.events(spark, sf_dir), watermark=None)
+
+
+@register(
+    "active_users_daily_windowed",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+           event_type,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_active_users_daily_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 reporting side: exact windowed distinct users (the batch
+    reconciliation of the streaming HLL variant below)."""
+    return windows.windowed_active_users(
+        catalog.events(spark, sf_dir), watermark=None, exact=True
+    )
+
+
+@register("active_users_daily_approx", None)
+def q_active_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 processed side: approx_count_distinct (HLL) — the
+    streaming-safe distinct; accuracy vs exact asserted in unit tests,
+    not hash-matched (sketches are engine-specific)."""
+    return windows.windowed_active_users(
+        catalog.events(spark, sf_dir), watermark=None, exact=False
+    )

@@ -1,0 +1,138 @@
+"""The Kafka event-bus contract, as engine expressions.
+
+The reference serializes events row-at-a-time in driver Python —
+``collect()`` then Event→dict→json.dumps per row with a regex timestamp
+gate (reference producer.py:18-20,34-45,47-71; key=user_id at :60).
+That collect() is the reference's scalability cliff: every row crosses
+the JVM→Python boundary into one driver process.
+
+Here the whole contract is four column expressions — to_json(struct),
+date_format for the ms-precision ISO-8601 timestamp, rlike for the
+gate, from_json for the read side — so serialization runs distributed,
+inside whole-stage codegen, at any scale. The same expressions work in
+batch and streaming (same logical plan, different engine).
+
+Kafka itself is an option bundle on the standard ``format("kafka")``
+source/sink (S5-S7); tests run brokerless against files with the same
+serialize/parse expressions, which is exactly what makes the contract
+an engine surface rather than connector glue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_ecom_analytics_spark.schema import (
+    ECOM_EVENT_SCHEMA,
+    EVENT_TIME_FORMAT,
+    EVENT_TIME_PATTERN,
+)
+
+# Fields in producer wire order (producer.py:34-45).
+_WIRE_FIELDS = (
+    "event_time",
+    "event_type",
+    "product_id",
+    "category_id",
+    "category_code",
+    "brand",
+    "price",
+    "user_id",
+    "user_session",
+)
+
+
+def serialize_events(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Events → Kafka-shaped (key, value) frame.
+
+    value = JSON object with the 9 wire fields, event_time formatted
+    ISO-8601 with millisecond precision (producer.py:36); key = user_id
+    (producer.py:60). Ready for ``.write.format("kafka")`` or any
+    byte sink.
+    """
+    cols = [
+        F.date_format(F.col(f), EVENT_TIME_FORMAT).alias(f) if f == ts_col else F.col(f)
+        for f in _WIRE_FIELDS
+        if f in events.columns
+    ]
+    return events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+
+
+def parse_events(
+    raw: DataFrame,
+    *,
+    value_col: str = "value",
+    schema: T.StructType | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Kafka-shaped frame → typed events.
+
+    from_json with the declared schema (never inference — a 100 TB
+    stream cannot afford a schema pass), then the producer's regex
+    timestamp gate (producer.py:18-20) as a pushed-down rlike filter.
+    Unparseable JSON yields nulls, dropped by the gate.
+    """
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_time", T.StringType(), True),
+            *[f for f in (schema or ECOM_EVENT_SCHEMA).fields if f.name != "event_time"],
+        ]
+    )
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), wire_schema).alias("e")
+    ).select("e.*")
+    if validate:
+        parsed = parsed.filter(F.col("event_time").rlike(EVENT_TIME_PATTERN))
+    return parsed.withColumn("event_time", F.to_timestamp("event_time"))
+
+
+def kafka_source(
+    spark,
+    *,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    streaming: bool = True,
+) -> DataFrame:
+    """Kafka source (S6). Requires the spark-sql-kafka package on the
+    classpath; tests use the file-based fallback instead."""
+    reader = spark.readStream if streaming else spark.read
+    return (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    *,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+):
+    """Streaming Kafka sink (S5/S7): expects a (key, value) frame from
+    serialize_events. Distributed writes — the collect()-free
+    realization of the reference producer."""
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,142 @@
+"""Windowed streaming aggregates — the Flink-prose semantics
+(reference README.md:47,51) realized as Structured Streaming plans.
+
+Every function takes any events frame (batch *or* streaming — the
+logical plan is identical; pass a readStream frame and the micro-batch
+engine runs it incrementally with state) and returns the aggregate.
+
+Watermark policy (ST6): the reference never states a lateness bound —
+it silently outsourced late data to Flink defaults. We make it
+explicit: ``watermark`` (default 1 hour) bounds state and drops
+later-than-watermark rows; pass None for batch frames.
+
+Distinct policy (ST7): streaming aggregation cannot do exact
+COUNT(DISTINCT) (unbounded per-group state) → approx_count_distinct
+(HLL) in the streaming/processed layer, exact countDistinct in the
+batch/reporting layer — the reference's own lambda split
+(README.md:40), documented here as an engine policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(events: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return events.withWatermark(ts_col, watermark) if watermark else events
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_size: str = "5 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """ST2/ST3/ST5: event counts per (tumbling window, event_type) —
+    the streaming funnel. Output: window_start, window_end, event_type,
+    event_count."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_size), F.col(type_col).alias("event_type"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def sliding_revenue(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    type_col: str = "event_type",
+    purchase_type: str = "purchase",
+    window_size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """ST2: sliding-window purchase revenue (each event contributes to
+    size/slide overlapping windows). Exact decimal sum → double."""
+    df = _maybe_watermark(events, ts_col, watermark).filter(
+        F.col(type_col) == purchase_type
+    )
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_size, slide))
+        .agg(F.sum(F.col(price_col).cast("decimal(18,2)")).cast("double").alias("revenue"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "revenue",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """ST2: per-user session windows (gap-based). Output: user_id,
+    session_start, session_end (last event + gap), n_events.
+
+    Batch mode plans this as a sort-based session aggregation per user
+    partition; streaming mode keeps per-user session state with
+    watermark-driven eviction.
+    """
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def windowed_active_users(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    window_size: str = "1 day",
+    watermark: str | None = "1 hour",
+    exact: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ST7: active users per (window, event_type).
+
+    exact=False (streaming-safe): approx_count_distinct HLL sketch —
+    bounded state, mergeable across partitions, the only distinct that
+    scales on an unbounded stream. exact=True for the batch reporting
+    reconciliation (A9's semantics).
+    """
+    df = _maybe_watermark(events, ts_col, watermark)
+    distinct: Column = (
+        F.countDistinct(user_col)
+        if exact
+        else F.approx_count_distinct(user_col, rsd)
+    )
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_size), F.col(type_col).alias("event_type"))
+        .agg(distinct.alias("active_users"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "active_users",
+        )
+    )

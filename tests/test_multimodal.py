@@ -1,0 +1,42 @@
+"""Multimodal plumbing tests: schema, batch shapes, determinism of the
+fake-decode pipeline, and the stub contract for real decoding."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_ecom_analytics_spark.functions import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.synthesize_media(spark, n=16)
+
+
+def test_image_features_shape_and_determinism(media):
+    out1 = multimodal.image_features(media, target_dim=8).orderBy("media_id").collect()
+    out2 = multimodal.image_features(media, target_dim=8).orderBy("media_id").collect()
+    assert len(out1) == 16
+    for r1, r2 in zip(out1, out2):
+        assert len(r1.feature) == 8
+        assert r1.feature == r2.feature  # deterministic across runs
+        assert 0.0 <= r1.mean_luma <= 255.0
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00\x01", 1, 2, fake=False)
+
+
+def test_metadata_pruning_plan(media):
+    plan = multimodal.image_features(media)._jdf.queryExecution().optimizedPlan().toString()
+    # the binary column flows only into the UDF; codec/media_type
+    # predicates stay JVM-side before it
+    assert "media_type" in plan
+
+
+def test_frame_sample_plan(spark):
+    rows = [(1, "video", "fake", bytearray(b""), (None, None, 3500, 0))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]

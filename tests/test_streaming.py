@@ -1,0 +1,166 @@
+"""Structured Streaming tests: the window plans run incrementally via
+readStream (file source, availableNow), watermarks drop late data,
+the foreachBatch materializer refreshes parquet views, and checkpoints
+resume without reprocessing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.streaming import windows
+from streaming_ecom_analytics_spark.streaming.materialize import start_materialized_view
+from streaming_ecom_analytics_spark.streaming.pipeline import StreamingPipeline
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _t(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Three parquet files = three micro-batches, event-time ordered
+    with one late row in the last file."""
+    batches = [
+        [(1, _t(0), 1, "view", 10.0, "{}"), (2, _t(1), 2, "purchase", 20.0, "{}")],
+        [(3, _t(6), 1, "view", 5.0, "{}"), (4, _t(7), 3, "purchase", 7.5, "{}")],
+        [(5, _t(12), 2, "view", 1.0, "{}")],
+        # a very late row (10:03, two batches behind the watermark — the
+        # global watermark propagates with a one-batch lag) + a fresh row
+        [(6, _t(3), 9, "view", 2.0, "{}"), (7, _t(13), 3, "view", 3.0, "{}")],
+    ]
+    d = tmp_path / "events"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch_{i}"), mode="overwrite"
+        )
+    return str(d)
+
+
+def _stream(spark, events_dir: str):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir + "/*")
+    )
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    stream = _stream(spark, events_dir)
+    agg = windows.tumbling_event_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.event_count
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = spark.read.parquet(events_dir + "/*")
+    want = {
+        (r.window_start, r.event_type): r.event_count
+        for r in windows.tumbling_event_counts(batch, watermark=None).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, events_dir):
+    """With a tight watermark in append mode, the very-late row (event 6,
+    10:03, arriving two batches after 10:12 advanced the watermark past
+    its window) is dropped."""
+    stream = _stream(spark, events_dir)
+    agg = windows.tumbling_event_counts(stream, watermark="1 minute")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    emitted = {(r.window_start.minute, r.event_type): r.event_count for r in rows}
+    # the 10:00 view window closed before the late row arrived → count
+    # stays 1 (late row dropped), and the late row's 10:03 is not re-opened
+    assert emitted.get((0, "view")) == 1
+
+
+def test_materialized_view_refresh(spark, events_dir, tmp_path):
+    stream = _stream(spark, events_dir)
+    agg = windows.sliding_revenue(stream, watermark="1 hour")
+    q = start_materialized_view(
+        agg,
+        target_path=str(tmp_path / "view"),
+        checkpoint=str(tmp_path / "ckpt"),
+        output_mode="complete",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "view"))
+    batch = spark.read.parquet(events_dir + "/*")
+    want = windows.sliding_revenue(batch, watermark=None).collect()
+    got = out.collect()
+    assert sorted((r.window_start, r.revenue) for r in got) == sorted(
+        (r.window_start, r.revenue) for r in want
+    )
+
+
+def test_checkpoint_resume_no_reprocess(spark, events_dir, tmp_path):
+    """Restarting with the same checkpoint must not change results
+    (exactly-once materialization, S9/ST8)."""
+    stream = _stream(spark, events_dir)
+    agg = windows.tumbling_event_counts(stream, watermark="1 hour")
+    for _ in range(2):  # run, then restart with same checkpoint
+        q = start_materialized_view(
+            agg,
+            target_path=str(tmp_path / "view"),
+            checkpoint=str(tmp_path / "ckpt"),
+            output_mode="complete",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "view"))
+    total = out.agg(F.sum("event_count")).first()[0]
+    assert total == 7  # every input row counted exactly once
+
+
+def test_pipeline_end_to_end(spark, events_dir, tmp_path):
+    pipe = StreamingPipeline(
+        spark,
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    events = pipe.file_events_source(events_dir + "/*")
+    pipe.start_views(events, available_now=True)
+    pipe.await_all()
+    funnel = spark.read.parquet(str(tmp_path / "wh" / "funnel_5m"))
+    assert funnel.agg(F.sum("event_count")).first()[0] == 7
+    active = spark.read.parquet(str(tmp_path / "wh" / "active_users_daily"))
+    assert active.count() > 0
+
+
+def test_session_window_streaming(spark, events_dir):
+    stream = _stream(spark, events_dir)
+    agg = windows.session_windows(stream, gap="10 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out").collect()
+    # user 1: events at 10:00 and 10:06 (< 10 min gap) merge into one session
+    u1 = [r for r in got if r.user_id == 1]
+    assert len(u1) == 1 and u1[0].n_events == 2
+    assert u1[0].session_start == _t(0)
+    assert u1[0].session_end == _t(16)  # last event 10:06 + 10 min gap
