@@ -272,6 +272,34 @@ def q_event_ingest_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_wire_format",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS wire_ts,
+           regexp_matches(strftime(ts, '%Y-%m-%dT%H:%M:%S.%g'),
+             '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?([+-]\\d{2}:\\d{2}|Z)?$')
+             AS is_valid
+    FROM events
+    """,
+)
+def q_event_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 + P11/P12 (producer.py:18-20,36): the Kafka wire timestamp
+    format (ISO-8601, millisecond precision) and its regex gate, as
+    codegen'd expressions replacing the reference's per-row Python."""
+    from streaming_ecom_analytics_spark.schema import (
+        EVENT_TIME_FORMAT,
+        EVENT_TIME_PATTERN,
+    )
+
+    wire = F.date_format("ts", EVENT_TIME_FORMAT)
+    return catalog.events(spark, sf_dir).select(
+        "event_id",
+        wire.alias("wire_ts"),
+        wire.rlike(EVENT_TIME_PATTERN).alias("is_valid"),
+    )
+
+
 # Populate the registry with the other query families. Imported at module
 # end so their register() calls see the infrastructure above.
 from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401

@@ -149,6 +149,39 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_selling_brands",
+    """
+    SELECT brand, revenue FROM (
+      SELECT p.p_brand AS brand,
+             ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ) ORDER BY revenue DESC, brand ASC LIMIT 10
+    """,
+    headline=True,
+)
+def q_top_selling_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (snowflake_refresh.py:17-28): top-10 brands by revenue.
+
+    The testdata events table has no brand column, so the brand
+    dimension comes from part (broadcast) joined to the lineitem fact —
+    the same top-K-revenue-by-brand semantics at fact-table scale.
+    """
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    p = catalog.load_table(spark, "part", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("brand"))
+        .limit(10)
+    )
+
+
+@register(
     "parts_never_ordered",
     """
     SELECT p_partkey, p_name

@@ -1,0 +1,100 @@
+"""Physical-plan assertions — the 100 TB posture, verified per query.
+
+Correctness says the answer is right; these tests pin HOW Spark gets
+it: filters and projections reach the parquet scan, small dimensions
+broadcast, top-K fuses to TakeOrderedAndProject, and aggregates use
+two-phase hash aggregation. A regression here is a silent 100×
+slowdown at scale even while correctness stays green.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.plans import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        REGISTRY[name]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """daily_revenue's event_type filter must be pushed to parquet."""
+    plan = _plan(spark, "daily_revenue")
+    assert "PushedFilters: [" in plan and "event_type" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_column_pruning(spark):
+    """daily_revenue reads 2 of 6 event columns."""
+    plan = _plan(spark, "daily_revenue")
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "ts" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "event_id" not in read_schema
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    plan = _plan(spark, "top_revenue_by_category")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    """customer and nation must broadcast (at test scale orders may too
+    — AQE sizes the build side, which is exactly the desired behavior;
+    what must NOT appear is a cartesian product or a shuffle of the
+    fact side for a dimension join)."""
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "abandoned_cart_users")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_two_phase_aggregation(spark):
+    """Partial (map-side) aggregate before the shuffle."""
+    plan = _plan(spark, "conversion_funnel")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """Codegen spans appear once AQE finalizes the plan (post-action).
+    A write/save plans a separate QueryExecution, so collect() on the
+    same frame is what finalizes THIS one."""
+    df = REGISTRY["pricing_summary"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' is the compact WholeStageCodegen marker; both aggregate
+    # phases must sit inside codegen'd stages, and AQE must have
+    # coalesced the post-shuffle partitions.
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "AQEShuffleRead coalesced" in plan
+
+
+def test_no_cartesian_in_minhash(spark):
+    """The LSH path must never plan a cartesian product."""
+    plan = _plan(spark, "near_dup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_streaming_uses_stateful_agg(spark):
+    """The tumbling plan on a stream compiles to a stateful aggregate."""
+    from streaming_ecom_analytics_spark.schema import TESTDATA_EVENT_SCHEMA
+    from streaming_ecom_analytics_spark.streaming import windows
+
+    stream = spark.readStream.schema(TESTDATA_EVENT_SCHEMA).parquet(SF_DIR)
+    agg = windows.tumbling_event_counts(stream, watermark="1 hour")
+    assert agg.isStreaming
+    logical = agg._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" in logical
