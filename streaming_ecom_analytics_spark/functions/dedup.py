@@ -102,18 +102,31 @@ def jaccard_pairs(
     )
 
 
+def _mix_constants(num_perm: int, seed: int = 2024) -> list[int]:
+    """Deterministic 63-bit XOR masks, one per hash family."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.getrandbits(63) for _ in range(num_perm)]
+
+
 def minhash_signatures(
     sh: DataFrame, *, id_col: str = "doc_id", num_perm: int = 64
 ) -> DataFrame:
     """MinHash signature per document: num_perm columns of
-    min(xxhash64(seed_i, shingle)) — one aggregation, JVM-side hashing.
+    min(xxhash64(xxhash64(shingle) XOR mask_i)) — one aggregation,
+    JVM-side.
 
-    xxhash64's seed argument gives num_perm independent hash families
-    without string concatenation tricks.
+    The (variable-length) shingle string is hashed ONCE; the num_perm
+    independent families rehash the resulting fixed-width long under
+    per-family XOR masks — much cheaper than re-hashing the string per
+    permutation, overflow-free under ANSI mode (unlike affine a*h+b
+    mixing on Java longs), and equivalent in LSH distribution quality.
     """
+    base = F.xxhash64(F.col("shingle"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-        for i in range(num_perm)
+        F.min(F.xxhash64(base.bitwiseXOR(F.lit(mask)))).alias(f"mh_{i}")
+        for i, mask in enumerate(_mix_constants(num_perm))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -205,24 +218,27 @@ def simhash_signatures(
     nested column expressions and still Arrow-batched."""
     import numpy as np
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     def sim_batches(batches):
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 words = (text or "").split()
                 feats = (
-                    [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+                    {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
                     if len(words) >= k
-                    else [" ".join(words)]
+                    else {" ".join(words)}
                 )
-                acc = np.zeros(64, dtype=np.int64)
-                for w in set(feats):
-                    h = _hash61(w)
-                    bits = (h >> np.arange(64)) & 1
-                    acc += bits * 2 - 1
-                sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                # store as signed 64-bit
-                if sig >= 1 << 63:
+                # vectorized: hash all features (C-speed crc32 pairs →
+                # 64-bit), unpack the bit matrix in one numpy op
+                hs = np.fromiter(
+                    (_hash64(f) for f in feats), dtype=np.uint64, count=len(feats)
+                )
+                bits = (hs[:, None] >> shifts) & np.uint64(1)
+                acc = bits.astype(np.int64).sum(axis=0) * 2 - len(hs)
+                sig = int(((acc > 0).astype(np.uint64) << shifts).sum())
+                if sig >= 1 << 63:  # store as signed 64-bit
                     sig -= 1 << 64
                 out.append((doc_id, sig))
             yield pd.DataFrame(out, columns=["doc_id", "simhash"])
@@ -281,10 +297,11 @@ def simhash_pairs(
     )
 
 
-def _hash61(s: str) -> int:
-    """Deterministic 61-bit polynomial string hash (process-stable,
-    unlike Python's salted builtin hash)."""
-    h = 0
-    for ch in s:
-        h = (h * 131 + ord(ch)) % ((1 << 61) - 1)
-    return h
+def _hash64(s: str) -> int:
+    """Deterministic 64-bit string hash from two salted crc32s —
+    process-stable (unlike Python's salted builtin hash) and C-speed
+    (unlike a per-character Python loop)."""
+    import zlib
+
+    b = s.encode()
+    return zlib.crc32(b) | (zlib.crc32(b, 0x9E3779B9) << 32)

@@ -138,30 +138,34 @@ def winnow_fingerprint(
     plagiarism-style overlap detection. Pandas UDF (rows-only check:
     polynomial rolling hashes are engine-specific)."""
 
+    import numpy as np
+
+    from streaming_ecom_analytics_spark.functions.dedup import _hash64
+
     def fp_batches(batches):
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 words = (text or "").split()
                 grams = [" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 1))]
-                hashes = [hash_str(g) for g in grams]
+                hashes = np.fromiter(
+                    (_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
+                ).astype(np.int64)
+                # min of each sliding window via numpy stride trick;
+                # keep a hash only when the winning position moves
+                # (the winnowing rule)
+                n_win = max(len(hashes) - window + 1, 1)
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    hashes, min(window, len(hashes))
+                )[:n_win]
+                argmins = wins.argmin(axis=1) + np.arange(len(wins))
                 prints: list[int] = []
                 last = -1
-                for i in range(max(len(hashes) - window + 1, 1)):
-                    w = hashes[i : i + window]
-                    j = i + min(range(len(w)), key=lambda x: (w[x], x))
+                for i, j in enumerate(argmins):
                     if j != last:
-                        prints.append(hashes[j])
+                        prints.append(int(hashes[j]))
                         last = j
                 out.append((doc_id, prints))
             yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
-
-    def hash_str(s: str) -> int:
-        # 61-bit polynomial rolling hash, deterministic across processes
-        # (unlike Python's salted hash()).
-        h = 0
-        for ch in s:
-            h = (h * 131 + ord(ch)) % ((1 << 61) - 1)
-        return h
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(fp_batches, schema=_FP_SCHEMA)
