@@ -78,8 +78,13 @@ def jaccard_pairs(
     shingles are the skew risk at scale, which the LSH variant avoids.
     Jaccard is an exact integer ratio divided once in double → bit-equal
     across engines.
+
+    The shingle set feeds three plan branches (sizes + both join
+    sides); it is persisted so the explode+distinct runs once, not per
+    branch (exchange reuse can't cover it — each branch repartitions
+    differently).
     """
-    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -150,7 +155,9 @@ def minhash_lsh_pairs(
     engine-comparable; LSH only prunes the search space.
     """
     rows_per_band = num_perm // bands
-    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    # persisted: feeds the signature aggregation AND the exact-verify
+    # branches (sizes + both intersection sides)
+    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k).persist()
     sig = minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(

@@ -78,6 +78,25 @@ def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc
     )
 
 
+# GPT-2-flavored pre-tokenization classes: letter runs, single digits,
+# punctuation runs — a deterministic, model-free token-count estimator.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens vs BPE-ish subword estimate per document —
+    the budget/pricing pass of a training-data pipeline, as two
+    codegen'd regexp counts (no tokenizer dependency, no UDF)."""
+    ws = F.size(_tokens(text_col)).cast("long")
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        (F.length(F.col(text_col)).cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
 _LANG_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -201,6 +201,25 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(catalog.documents(spark, sf_dir))
 
 
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+             AS bpe_ish_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (training-data budget
+    pass) — codegen'd regexp_count, verified against DuckDB."""
+    return text.token_counts(catalog.documents(spark, sf_dir))
+
+
 @register("language_id", None)
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID (Arrow-batched Pandas UDF;
