@@ -338,6 +338,40 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_with_last_purchase",
+    """
+    SELECT e.event_id, e.user_id,
+           p.ts AS last_purchase_ts,
+           p.value AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_events_with_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    (<= event time) purchase. Spark lacks a native ASOF JOIN; the
+    operator composes union + single key shuffle + last-ignoring-nulls
+    window (operators/asof.py) — verified against DuckDB's native
+    ASOF LEFT JOIN."""
+    from streaming_ecom_analytics_spark.operators.asof import asof_join
+
+    ev = catalog.events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        ev, purchases, on="user_id", value_cols=("value",), prefix="last_purchase_"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("last_purchase_ts"),
+        F.col("last_purchase_value"),
+    )
+
+
+@register(
     "distinct_order_priorities",
     """
     SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders

@@ -1,0 +1,77 @@
+"""As-of join semantics + salting equivalence tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.operators.asof import asof_join
+from streaming_ecom_analytics_spark.operators.skew import (
+    salted_count_distinct,
+    salted_join,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        (1, _t(0), 1, "purchase", 10.0, "{}"),
+        (2, _t(5), 1, "view", 0.0, "{}"),      # matches purchase @0
+        (3, _t(10), 1, "purchase", 20.0, "{}"),  # matches itself (ties right-first)
+        (4, _t(15), 1, "view", 0.0, "{}"),     # matches purchase @10
+        (5, _t(3), 2, "view", 0.0, "{}"),      # user 2 never purchased → NULL
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_asof_join_semantics(events):
+    purchases = events.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = asof_join(
+        events, purchases, on="user_id", value_cols=("value",), prefix="last_purchase_"
+    )
+    got = {r.event_id: (r.last_purchase_ts, r.last_purchase_value) for r in out.collect()}
+    assert got[2] == (_t(0), 10.0)
+    assert got[3] == (_t(10), 20.0)  # same-timestamp right row matches
+    assert got[4] == (_t(10), 20.0)
+    assert got[5] == (None, None)
+    assert got[1] == (_t(0), 10.0)
+
+
+def test_asof_join_single_shuffle(events):
+    purchases = events.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    out = asof_join(events, purchases, on="user_id", value_cols=("value",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle on the key
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_count_distinct_matches_plain(spark, events):
+    plain = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_distinct"))
+        .collect()
+    )
+    salted = salted_count_distinct(
+        events, group_cols=["event_type"], distinct_col="user_id", n_salts=4
+    ).collect()
+    assert sorted((r.event_type, r.n_distinct) for r in plain) == sorted(
+        (r.event_type, r.n_distinct) for r in salted
+    )
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [(i % 3, f"row{i}") for i in range(100)], "k long, payload string"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, tag string")
+    plain = big.join(small, on="k").select("k", "payload", "tag").collect()
+    salted = salted_join(big, small, on="k", n_salts=4).select("k", "payload", "tag").collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))

@@ -1,0 +1,74 @@
+"""Ordered-funnel stateful operator tests: batch twin semantics, the
+streaming applyInPandasWithState path, and cross-micro-batch state."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from streaming_ecom_analytics_spark.streaming import stateful
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+ROWS = [
+    # user 1: clean view→cart→purchase conversion
+    (1, _t(0), 1, "view", 0.0, "{}"),
+    (2, _t(2), 1, "cart", 0.0, "{}"),
+    (3, _t(5), 1, "purchase", 9.0, "{}"),
+    # user 2: purchase BEFORE cart — no ordered conversion
+    (4, _t(0), 2, "view", 0.0, "{}"),
+    (5, _t(1), 2, "purchase", 5.0, "{}"),
+    (6, _t(2), 2, "cart", 0.0, "{}"),
+    # user 3: two full conversions
+    (7, _t(0), 3, "view", 0.0, "{}"),
+    (8, _t(1), 3, "cart", 0.0, "{}"),
+    (9, _t(2), 3, "purchase", 1.0, "{}"),
+    (10, _t(10), 3, "view", 0.0, "{}"),
+    (11, _t(11), 3, "cart", 0.0, "{}"),
+    (12, _t(12), 3, "purchase", 2.0, "{}"),
+    # user 4: stalls at cart
+    (13, _t(0), 4, "view", 0.0, "{}"),
+    (14, _t(1), 4, "cart", 0.0, "{}"),
+]
+
+
+def test_batch_funnel_semantics(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = stateful.funnel_conversions_batch(df).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {1, 3}
+    assert by_user[1][0].seconds_to_convert == 300.0  # 10:00 → 10:05
+    assert len(by_user[3]) == 2
+    assert {r.seconds_to_convert for r in by_user[3]} == {120.0}
+
+
+def test_streaming_funnel_with_cross_batch_state(spark, tmp_path):
+    """user 1's stages split across micro-batches — state must carry."""
+    d = tmp_path / "ev"
+    batches = [ROWS[0:1], ROWS[1:2], ROWS[2:3] + ROWS[3:6]]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"b{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(str(d) + "/*")
+    )
+    out = stateful.funnel_conversions_stateful(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("conv_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM conv_out").collect()
+    assert [(r.user_id, r.seconds_to_convert) for r in rows] == [(1, 300.0)]
