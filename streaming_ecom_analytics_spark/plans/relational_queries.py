@@ -382,3 +382,112 @@ def q_distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load_table(spark, "orders", sf_dir).select(
         "o_orderpriority", "o_orderstatus"
     ).distinct()
+
+
+@register(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type. Spark's
+    percentile() matches DuckDB quantile_cont to 1 ulp; ROUND(6) absorbs
+    interpolation-order differences (inputs are 2-dp, so interpolated
+    quantiles never sit on a 6-dp rounding boundary). The streaming/
+    huge-scale variant is percentile_approx (not oracle-matched)."""
+    ev = catalog.events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(name)
+            for name, q in [("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+        ]
+    )
+
+
+@register(
+    "revenue_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    Expand-based single-shuffle plan."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("gross_revenue")
+    )
+
+
+@register(
+    "active_user_overlap",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_active_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: users who both viewed and purchased (INTERSECT)."""
+    ev = catalog.events(spark, sf_dir)
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers)
+
+
+@register(
+    "viewers_never_buying",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_viewers_never_buying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (the set-algebra twin of the J1 anti-join)."""
+    ev = catalog.events(spark, sf_dir)
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.subtract(buyers)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "inter_event_gaps",
+    """
+    SELECT event_id, user_id,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                AS DOUBLE) / 1000000.0 AS seconds_since_prev,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_event_type
+    FROM events
+    """,
+)
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window functions: per-user inter-event gap seconds and
+    next event type — the sessionization building block."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = catalog.events(spark, sf_dir)
+    # integer microsecond difference divided once in double — the exact
+    # arithmetic DuckDB's date_diff('microsecond')/1e6 performs
+    gap = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).cast("double")
+        / 1000000.0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        gap.alias("seconds_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
