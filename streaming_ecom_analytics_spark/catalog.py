@@ -46,6 +46,10 @@ def _nano_timestamp_cols(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
     path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
+    # Day-grain truncation and date casts are wall-clock-relative: pin
+    # UTC even when the caller's session was built elsewhere, so results
+    # match the (UTC-naive) DuckDB oracle under any host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _nano_timestamp_cols(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

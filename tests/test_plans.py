@@ -88,6 +88,32 @@ def test_no_cartesian_in_minhash(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_partition_pruning_on_date_partitioned_lake(spark, tmp_path):
+    """The lake writes date-partitioned; a one-day query must prune to
+    one partition directory (PartitionFilters at the scan, not a
+    post-scan filter) — the property that makes daily aggregates read
+    a day, not the lake, at 100 TB."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.sources.lake import Lake
+
+    ev = catalog.events(spark, SF_DIR).withColumn("event_date", F.to_date("ts"))
+    lake = Lake(str(tmp_path))
+    lake.write(ev, "raw", "events", partition_by=("event_date",))
+
+    one_day = lake.read(spark, "raw", "events").filter(
+        F.col("event_date") == "2024-01-05"
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # the date predicate lives in PartitionFilters (partition-index
+    # pruning), NOT in PushedFilters/post-scan Filter
+    assert "event_date" in pf
+    assert one_day.count() > 0
+    # pruning is observable in the work done: the one-day scan reads a
+    # small fraction of the full table's rows
+    assert one_day.count() < ev.count() / 5
+
+
 def test_streaming_uses_stateful_agg(spark):
     """The tumbling plan on a stream compiles to a stateful aggregate."""
     from streaming_ecom_analytics_spark.schema import TESTDATA_EVENT_SCHEMA
