@@ -42,25 +42,38 @@ def exact_dedup(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word k-gram shingles per document: (id, shingle).
 
     Built-in array ops: split → sliding windows via transform(sequence)
     → explode → distinct. The distinct is the only shuffle.
+
+    ``hashed=True`` replaces each shingle string with its xxhash64
+    BEFORE the distinct, so every downstream shuffle/sort/join key is 8
+    bytes instead of a string — the right call at scale when shingles
+    are long (at test scale it measures neutral, so the exact-string
+    default stays). Collision risk is birthday-bounded: ~n²/2^65 for n
+    distinct shingles; one collision perturbs one pair's intersection
+    count by 1.
     """
-    return (
-        docs.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {k}, 0)),"
-                    f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {k})))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {k}, 0)),"
+                f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {k})))"
+            )
+        ).alias("shingle"),
     )
+    if hashed:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    return sh.distinct()
 
 
 def jaccard_pairs(
