@@ -1,0 +1,80 @@
+"""Corpus curation — the operators composed into one training-data
+pipeline, plus the streaming deduplication surface.
+
+``curate_documents`` is the canonical pretraining-cleanup chain:
+
+    quality filter → language filter → exact dedup → near-dup removal
+
+Each stage is one of the engine's verified operators; the composition
+stays a single lazy plan (Catalyst fuses the quality/language
+projections into one pass over the corpus; only the dedup stages
+shuffle). The near-dup stage uses MinHash+LSH — the 100 TB path — and
+removes the LARGER doc_id of each similar pair (keep-first policy,
+deterministic).
+
+``dedup_stream`` is the streaming-native exact dedup:
+dropDuplicatesWithinWatermark keeps state only within the watermark
+horizon — the unbounded-stream analogue of the batch content-hash
+groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.functions import dedup, text
+
+
+def curate_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """Filter + dedup a document corpus; returns surviving rows of
+    ``docs`` with a ``quality_score`` column attached."""
+    quality = text.quality_score(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "quality_score"
+    )
+    kept = docs.join(quality, on=id_col).filter(
+        F.col("quality_score") >= min_quality
+    )
+    if keep_langs is not None:
+        lang = text.language_id(kept, text_col=text_col, id_col=id_col).select(
+            id_col, "lang_pred"
+        )
+        kept = kept.join(lang, on=id_col).filter(
+            F.col("lang_pred").isin(*keep_langs)
+        ).drop("lang_pred")
+
+    # exact dedup: keep the min-id representative of each content hash
+    reps = dedup.exact_dedup(kept, text_col=text_col, id_col=id_col).select(id_col)
+    kept = kept.join(reps, on=id_col, how="left_semi")
+
+    # near-dup removal: drop the larger id of each LSH-verified pair
+    pairs = dedup.minhash_lsh_pairs(
+        kept, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return kept.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (Kafka replays,
+    producer retries) become effectively-once within the watermark
+    horizon. State is bounded — keys older than the watermark are
+    evicted, which is the only way dedup state survives an unbounded
+    stream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [*key_cols]
+    )

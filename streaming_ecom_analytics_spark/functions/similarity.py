@@ -148,6 +148,78 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    + probe-the-nearest-lists exact rerank — the other classic ANN
+    scale path beside hyperplane LSH.
+
+    - Train: Spark ML KMeans over the corpus (distributed Lloyd's).
+    - Index: each corpus vector assigned to its nearest centroid's
+      list — at scale this is the partitioning/bucketing key, so one
+      query touches n_probe/n_lists of the data.
+    - Search: each query scores the n_lists centroids (tiny,
+      broadcast-literal dot products), explodes its n_probe nearest
+      list ids, joins corpus lists, exact cosine rerank, window top-k.
+
+    Deterministic via fixed seed. Approximate by design → rows-only
+    check; recall asserted in unit tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = F.col(vec_col).cast("array<double>")
+    feat = embeddings.select(
+        F.col(id_col), v.alias("arr"), array_to_vector(v).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feat)
+    corpus = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("arr").alias("nvec"),
+        _norm(F.col("arr")).alias("nnorm"),
+        F.col("prediction").alias("list_id"),
+    )
+
+    centers = [c.tolist() for c in model.clusterCenters()]
+    # per-query centroid scores as literal-array dot products; keep the
+    # n_probe nearest lists (euclidean on unit-ish vectors ≈ max dot)
+    dists = F.array(*[
+        F.struct(
+            (-_dot(v, F.array(*[F.lit(float(x)) for x in c]))).alias("neg_dot"),
+            F.lit(i).alias("list_id"),
+        )
+        for i, c in enumerate(centers)
+    ])
+    probe = F.slice(F.array_sort(dists), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qvec"),
+        _norm(v).alias("qnorm"),
+        F.explode(probe).alias("p"),
+    ).select("query_id", "qvec", "qnorm", F.col("p.list_id").alias("list_id"))
+
+    pairs = corpus.join(F.broadcast(q), on="list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     *,

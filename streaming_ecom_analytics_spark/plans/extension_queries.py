@@ -123,6 +123,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: Spark ML KMeans coarse quantizer + n_probe-list exact
+    rerank (rows-only; recall unit-tested against brute force)."""
+    emb = catalog.embeddings(spark, sf_dir)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 @register(
     "embedding_near_dups",
     """
@@ -218,6 +226,19 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting (training-data budget
     pass) — codegen'd regexp_count, verified against DuckDB."""
     return text.token_counts(catalog.documents(spark, sf_dir))
+
+
+@register("curated_documents", None)
+def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation composition (quality filter → exact
+    dedup → MinHash near-dup removal) as one lazy plan — the engine's
+    operators chained the way a pretraining pipeline uses them.
+    Rows-only: each constituent is oracle- or unit-verified on its own."""
+    from streaming_ecom_analytics_spark.functions.curate import curate_documents
+
+    return curate_documents(
+        catalog.documents(spark, sf_dir), min_quality=0.3, near_dup_threshold=0.8
+    )
 
 
 @register("language_id", None)

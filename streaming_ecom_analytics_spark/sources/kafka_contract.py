@@ -96,6 +96,25 @@ def parse_events(
     return parsed.withColumn("event_time", F.to_timestamp("event_time"))
 
 
+def serialize_events_avro(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:
+    """AVRO wire variant of serialize_events (the reference's processed
+    topic uses AVRO for schema evolution, README.md:81,87). Requires the
+    spark-avro package on the classpath — not bundled in this
+    environment, so this raises a clear error until the jar is added
+    (--packages org.apache.spark:spark-avro_2.13:<spark-version>).
+    JSON is the tested wire format; the semantic surface is identical.
+    """
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("spark-avro python bindings unavailable") from e
+    cols = [F.col(f) for f in _WIRE_FIELDS if f in events.columns]
+    return events.select(
+        F.col(key_col).cast("string").alias("key"),
+        to_avro(F.struct(*cols)).alias("value"),
+    )
+
+
 def kafka_source(
     spark,
     *,

@@ -37,6 +37,24 @@ def test_embedding_near_dup_pairs(vectors):
     assert pairs == {(0, 1)}
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe=4/16 lists must recover most of the brute-force
+    top-5 on real embeddings (and always find a planted near-dup)."""
+    from streaming_ecom_analytics_spark import catalog
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    q = emb.filter("vec_id < 5")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    assert len(ivf & brute) / len(brute) >= 0.5  # recall at half the lists probed
+
+
 def test_lsh_bucketed_topk_finds_near_dup(spark):
     import numpy as np
 
