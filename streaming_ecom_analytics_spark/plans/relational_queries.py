@@ -337,6 +337,31 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REGION_REVENUE_SQL = """
+    SELECT r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+
+
+@register("revenue_by_region_sql", _REGION_REVENUE_SQL)
+def q_revenue_by_region_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: the same ANSI text runs on spark.sql() and
+    the DuckDB oracle verbatim (5-way join + distinct count). Catalyst
+    produces the same plan as the DataFrame authoring — temp views are
+    just names for the catalog's frames."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        catalog.load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_REGION_REVENUE_SQL)
+
+
 @register(
     "events_with_last_purchase",
     """
