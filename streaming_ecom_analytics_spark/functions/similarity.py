@@ -178,10 +178,12 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     v = F.col(vec_col).cast("array<double>")
+    # cached: Lloyd's iterations rescan the features maxIter times, and
+    # the transform scans once more
     feat = embeddings.select(
         F.col(id_col), v.alias("arr"), array_to_vector(v).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feat)
+    ).persist()
+    model = KMeans(k=n_lists, seed=seed, maxIter=5, tol=1e-3).fit(feat)
     corpus = model.transform(feat).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("arr").alias("nvec"),
