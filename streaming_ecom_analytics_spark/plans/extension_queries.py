@@ -228,12 +228,67 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_counts(catalog.documents(spark, sf_dir))
 
 
-@register("curated_documents", None)
+_CURATED_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x IN ({{stops}}))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + least(stopword_ratio * 10.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2, 6) AS quality_score
+      FROM s
+    ),
+    kept0 AS (
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, q.quality_score
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality_score >= 0.3
+    ),
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
+    kept1 AS (SELECT k.* FROM kept0 k WHERE k.doc_id IN (SELECT doc_id FROM reps)),
+    w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM kept1),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+    )
+    SELECT doc_id, text, lang, source, n_chars, quality_score
+    FROM kept1 WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+"""
+
+
+@register(
+    "curated_documents",
+    _CURATED_ORACLE.format(stops=", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)),
+)
 def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-curation composition (quality filter → exact
-    dedup → MinHash near-dup removal) as one lazy plan — the engine's
-    operators chained the way a pretraining pipeline uses them.
-    Rows-only: each constituent is oracle- or unit-verified on its own."""
+    dedup → MinHash near-dup removal) as one lazy plan — and the whole
+    chain is oracle-verified: the DuckDB twin recomputes quality, exact
+    dedup, and brute-force Jaccard losers, so the LSH stage must again
+    achieve exact recall for the hashes to match."""
     from streaming_ecom_analytics_spark.functions.curate import curate_documents
 
     return curate_documents(
@@ -241,10 +296,47 @@ def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("language_id", None)
+def _language_id_oracle() -> str:
+    """DuckDB twin of the Python marker-scoring heuristic: same
+    tokenization (lower + whitespace split), same rates, same
+    alphabetical-first argmax with 'und' at zero."""
+    langs = sorted(text._LANG_MARKERS)
+
+    def rate(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in sorted(text._LANG_MARKERS[lang]))
+        return f"CAST(len(list_filter(w, x -> x IN ({words}))) AS DOUBLE) / greatest(len(w), 1)"
+
+    rates = ",\n             ".join(f"{rate(lang)} AS r_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    pick = (
+        "CASE WHEN "
+        + " WHEN ".join(
+            f"r_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), rates AS (
+      SELECT doc_id,
+             {rates}
+      FROM toks
+    )
+    SELECT doc_id,
+           {pick} AS lang_pred,
+           ROUND({best}, 6) AS lang_confidence
+    FROM rates
+    """
+
+
+@register("language_id", _language_id_oracle())
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language ID (Arrow-batched Pandas UDF;
-    accuracy unit-tested on real-language fixtures)."""
+    """Marker-stopword language ID (Arrow-batched Pandas UDF). The
+    heuristic is deterministic, so even the UDF path gets a full DuckDB
+    oracle (generated from the same marker tables); accuracy on real
+    languages is unit-tested separately."""
     return text.language_id(catalog.documents(spark, sf_dir))
 
 
