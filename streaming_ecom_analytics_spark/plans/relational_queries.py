@@ -337,6 +337,64 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lineitem_measures_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+    UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def q_lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measures → long (entity, measure, value) —
+    a pure projection+explode, no shuffle."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube),
+    authored through the SQL surface — two disjoint groupings in one
+    Expand-based single-shuffle pass."""
+    catalog.load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register("funnel_conversions", None)
+def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversions per user (the stateful
+    streaming operator's batch twin; stage machine not SQL-expressible
+    → rows-only, semantics unit-tested in test_stateful.py)."""
+    from streaming_ecom_analytics_spark.streaming.stateful import (
+        funnel_conversions_batch,
+    )
+
+    return funnel_conversions_batch(
+        catalog.events(spark, sf_dir), stages=("view", "click", "purchase")
+    )
+
+
 _REGION_REVENUE_SQL = """
     SELECT r.r_name AS region,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))

@@ -43,22 +43,27 @@ CONVERSION_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = "stage INT, stage_ts DOUBLE, started DOUBLE"
+_STATE_SCHEMA = "stage INT, stage_ts BIGINT, started BIGINT"
 
 
-def _advance(events: pd.DataFrame, stage: int, stage_ts: float, started: float, stages):
-    """Replay events (event-time order) through the stage machine."""
+def _advance(events: pd.DataFrame, stage: int, stage_ts: int, started: int, stages):
+    """Replay events (event-time order) through the stage machine.
+
+    Times are integer epoch-MICROseconds throughout — float seconds
+    round-trip with sub-microsecond noise that Arrow then (rightly)
+    refuses to cast back into a timestamp[us] column.
+    """
     conversions = []
     ev = events.sort_values("ts")
     for ts, etype in zip(ev["ts"], ev["event_type"]):
-        ts_s = ts.timestamp()
+        ts_us = ts.value // 1000  # pandas Timestamp ns → us
         if etype == stages[0] and stage == 0:
-            stage, stage_ts, started = 1, ts_s, ts_s
-        elif stage > 0 and etype == stages[min(stage, len(stages) - 1)] and ts_s >= stage_ts:
-            stage, stage_ts = stage + 1, ts_s
+            stage, stage_ts, started = 1, ts_us, ts_us
+        elif stage > 0 and etype == stages[min(stage, len(stages) - 1)] and ts_us >= stage_ts:
+            stage, stage_ts = stage + 1, ts_us
             if stage == len(stages):
-                conversions.append((started, ts_s, ts_s - started))
-                stage, stage_ts, started = 0, 0.0, 0.0
+                conversions.append((started, ts_us, (ts_us - started) / 1_000_000.0))
+                stage, stage_ts, started = 0, 0, 0
     return conversions, stage, stage_ts, started
 
 
@@ -78,7 +83,7 @@ def funnel_conversions_stateful(
         if state.hasTimedOut:
             state.remove()
             return
-        stage, stage_ts, started = state.get if state.exists else (0, 0.0, 0.0)
+        stage, stage_ts, started = state.get if state.exists else (0, 0, 0)
         out = []
         for pdf in pdf_iter:
             convs, stage, stage_ts, started = _advance(
@@ -91,8 +96,8 @@ def funnel_conversions_stateful(
             yield pd.DataFrame(
                 {
                     "user_id": user_id,
-                    "started_at": [pd.Timestamp(s, unit="s") for s, _, _ in out],
-                    "completed_at": [pd.Timestamp(c, unit="s") for _, c, _ in out],
+                    "started_at": [pd.Timestamp(s * 1000) for s, _, _ in out],
+                    "completed_at": [pd.Timestamp(c * 1000) for _, c, _ in out],
                     "seconds_to_convert": [d for _, _, d in out],
                 }
             )
@@ -120,7 +125,7 @@ def funnel_conversions_batch(
     over each user's full history via applyInPandas."""
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        convs, *_ = _advance(pdf, 0, 0.0, 0.0, stages)
+        convs, *_ = _advance(pdf, 0, 0, 0, stages)
         if not convs:
             return pd.DataFrame(
                 columns=["user_id", "started_at", "completed_at", "seconds_to_convert"]
@@ -128,8 +133,8 @@ def funnel_conversions_batch(
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"].iloc[0],
-                "started_at": [pd.Timestamp(s, unit="s") for s, _, _ in convs],
-                "completed_at": [pd.Timestamp(c, unit="s") for _, c, _ in convs],
+                "started_at": [pd.Timestamp(s * 1000) for s, _, _ in convs],
+                "completed_at": [pd.Timestamp(c * 1000) for _, c, _ in convs],
                 "seconds_to_convert": [d for _, _, d in convs],
             }
         )

@@ -53,6 +53,21 @@ def test_asof_join_single_shuffle(events):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_not_in_null_trap_vs_left_anti(spark):
+    """The J1 semantic decision, demonstrated: SQL NOT IN returns ZERO
+    rows when the subquery contains a NULL; left_anti keeps non-matching
+    rows. The engine authors the abandoned-cart query as left_anti and
+    documents the non-null-key precondition (enforced by cleaning)."""
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(2,), (None,)], "k long")
+    left.createOrReplaceTempView("l_t")
+    right.createOrReplaceTempView("r_t")
+    not_in = spark.sql("SELECT k FROM l_t WHERE k NOT IN (SELECT k FROM r_t)")
+    assert not_in.count() == 0  # NULL poisons NOT IN
+    anti = left.join(right, on="k", how="left_anti")
+    assert [r.k for r in anti.collect()] == [1]  # left_anti keeps row 1
+
+
 def test_salted_count_distinct_matches_plain(spark, events):
     plain = (
         events.groupBy("event_type")
