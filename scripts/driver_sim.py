@@ -12,6 +12,7 @@ Usage: python scripts/driver_sim.py [sf_dir]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -36,7 +37,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="driver_sim")
+    if os.environ.get("DRIVER_SIM_PLAIN"):
+        # mimic an arbitrary driver-owned session: no engine configs,
+        # default shuffle partitions — results must be identical
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("driver_sim_plain").getOrCreate()
+    else:
+        spark = get_spark(app_name="driver_sim")
 
     entry_df = contract.entry(spark)
     n = entry_df.count()
