@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from streaming_ecom_analytics_spark.caching import release_tracked  # noqa: E402
 from streaming_ecom_analytics_spark.plans import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -33,9 +34,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["daily_revenue"].fn(spark, SMOKE_SF_DIR)
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the previous query's tracked caches before building the
+    next plan — the driver runs queries sequentially, so any cache
+    registered by an earlier query has already been materialized and
+    consumed by the time the next one is requested."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: rq.fn for name, rq in REGISTRY.items()}
+    return {name: _released(rq.fn) for name, rq in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -34,11 +34,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from streaming_ecom_analytics_spark.caching import release_tracked
+
     timings: dict[str, float] = {}
     for name, rq in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_tracked()  # caches don't accumulate across queries
 
     total = round(sum(timings.values()), 3)
     print(

@@ -63,7 +63,17 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         spdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
-            print(f"  {name:40s} rows-only: {len(spdf)} rows")
+            # the real driver canonicalizes rows-only outputs with a raw
+            # pandas sort_values — run the same so unhashable shapes
+            # (e.g. array columns) fail HERE, not in the round driver
+            try:
+                spdf[sorted(spdf.columns)].sort_values(by=sorted(spdf.columns))
+                h = value_hash(spdf)
+            except TypeError as e:
+                print(f"  {name:40s} ROWS-ONLY CANON FAILED: {e}")
+                failures.append(name)
+                continue
+            print(f"  {name:40s} rows-only: {len(spdf)} rows hash={h}")
             continue
         opdf = con.sql(oracles[name]).df()
         scols, ocols = sorted(spdf.columns), sorted(opdf.columns)

@@ -43,16 +43,29 @@ def _nano_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
     path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
     # Day-grain truncation and date casts are wall-clock-relative: pin
     # UTC even when the caller's session was built elsewhere, so results
     # match the (UTC-naive) DuckDB oracle under any host timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Deliberately done at read time, not session construction: the
+    # round driver hands us ITS session, which we cannot configure up
+    # front. Guarded to be idempotent so repeated reads don't churn the
+    # session conf (each .set invalidates cached plan fragments).
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     nano_cols = _nano_timestamp_cols(path)
     if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from streaming_ecom_analytics_spark.caching import persist_tracked
+
 
 def exact_dedup(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group by content hash; keep the smallest id as representative.
@@ -97,7 +99,7 @@ def jaccard_pairs(
     branch (exchange reuse can't cover it — each branch repartitions
     differently).
     """
-    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k).persist()
+    sh = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -168,9 +170,10 @@ def minhash_lsh_pairs(
     engine-comparable; LSH only prunes the search space.
     """
     rows_per_band = num_perm // bands
-    # persisted: feeds the signature aggregation AND the exact-verify
-    # branches (sizes + both intersection sides)
-    sh = shingles(docs, text_col=text_col, id_col=id_col, k=k).persist()
+    # persisted (tracked — see caching.py): feeds the signature
+    # aggregation AND the exact-verify branches (sizes + both
+    # intersection sides)
+    sh = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
     sig = minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(

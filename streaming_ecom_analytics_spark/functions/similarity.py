@@ -177,12 +177,16 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
     v = F.col(vec_col).cast("array<double>")
-    # cached: Lloyd's iterations rescan the features maxIter times, and
-    # the transform scans once more
-    feat = embeddings.select(
-        F.col(id_col), v.alias("arr"), array_to_vector(v).alias("features")
-    ).persist()
+    # cached (tracked — see caching.py): Lloyd's iterations rescan the
+    # features maxIter times, and the transform scans once more
+    feat = persist_tracked(
+        embeddings.select(
+            F.col(id_col), v.alias("arr"), array_to_vector(v).alias("features")
+        )
+    )
     model = KMeans(k=n_lists, seed=seed, maxIter=5, tol=1e-3).fit(feat)
     corpus = model.transform(feat).select(
         F.col(id_col).alias("neighbor_id"),
@@ -228,83 +232,169 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    broadcast_limit: int = 2_000_000,
+    method: str = "auto",
+    n_blocks: int = 16,
+    n_bands: int = 24,
+    band_bits: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
 
-    Two-phase plan:
-    1. *Prefilter* — the corpus (when under ``broadcast_limit`` rows) is
-       collected into one L2-normalized float64 matrix, broadcast, and
-       each partition computes its block's Gram product against it in
-       BLAS (mapInPandas). Pairs scoring ≥ threshold−1e-6 become
-       candidates: the 1e-6 margin dwarfs the ~1e-15 difference between
-       BLAS summation order and a sequential fold, so recall is exact.
-    2. *Verify* — candidates (a tiny set) join back to the vectors and
-       are re-scored with the sequential-fold expression, so the output
-       bits match the naive definition (and the DuckDB oracle) exactly.
+    Candidate generation (method):
+    - ``"lsh"`` — banded sign-bit LSH (SimHash over random hyperplanes):
+      each vector gets n_bands band hashes of band_bits sign bits; a
+      pair is a candidate iff some band collides. The 100 TB path:
+      candidate generation is a bucketed equi-join, linear-ish in
+      corpus size. Recall for a true pair at cos=t is
+      1-(1-p^band_bits)^n_bands with p = 1-arccos(t)/π; the defaults
+      (24×8) give a ~5e-13 miss rate at t=0.99 and ~2e-6 at t=0.95.
+    - ``"block"`` — distributed exact block-Gram prefilter: vectors are
+      hashed into n_blocks blocks, every block PAIR (n_blocks(n_blocks+1)/2
+      of them) is scored as one BLAS matrix product, and pairs scoring
+      ≥ threshold−1e-6 become candidates. Exact at any threshold —
+      inherently quadratic in blocks, which is the cost of an exact
+      all-pairs answer; use it for small/medium corpora or low
+      thresholds where sign-LSH banding loses selectivity.
+    - ``"auto"`` — "lsh" when threshold ≥ 0.95 (the near-dup regime the
+      operator is named for), else "block".
 
-    Above the broadcast limit, fall back to the exact quadratic join —
-    at that scale use minhash/simhash/LSH blocking instead (this
-    operator is the within-candidate-set verifier in those pipelines).
+    Either way, candidates are then *verified*: joined back to the
+    vectors and re-scored with the sequential-fold double expression,
+    so output bits match the naive definition (and the DuckDB oracle)
+    exactly. Nothing is ever collected to the driver and no row-level
+    crossJoin exists in any path.
     """
-    n_rows = embeddings.count()
-    if n_rows <= broadcast_limit:
-        return _near_dups_gram_prefiltered(
-            embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold
+    if method == "auto":
+        method = "lsh" if threshold >= 0.95 else "block"
+    if method == "lsh":
+        cand = _near_dup_candidates_lsh(
+            embeddings, id_col=id_col, vec_col=vec_col,
+            n_bands=n_bands, band_bits=band_bits, seed=seed,
         )
-    # Per-vector norms precomputed before the quadratic join (see
-    # cosine_topk) — the per-pair work is a single dot fold.
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("na"),
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    elif method == "block":
+        cand = _near_dup_candidates_block(
+            embeddings, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, n_blocks=n_blocks,
+        )
+    else:
+        raise ValueError(f"method must be 'auto', 'lsh' or 'block', not {method!r}")
+    return _verify_pairs_exact(
+        embeddings, cand, id_col=id_col, vec_col=vec_col, threshold=threshold
     )
 
 
-def _near_dups_gram_prefiltered(
-    embeddings: DataFrame, *, id_col: str, vec_col: str, threshold: float
+def _near_dup_candidates_block(
+    embeddings: DataFrame, *, id_col: str, vec_col: str, threshold: float,
+    n_blocks: int,
 ) -> DataFrame:
-    """BLAS prefilter + exact-fold verify (see embedding_near_dup_pairs)."""
+    """Exact candidate pairs via distributed block-pair BLAS Gram.
+
+    One shuffle packs each hash block into (ids, vecs) arrays; the
+    block-pair join replicates each block n_blocks times (the inherent
+    (N/B)² data amplification of exact all-pairs — tune n_blocks so a
+    block pair fits an executor); each pair row is scored as a single
+    float64 matrix product. The 1e-6 margin dwarfs the ~1e-15 BLAS-vs-
+    sequential-fold summation difference, so recall is exact.
+    """
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
-    pdf = embeddings.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, matn))
+    blocks = (
+        embeddings.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("bid"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .groupBy("bid")
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs"))
+    )
+    a = blocks.select(
+        F.col("bid").alias("bid_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = blocks.select(
+        F.col("bid").alias("bid_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
     margin = 1e-6
 
-    def candidates(batches):
-        all_ids, all_mat = bc.value
-        for block in batches:
-            if not len(block):
-                continue
-            bids = block[id_col].to_numpy(dtype=np.int64)
-            bmat = np.stack([np.asarray(v, dtype=np.float64) for v in block[vec_col]])
-            bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = bmat @ all_mat.T
-            ia, ib = np.nonzero(sims >= threshold - margin)
-            lo, hi = bids[ia], all_ids[ib]
-            keep = lo < hi
-            yield pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+    def score(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                mb = np.stack([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = ma @ mb.T
+                ia, ib = np.nonzero(sims >= threshold - margin)
+                lo, hi = ids_a[ia], ids_b[ib]
+                if row.bid_a == row.bid_b:
+                    # diagonal block pair: sims holds BOTH (i,j) and
+                    # (j,i) plus the self diagonal — keep the strict
+                    # upper triangle by id
+                    keep = lo < hi
+                else:
+                    # off-diagonal: each unordered pair appears exactly
+                    # once (ids are globally unique, so lo != hi always)
+                    # — keep all, normalize orientation below
+                    keep = lo != hi
+                yield pd.DataFrame(
+                    {"id_a": np.minimum(lo, hi)[keep], "id_b": np.maximum(lo, hi)[keep]}
+                )
 
-    cand = embeddings.select(id_col, vec_col).mapInPandas(
-        candidates, schema="id_a long, id_b long"
+    return pairs.mapInPandas(score, schema="id_a long, id_b long")
+
+
+def _near_dup_candidates_lsh(
+    embeddings: DataFrame, *, id_col: str, vec_col: str,
+    n_bands: int, band_bits: int, seed: int,
+) -> DataFrame:
+    """Candidate pairs via banded sign-bit LSH (bucketed equi-join)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+    weights = (1 << np.arange(band_bits, dtype=np.uint64)).astype(np.uint64)
+
+    def band_hashes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (mat @ planes.T >= 0).astype(np.uint64)  # (n, bands*bits)
+            hashes = bits.reshape(len(ids), n_bands, band_bits) @ weights  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "band_id": np.tile(np.arange(n_bands, dtype=np.int32), len(ids)),
+                    "band_hash": hashes.astype(np.int64).ravel(),
+                }
+            )
+
+    stacked = embeddings.select(id_col, vec_col).mapInPandas(
+        band_hashes, schema="id long, band_id int, band_hash long"
     )
+    a = stacked.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+    b = stacked.select(F.col("id").alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _verify_pairs_exact(
+    embeddings: DataFrame, cand: DataFrame, *, id_col: str, vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Re-score candidate pairs with the sequential-fold expression —
+    output bits match the naive all-pairs definition exactly. The
+    candidate set is output-sized (plus margin noise), hence broadcast."""
     a = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),

@@ -49,15 +49,23 @@ def doc_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
     # Counts cast to long: Spark size()/length() return int32 while other
     # engines (the DuckDB oracle included) produce int64 for the same ops.
+    # try_divide, not `/`: under Spark 4's default ANSI mode a zero
+    # denominator (empty/whitespace-only document) would throw
+    # DIVIDE_BY_ZERO and kill the whole job; NULL ratios are the
+    # defined, engine-portable answer (oracles use nullif(denom, 0)).
     return docs.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        (F.length(F.col(text_col)).cast("double") / n_tokens).alias("avg_token_len"),
+        F.try_divide(F.length(F.col(text_col)).cast("double"), n_tokens).alias(
+            "avg_token_len"
+        ),
         n_stop.cast("long").alias("n_stopwords"),
-        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        F.try_divide(n_stop.cast("double"), n_tokens).alias("stopword_ratio"),
         n_punct.cast("long").alias("n_punct"),
-        (n_punct.cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),
+        F.try_divide(n_punct.cast("double"), F.length(F.col(text_col))).alias(
+            "punct_ratio"
+        ),
     )
 
 
@@ -67,8 +75,15 @@ def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc
     Pure column arithmetic — identical IEEE results on any engine."""
     stats = doc_stats(docs, text_col=text_col, id_col=id_col)
     len_score = F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
-    stop_score = F.least(F.col("stopword_ratio") * 10.0, F.lit(1.0))
-    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    # stopword_ratio is NULL only when the text is empty after trim (the
+    # tokenizer yields [''], so the denominator is never 0 — but keep the
+    # coalesce symmetric with punct_ratio); punct_ratio is NULL for
+    # empty text: treat both as 0 so quality stays defined (and avoid
+    # relying on greatest()'s engine-specific NULL handling).
+    stop_score = F.least(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * 10.0, F.lit(1.0))
+    punct_penalty = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.coalesce(F.col("punct_ratio"), F.lit(0.0)) * 5.0
+    )
     return stats.select(
         id_col,
         "n_tokens",
@@ -89,11 +104,15 @@ def token_counts(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_
     codegen'd regexp counts (no tokenizer dependency, no UDF)."""
     ws = F.size(_tokens(text_col)).cast("long")
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
+    # try_divide: bpe is 0 on empty/whitespace-only text; ANSI `/` would
+    # throw DIVIDE_BY_ZERO, NULL is the portable answer.
     return docs.select(
         F.col(id_col),
         ws.alias("ws_tokens"),
         bpe.alias("bpe_ish_tokens"),
-        (F.length(F.col(text_col)).cast("double") / bpe).alias("chars_per_token"),
+        F.try_divide(F.length(F.col(text_col)).cast("double"), bpe).alias(
+            "chars_per_token"
+        ),
     )
 
 
@@ -114,21 +133,31 @@ def language_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
     per row. Deterministic ties resolve alphabetically.
     """
     markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
+    langs = sorted(markers)
 
     def score_batches(batches):
         for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
             toks = pdf[text_col].fillna("").str.lower().str.split()
-            out = []
-            for doc_id, words in zip(pdf[id_col], toks):
-                n = max(len(words), 1)
-                best_lang, best = "und", 0.0
-                for lang in sorted(markers):
-                    hits = sum(1 for w in words if w in markers[lang])
-                    rate = hits / n
-                    if rate > best:
-                        best_lang, best = lang, rate
-                out.append((doc_id, best_lang, round(best, 6)))
-            yield pd.DataFrame(out, columns=["doc_id", "lang_pred", "lang_confidence"])
+            n = toks.str.len().clip(lower=1).astype("float64")
+            # one explode, then a vectorized isin + group-sum per
+            # language — no per-word Python loop
+            ex = toks.explode()
+            rates = pd.DataFrame(index=pdf.index)
+            for lang in langs:
+                hits = ex.isin(markers[lang]).groupby(level=0).sum()
+                rates[lang] = hits.reindex(pdf.index, fill_value=0) / n
+            best = rates.max(axis=1)
+            # idxmax picks the FIRST max column: columns are in sorted
+            # lang order, matching the scalar loop's alphabetical ties
+            pred = rates.idxmax(axis=1).where(best > 0, "und")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "lang_pred": pred,
+                    "lang_confidence": best.round(6),
+                }
+            )
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         score_batches, schema=_LANG_RESULT_SCHEMA
@@ -188,3 +217,25 @@ def winnow_fingerprint(
             yield pd.DataFrame(out, columns=["doc_id", "fingerprint"])
 
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(fp_batches, schema=_FP_SCHEMA)
+
+
+def winnow_fingerprint_rows(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """``winnow_fingerprint`` in exploded relational form: one row per
+    selected hash, (doc_id, pos, fp_hash) with pos = the hash's ordinal
+    in the document's fingerprint sequence.
+
+    This is the join-friendly shape — fingerprint-overlap between two
+    corpora is a plain equi-join on fp_hash — and the shape external
+    tools (and the driver's row canonicalizer) can sort and hash; the
+    array form above is the compact library API."""
+    fp = winnow_fingerprint(docs, text_col=text_col, id_col=id_col, k=k, window=window)
+    return fp.select(
+        F.col("doc_id"), F.posexplode("fingerprint").alias("pos", "fp_hash")
+    )

@@ -63,9 +63,18 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
 
+    # Tiebreak: among right rows sharing (key, ts), order additionally
+    # by the value columns (then __r_ts) so last() picks the same row
+    # under any partitioning/run — greatest value tuple wins. Without
+    # this, equal-(key, ts) right rows made the pick nondeterministic.
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").asc(),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols],
+            F.col("__r_ts").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

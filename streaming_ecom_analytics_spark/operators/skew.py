@@ -34,10 +34,15 @@ def salted_count_distinct(
     counts (correct because the salt is derived from x itself: equal
     values always land in the same salt bucket, so per-salt distinct
     sets are disjoint).
+
+    NULLs in ``distinct_col`` are filtered first: COUNT(DISTINCT x)
+    ignores NULL, and without the filter the NULL row would survive the
+    distinct (xxhash64(NULL) yields the seed) and be counted.
     """
     salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).alias("__salt")
     stage1 = (
-        df.select(*group_cols, F.col(distinct_col), salt)
+        df.where(F.col(distinct_col).isNotNull())
+        .select(*group_cols, F.col(distinct_col), salt)
         .distinct()
         .groupBy(*group_cols, "__salt")
         .agg(F.count("*").alias("__partial"))
@@ -61,7 +66,19 @@ def salted_join(
     monotonically increasing id is overkill — a per-row pmod of a
     cheap hash over all big columns suffices); small rows are exploded
     to every salt. The join key becomes (key, salt).
+
+    Only join types where each output row is driven by exactly one big
+    row are supported: right/full outer would emit every unmatched
+    small row once PER SALT (n_salts duplicates), since the small side
+    is exploded before the join.
     """
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join supports {sorted(supported)} only, not {how!r}: "
+            "the exploded small side would duplicate unmatched rows "
+            "n_salts times under right/full outer joins"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -174,7 +174,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)
              / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
            CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-             / length(text) AS punct_ratio
+             / nullif(length(text), 0) AS punct_ratio
     FROM documents
     """,
 )
@@ -194,13 +194,14 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   x -> x IN ({_STOP_SQL}))) AS DOUBLE)
                / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
              CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-               / length(text) AS punct_ratio
+               / nullif(length(text), 0) AS punct_ratio
       FROM documents
     )
     SELECT doc_id, n_tokens,
            ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                 + least(stopword_ratio * 10.0, 1.0) * 0.4
-                 + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2, 6) AS quality_score
+                 + least(coalesce(stopword_ratio, 0.0) * 10.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - coalesce(punct_ratio, 0.0) * 5.0) * 0.2, 6)
+             AS quality_score
     FROM s
     """,
 )
@@ -217,7 +218,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
              AS bpe_ish_tokens,
            CAST(length(text) AS DOUBLE)
-             / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+             / nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 0)
              AS chars_per_token
     FROM documents
     """,
@@ -236,14 +237,15 @@ _CURATED_ORACLE = f"""
                                   x -> x IN ({{stops}}))) AS DOUBLE)
                / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
              CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-               / length(text) AS punct_ratio
+               / nullif(length(text), 0) AS punct_ratio
       FROM documents
     ),
     q AS (
       SELECT doc_id,
              ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                   + least(stopword_ratio * 10.0, 1.0) * 0.4
-                   + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2, 6) AS quality_score
+                   + least(coalesce(stopword_ratio, 0.0) * 10.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - coalesce(punct_ratio, 0.0) * 5.0) * 0.2, 6)
+               AS quality_score
       FROM s
     ),
     kept0 AS (
@@ -342,6 +344,8 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_fingerprint", None)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (engine-specific hashes →
-    rows-only; overlap semantics unit-tested)."""
-    return text.winnow_fingerprint(catalog.documents(spark, sf_dir))
+    """Winnowing rolling-hash fingerprints in exploded (doc_id, pos,
+    fp_hash) form — scalar columns only, so rows-only canonicalization
+    (sort + hash) works. Hashes themselves are engine-specific → no SQL
+    oracle; overlap semantics are unit-tested."""
+    return text.winnow_fingerprint_rows(catalog.documents(spark, sf_dir))

@@ -381,11 +381,54 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("funnel_conversions", None)
+# The ordered-funnel machine as SQL: one recursive-CTE round per
+# conversion — v = first view strictly after the previous completion,
+# c = first click strictly after v, p = first purchase strictly after
+# c. The CAST(ts AS TIMESTAMP) truncates DuckDB's nanosecond parquet
+# timestamps to the same microseconds Spark reads.
+_FUNNEL_ORACLE = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    conv AS (
+      SELECT user_id, CAST(NULL AS TIMESTAMP) AS started_at,
+             TIMESTAMP '1970-01-01 00:00:00' AS completed_at, 0 AS n
+      FROM (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view') u
+      UNION ALL
+      SELECT user_id, v AS started_at, p AS completed_at, n + 1 AS n
+      FROM (
+        SELECT t.user_id, t.n, t.v,
+               (SELECT min(e.ts) FROM ev e
+                WHERE e.user_id = t.user_id AND e.event_type = 'purchase' AND e.ts > t.c) AS p
+        FROM (
+          SELECT s.user_id, s.n, s.v,
+                 (SELECT min(e.ts) FROM ev e
+                  WHERE e.user_id = s.user_id AND e.event_type = 'click' AND e.ts > s.v) AS c
+          FROM (
+            SELECT conv.user_id, conv.n,
+                   (SELECT min(e.ts) FROM ev e
+                    WHERE e.user_id = conv.user_id AND e.event_type = 'view'
+                      AND e.ts > conv.completed_at) AS v
+            FROM conv
+          ) s WHERE s.v IS NOT NULL
+        ) t WHERE t.c IS NOT NULL
+      ) WHERE p IS NOT NULL
+    )
+    SELECT user_id, started_at, completed_at,
+           CAST(date_diff('microsecond', started_at, completed_at) AS DOUBLE)
+             / 1000000.0 AS seconds_to_convert
+    FROM conv WHERE n > 0
+"""
+
+
+@register("funnel_conversions", _FUNNEL_ORACLE, headline=True)
 def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase conversions per user (the stateful
-    streaming operator's batch twin; stage machine not SQL-expressible
-    → rows-only, semantics unit-tested in test_stateful.py)."""
+    """Ordered view→click→purchase conversions per user — the stateful
+    streaming operator's batch twin (streaming/stateful.py). The strict
+    greedy machine is deterministic under timestamp ties, so it gets a
+    full DuckDB oracle: a recursive CTE that replays one conversion per
+    round."""
     from streaming_ecom_analytics_spark.streaming.stateful import (
         funnel_conversions_batch,
     )

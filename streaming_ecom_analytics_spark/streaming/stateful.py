@@ -7,12 +7,21 @@ funnel tracker ("view → cart → purchase, in that order, millisecond
 latency" is the reference README's aspiration, README.md:5) as
 arbitrary per-key state over a stream.
 
+Semantics (strict, tie-robust): a conversion is the greedy sequential
+match v < c < p with v = the earliest stage-0 event strictly after the
+previous conversion's completion, c = the earliest stage-1 event
+strictly after v, and p = the earliest stage-2 event strictly after c.
+Strict inequalities make the result independent of how equal-timestamp
+events are ordered, so the operator is deterministic under any
+partitioning — and expressible as a recursive SQL oracle (the
+registered batch query is hash-checked against a DuckDB recursive CTE).
+
 Design:
 - keyed by user; state = (furthest funnel stage reached, its event
   time, first-seen time);
-- an event advances the state only if it is the NEXT stage in order —
-  out-of-order arrivals within a user are handled by event-time
-  comparison, not arrival order;
+- the replay is vectorized: per (user, stage) sorted timestamp arrays
+  + numpy searchsorted per machine step — O(conversions · log n) per
+  user, no per-event Python loop;
 - completed funnels emit one row (user, started_at, completed_at,
   seconds_to_convert) and reset — the operator's output stream is the
   conversion log;
@@ -20,15 +29,17 @@ Design:
   than ``timeout_minutes`` are evicted (emitting nothing), which is
   what keeps 100 TB of users from accumulating state forever.
 
-The same function doubles as a batch operator via
+The same machine doubles as a batch operator via
 ``groupBy(user).applyInPandas`` (no state, whole history per group) —
-used by the batch parity test and the registry's rows-only query.
+used by the batch parity test and the registry's oracle-checked query.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -47,23 +58,45 @@ _STATE_SCHEMA = "stage INT, stage_ts BIGINT, started BIGINT"
 
 
 def _advance(events: pd.DataFrame, stage: int, stage_ts: int, started: int, stages):
-    """Replay events (event-time order) through the stage machine.
+    """Advance the strict greedy stage machine over a batch of events.
 
     Times are integer epoch-MICROseconds throughout — float seconds
     round-trip with sub-microsecond noise that Arrow then (rightly)
     refuses to cast back into a timestamp[us] column.
+
+    Vectorized: one sorted int64 array per stage, each machine step a
+    numpy searchsorted (first event of the wanted stage strictly after
+    the current stage's timestamp). Equivalent to an event-at-a-time
+    replay in timestamp order, but O(conversions · log n) instead of
+    O(n) Python-loop iterations.
     """
+    # normalize to ns first: the series unit varies by Arrow/pandas version
+    ts_us = events["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+    et = events["event_type"].to_numpy()
+    by_stage = [np.sort(ts_us[et == s]) for s in stages]
     conversions = []
-    ev = events.sort_values("ts")
-    for ts, etype in zip(ev["ts"], ev["event_type"]):
-        ts_us = ts.value // 1000  # pandas Timestamp ns → us
-        if etype == stages[0] and stage == 0:
-            stage, stage_ts, started = 1, ts_us, ts_us
-        elif stage > 0 and etype == stages[min(stage, len(stages) - 1)] and ts_us >= stage_ts:
-            stage, stage_ts = stage + 1, ts_us
-            if stage == len(stages):
-                conversions.append((started, ts_us, (ts_us - started) / 1_000_000.0))
-                stage, stage_ts, started = 0, 0, 0
+    n_stages = len(stages)
+    while True:
+        if stage == 0:
+            views = by_stage[0]
+            i = int(np.searchsorted(views, stage_ts, side="right"))
+            if i >= len(views):
+                break
+            started = stage_ts = int(views[i])
+            stage = 1
+        stalled = False
+        while 0 < stage < n_stages:
+            arr = by_stage[stage]
+            j = int(np.searchsorted(arr, stage_ts, side="right"))
+            if j >= len(arr):
+                stalled = True
+                break
+            stage_ts = int(arr[j])
+            stage += 1
+        if stalled:
+            break
+        conversions.append((started, stage_ts, (stage_ts - started) / 1_000_000.0))
+        stage = 0  # stage_ts keeps the purchase ts: next view must be later
     return conversions, stage, stage_ts, started
 
 
@@ -102,7 +135,7 @@ def funnel_conversions_stateful(
                 }
             )
 
-    renamed = events.selectExpr(
+    renamed = events.filter(F.col("event_type").isin(list(stages))).selectExpr(
         f"{user_col} AS user_id", f"{ts_col} AS ts", "event_type"
     )
     return renamed.groupBy("user_id").applyInPandasWithState(
@@ -121,8 +154,12 @@ def funnel_conversions_batch(
     ts_col: str = "ts",
     stages: tuple[str, ...] = FUNNEL_STAGES,
 ) -> DataFrame:
-    """Batch twin of the stateful tracker: same stage machine replayed
-    over each user's full history via applyInPandas."""
+    """Batch twin of the stateful tracker: same strict stage machine
+    replayed over each user's full history via applyInPandas.
+
+    Non-stage events are filtered BEFORE the groupBy shuffle (the
+    machine ignores them anyway), so only funnel-relevant rows move.
+    """
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
         convs, *_ = _advance(pdf, 0, 0, 0, stages)
@@ -139,7 +176,7 @@ def funnel_conversions_batch(
             }
         )
 
-    renamed = events.selectExpr(
+    renamed = events.filter(F.col("event_type").isin(list(stages))).selectExpr(
         f"{user_col} AS user_id", f"{ts_col} AS ts", "event_type"
     )
     return renamed.groupBy("user_id").applyInPandas(

@@ -29,6 +29,17 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Operators register persisted intermediates (see caching.py);
+    release them after every test so the shared session never
+    accumulates cached RDDs across the suite."""
+    yield
+    from streaming_ecom_analytics_spark.caching import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()

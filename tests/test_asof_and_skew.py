@@ -82,6 +82,47 @@ def test_salted_count_distinct_matches_plain(spark, events):
     )
 
 
+def test_salted_count_distinct_ignores_nulls(spark):
+    """COUNT(DISTINCT x) ignores NULLs — the salted plan must too."""
+    rows = [("a", 1), ("a", 2), ("a", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    plain = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("x").alias("n")).collect()
+    }
+    salted = {
+        r.g: r.n_distinct
+        for r in salted_count_distinct(
+            df, group_cols=["g"], distinct_col="x", n_salts=4
+        ).collect()
+    }
+    assert plain == {"a": 2, "b": 0}
+    # groupBy drops the all-NULL group entirely in the salted plan
+    # (no surviving rows), which agrees with COUNT DISTINCT = 0 rows
+    assert salted == {"a": 2}
+
+
+def test_salted_join_rejects_outer(spark):
+    big = spark.createDataFrame([(1, "x")], "k long, payload string")
+    small = spark.createDataFrame([(1, "a")], "k long, tag string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, on="k", how=how)
+
+
+def test_asof_join_tie_deterministic(spark):
+    """Multiple right rows at the same (key, ts): the greatest value
+    tuple must win, under any partitioning."""
+    left = spark.createDataFrame([(1, _t(5))], "user_id long, ts timestamp")
+    right_rows = [(1, _t(1), v) for v in (30.0, 10.0, 20.0)]
+    for n_parts in (1, 3):
+        right = spark.createDataFrame(
+            right_rows, "user_id long, ts timestamp, value double"
+        ).repartition(n_parts)
+        out = asof_join(left, right, on="user_id", value_cols=("value",)).collect()
+        assert [r.asof_value for r in out] == [30.0]
+
+
 def test_salted_join_matches_plain(spark):
     big = spark.createDataFrame(
         [(i % 3, f"row{i}") for i in range(100)], "k long, payload string"

@@ -37,6 +37,38 @@ def test_embedding_near_dup_pairs(vectors):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_near_dup_methods_agree(spark):
+    """The banded-LSH and block-Gram candidate paths must produce the
+    same verified pairs on planted near-dups — and neither plan may
+    collect the corpus to the driver (no toPandas/collect in either)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((5, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.standard_normal(32) * 1e-3]))
+    rows += [(100 + i, [float(x) for x in rng.standard_normal(32)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    expected = {(2 * i, 2 * i + 1) for i in range(5)}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.99, method="lsh"
+        ).collect()
+    }
+    block = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.99, method="block", n_blocks=4
+        ).collect()
+    }
+    assert lsh == expected
+    assert block == expected
+
+
 def test_ivf_topk_recall(spark):
     """IVF with n_probe=4/16 lists must recover most of the brute-force
     top-5 on real embeddings (and always find a planted near-dup)."""

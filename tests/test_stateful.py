@@ -50,6 +50,29 @@ def test_batch_funnel_semantics(spark):
     assert {r.seconds_to_convert for r in by_user[3]} == {120.0}
 
 
+def test_batch_funnel_strict_ordering(spark):
+    """Strict semantics: a stage at the SAME timestamp as the previous
+    one does not advance the funnel (tie-robust determinism), and after
+    a completed conversion the next view must be strictly later."""
+    rows = [
+        # same-ts cart cannot follow the view → no conversion
+        (1, _t(0), 10, "view", 0.0, "{}"),
+        (2, _t(0), 10, "cart", 0.0, "{}"),
+        (3, _t(1), 10, "purchase", 0.0, "{}"),
+        # clean conversion, then a view at the purchase ts → ignored
+        (4, _t(0), 11, "view", 0.0, "{}"),
+        (5, _t(1), 11, "cart", 0.0, "{}"),
+        (6, _t(2), 11, "purchase", 0.0, "{}"),
+        (7, _t(2), 11, "view", 0.0, "{}"),
+        (8, _t(3), 11, "cart", 0.0, "{}"),
+        (9, _t(4), 11, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = stateful.funnel_conversions_batch(df).collect()
+    got = [(r.user_id, r.seconds_to_convert) for r in out]
+    assert got == [(11, 120.0)]  # user 10: none; user 11: exactly one
+
+
 def test_streaming_funnel_with_cross_batch_state(spark, tmp_path):
     """user 1's stages split across micro-batches — state must carry."""
     d = tmp_path / "ev"

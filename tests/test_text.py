@@ -48,6 +48,40 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= out[2] < out[1] <= 1.0
 
 
+def test_empty_and_whitespace_docs_dont_crash(spark):
+    """Spark 4 ANSI mode: zero denominators (empty / whitespace-only
+    text) must yield NULL ratios, not a DIVIDE_BY_ZERO job kill."""
+    rows = [(1, ""), (2, "   "), (3, "normal text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats = {r.doc_id: r for r in text.doc_stats(df).collect()}
+    assert stats[1].punct_ratio is None  # length 0 → NULL
+    assert stats[2].n_punct == 0 and stats[2].punct_ratio == 0.0
+    assert stats[3].punct_ratio == 0.0
+
+    toks = {r.doc_id: r for r in text.token_counts(df).collect()}
+    assert toks[1].bpe_ish_tokens == 0 and toks[1].chars_per_token is None
+    assert toks[2].chars_per_token is None  # whitespace-only → 0 bpe tokens
+    assert toks[3].chars_per_token is not None
+
+    quality = {r.doc_id: r.quality_score for r in text.quality_score(df).collect()}
+    assert all(q is not None and 0.0 <= q <= 1.0 for q in quality.values())
+    assert quality[3] > quality[1]
+
+
+def test_winnow_fingerprint_rows_shape(spark):
+    """Exploded form must enumerate exactly the array form's hashes,
+    in order, with scalar-only columns (driver-canonicalizable)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    arr = text.winnow_fingerprint(df).collect()[0].fingerprint
+    rows = text.winnow_fingerprint_rows(df).orderBy("pos").collect()
+    assert [r.fp_hash for r in rows] == list(arr)
+    assert [r.pos for r in rows] == list(range(len(arr)))
+
+
 def test_winnow_fingerprint_overlap(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     near = "PREFIX WORDS HERE " + base
