@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streaming_ecom_analytics_spark.caching import persist_tracked
 from streaming_ecom_analytics_spark.functions import dedup, text
 
 
@@ -37,12 +38,11 @@ def curate_documents(
 ) -> DataFrame:
     """Filter + dedup a document corpus; returns surviving rows of
     ``docs`` with a ``quality_score`` column attached."""
-    quality = text.quality_score(docs, text_col=text_col, id_col=id_col).select(
-        id_col, "quality_score"
-    )
-    kept = docs.join(quality, on=id_col).filter(
-        F.col("quality_score") >= min_quality
-    )
+    # quality is an inline projection (quality_score_col), not a join
+    # back to a derived frame — scoring 100 TB must not shuffle it
+    kept = docs.withColumn(
+        "quality_score", text.quality_score_col(text_col)
+    ).filter(F.col("quality_score") >= min_quality)
     if keep_langs is not None:
         lang = text.language_id(kept, text_col=text_col, id_col=id_col).select(
             id_col, "lang_pred"
@@ -54,6 +54,11 @@ def curate_documents(
     # exact dedup: keep the min-id representative of each content hash
     reps = dedup.exact_dedup(kept, text_col=text_col, id_col=id_col).select(id_col)
     kept = kept.join(reps, on=id_col, how="left_semi")
+    # The filtered corpus feeds three downstream branches (shingling,
+    # the verify joins, the final anti-join probe); persist it so the
+    # regex-heavy quality projection and the semi-join run once, not
+    # per branch. Tracked — the host releases it post-materialization.
+    kept = persist_tracked(kept)
 
     # near-dup removal: drop the larger id of each LSH-verified pair
     pairs = dedup.minhash_lsh_pairs(

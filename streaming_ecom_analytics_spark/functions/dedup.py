@@ -64,12 +64,17 @@ def shingles(
     distinct shingles; one collision perturbs one pair's intersection
     count by 1.
     """
+    # Split ONCE in a separate projection: inlining split() into the
+    # transform lambda makes Catalyst re-evaluate it per sequence
+    # element — O(words²) per document, measured 5x slower at sf0.1.
     sh = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    ).select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {k}, 0)),"
-                f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {k})))"
+                f"transform(sequence(0, greatest(size(__words) - {k}, 0)),"
+                f" i -> concat_ws(' ', slice(__words, i + 1, {k})))"
             )
         ).alias("shingle"),
     )

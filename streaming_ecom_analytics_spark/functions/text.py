@@ -69,27 +69,45 @@ def doc_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite [0,1] quality heuristic (Gopher/C4-style signals):
-    length in a sane band, some stopwords present, not punctuation soup.
-    Pure column arithmetic — identical IEEE results on any engine."""
-    stats = doc_stats(docs, text_col=text_col, id_col=id_col)
-    len_score = F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite [0,1] quality heuristic as a single Column
+    expression — usable as an inline ``withColumn`` (no join, no
+    shuffle; curation composes it this way). Pure column arithmetic —
+    identical IEEE results on any engine."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x IN ({stop_list})))"
+    )
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    stopword_ratio = F.try_divide(n_stop.cast("double"), n_tokens)
+    punct_ratio = F.try_divide(
+        n_punct.cast("double"), F.length(F.col(text_col))
+    )
+    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
     # stopword_ratio is NULL only when the text is empty after trim (the
     # tokenizer yields [''], so the denominator is never 0 — but keep the
     # coalesce symmetric with punct_ratio); punct_ratio is NULL for
     # empty text: treat both as 0 so quality stays defined (and avoid
     # relying on greatest()'s engine-specific NULL handling).
-    stop_score = F.least(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * 10.0, F.lit(1.0))
+    stop_score = F.least(F.coalesce(stopword_ratio, F.lit(0.0)) * 10.0, F.lit(1.0))
     punct_penalty = F.greatest(
-        F.lit(0.0), F.lit(1.0) - F.coalesce(F.col("punct_ratio"), F.lit(0.0)) * 5.0
+        F.lit(0.0), F.lit(1.0) - F.coalesce(punct_ratio, F.lit(0.0)) * 5.0
     )
-    return stats.select(
+    return F.round(
+        len_score * 0.4 + stop_score * 0.4 + punct_penalty * 0.2, 6
+    )
+
+
+def quality_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite [0,1] quality heuristic (Gopher/C4-style signals):
+    length in a sane band, some stopwords present, not punctuation soup.
+    One codegen'd projection — see :func:`quality_score_col`."""
+    return docs.select(
         id_col,
-        "n_tokens",
-        F.round((len_score * 0.4 + stop_score * 0.4 + punct_penalty * 0.2), 6).alias(
-            "quality_score"
-        ),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        quality_score_col(text_col).alias("quality_score"),
     )
 
 

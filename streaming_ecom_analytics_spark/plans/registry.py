@@ -300,6 +300,53 @@ def q_event_wire_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_wire_format_avro",
+    """
+    SELECT event_id,
+           date_trunc('millisecond', CAST(ts AS TIMESTAMP)) AS ts_ms,
+           event_type,
+           CASE WHEN event_type = 'error' THEN NULL ELSE props END AS category_code,
+           value AS price,
+           user_id
+    FROM events
+    """,
+)
+def q_event_wire_format_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AVRO twin of the wire contract (reference README.md:81,87 —
+    the processed topic's schema-evolution format): serialize testdata
+    events into the Avro binary record, decode them back, and emit the
+    scalar fields. The oracle is the identity projection (ms-truncated
+    timestamp — the wire format's declared precision), so the hash
+    check proves encode∘decode is lossless, nullable unions included
+    (category_code NULL on 'error' rows, brand all-NULL)."""
+    from streaming_ecom_analytics_spark.sources import avro_wire
+
+    ev = catalog.events(spark, sf_dir)
+    shaped = ev.select(
+        F.col("ts").alias("event_time"),
+        "event_type",
+        F.col("event_id").cast("string").alias("product_id"),
+        F.col("user_id").cast("string").alias("category_id"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("category_code"),
+        F.lit(None).cast("string").alias("brand"),
+        F.col("value").alias("price"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("props").alias("user_session"),
+    )
+    back = avro_wire.parse_events_avro(avro_wire.serialize_events_avro(shaped))
+    return back.select(
+        F.col("product_id").cast("long").alias("event_id"),
+        F.col("event_time").alias("ts_ms"),
+        "event_type",
+        "category_code",
+        "price",
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
 # Populate the registry with the other query families. Imported at module
 # end so their register() calls see the infrastructure above.
 from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401

@@ -98,20 +98,25 @@ def parse_events(
 
 def serialize_events_avro(events: DataFrame, *, key_col: str = "user_id") -> DataFrame:
     """AVRO wire variant of serialize_events (the reference's processed
-    topic uses AVRO for schema evolution, README.md:81,87). Requires the
-    spark-avro package on the classpath — not bundled in this
-    environment, so this raises a clear error until the jar is added
-    (--packages org.apache.spark:spark-avro_2.13:<spark-version>).
-    JSON is the tested wire format; the semantic surface is identical.
+    topic uses AVRO for schema evolution, README.md:81,87). Delegates to
+    :mod:`avro_wire`: JVM ``to_avro`` when the spark-avro jar is on the
+    classpath, spec-conformant Python codec otherwise — runnable either
+    way, same bytes (golden-bytes test in test_avro_wire.py).
     """
-    try:
-        from pyspark.sql.avro.functions import to_avro
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("spark-avro python bindings unavailable") from e
-    cols = [F.col(f) for f in _WIRE_FIELDS if f in events.columns]
-    return events.select(
-        F.col(key_col).cast("string").alias("key"),
-        to_avro(F.struct(*cols)).alias("value"),
+    from streaming_ecom_analytics_spark.sources import avro_wire
+
+    return avro_wire.serialize_events_avro(events, key_col=key_col)
+
+
+def kafka_packages_hint(spark) -> str:
+    """The exact ``--packages`` line that lights up the Kafka + AVRO
+    connectors for this Spark build (Scala 2.13 artifacts, versioned to
+    the running session). The connectors are option bundles on the
+    standard source/sink API, so no engine code changes when added."""
+    v = spark.version
+    return (
+        f"--packages org.apache.spark:spark-sql-kafka-0-10_2.13:{v},"
+        f"org.apache.spark:spark-avro_2.13:{v}"
     )
 
 

@@ -29,9 +29,10 @@ Design:
   than ``timeout_minutes`` are evicted (emitting nothing), which is
   what keeps 100 TB of users from accumulating state forever.
 
-The same machine doubles as a batch operator via
-``groupBy(user).applyInPandas`` (no state, whole history per group) —
-used by the batch parity test and the registry's oracle-checked query.
+The same machine doubles as a batch operator — partition-wise
+``mapInPandas`` over user-sorted partitions (no per-group pandas
+overhead; see funnel_conversions_batch) — used by the batch parity
+test and the registry's oracle-checked query.
 """
 
 from __future__ import annotations
@@ -74,8 +75,13 @@ def _advance(events: pd.DataFrame, stage: int, stage_ts: int, started: int, stag
     ts_us = events["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
     et = events["event_type"].to_numpy()
     by_stage = [np.sort(ts_us[et == s]) for s in stages]
+    return _replay(by_stage, stage, stage_ts, started)
+
+
+def _replay(by_stage: list, stage: int, stage_ts: int, started: int):
+    """The machine core over pre-sorted per-stage timestamp arrays."""
     conversions = []
-    n_stages = len(stages)
+    n_stages = len(by_stage)
     while True:
         if stage == 0:
             views = by_stage[0]
@@ -154,31 +160,77 @@ def funnel_conversions_batch(
     ts_col: str = "ts",
     stages: tuple[str, ...] = FUNNEL_STAGES,
 ) -> DataFrame:
-    """Batch twin of the stateful tracker: same strict stage machine
-    replayed over each user's full history via applyInPandas.
+    """Batch twin of the stateful tracker: same strict stage machine,
+    partition-wise.
 
-    Non-stage events are filtered BEFORE the groupBy shuffle (the
-    machine ignores them anyway), so only funnel-relevant rows move.
+    NOT ``groupBy(user).applyInPandas``: that pays a per-GROUP pandas
+    DataFrame construction (~ms each), which at millions of users is
+    hours of pure overhead. Instead: hash-repartition by user (AQE free
+    to size the shuffle), sort each partition by (user, ts), and run ONE
+    ``mapInPandas`` over whole partitions — per-user slices come from
+    numpy boundary detection on the sorted user column, per-user cost is
+    a few searchsorteds, and Arrow moves data in big batches. Non-stage
+    events are filtered BEFORE the shuffle, so only funnel rows move.
     """
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        convs, *_ = _advance(pdf, 0, 0, 0, stages)
-        if not convs:
-            return pd.DataFrame(
-                columns=["user_id", "started_at", "completed_at", "seconds_to_convert"]
-            )
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "started_at": [pd.Timestamp(s * 1000) for s, _, _ in convs],
-                "completed_at": [pd.Timestamp(c * 1000) for _, c, _ in convs],
-                "seconds_to_convert": [d for _, _, d in convs],
-            }
-        )
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the partition's last user may continue in the next Arrow
+            # batch — hold its rows back until the user is complete
+            uid = pdf["user_id"].to_numpy()
+            cut = int(np.searchsorted(uid, uid[-1], side="left"))
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body):
+                yield _process_sorted(body, stages)
+        if carry is not None and len(carry):
+            yield _process_sorted(carry, stages)
 
-    renamed = events.filter(F.col("event_type").isin(list(stages))).selectExpr(
-        f"{user_col} AS user_id", f"{ts_col} AS ts", "event_type"
+    renamed = (
+        events.filter(F.col("event_type").isin(list(stages)))
+        .selectExpr(f"{user_col} AS user_id", f"{ts_col} AS ts", "event_type")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
     )
-    return renamed.groupBy("user_id").applyInPandas(
-        per_user, schema=CONVERSION_SCHEMA
+    return renamed.mapInPandas(run, schema=CONVERSION_SCHEMA)
+
+
+def _process_sorted(pdf: pd.DataFrame, stages) -> pd.DataFrame:
+    """Run the machine over a (user_id, ts)-sorted frame; one output row
+    per completed conversion."""
+    uid = pdf["user_id"].to_numpy()
+    ts_us = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+    et = pdf["event_type"].to_numpy()
+    stage_idx = {s: i for i, s in enumerate(stages)}
+    si = np.array([stage_idx[e] for e in et], dtype=np.int8)
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    ends = np.r_[starts[1:], len(uid)]
+    out_uid: list[int] = []
+    out_started: list[int] = []
+    out_completed: list[int] = []
+    for s, e in zip(starts, ends):
+        # per-stage slices are already ts-sorted (partition sort order)
+        seg_si, seg_ts = si[s:e], ts_us[s:e]
+        by_stage = [seg_ts[seg_si == k] for k in range(len(stages))]
+        convs, *_ = _replay(by_stage, 0, 0, 0)
+        for st, cp, _ in convs:
+            out_uid.append(int(uid[s]))
+            out_started.append(st)
+            out_completed.append(cp)
+    started_arr = np.array(out_started, dtype="int64")
+    completed_arr = np.array(out_completed, dtype="int64")
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series(out_uid, dtype="int64"),
+            "started_at": pd.Series((started_arr * 1000).astype("datetime64[ns]")),
+            "completed_at": pd.Series((completed_arr * 1000).astype("datetime64[ns]")),
+            "seconds_to_convert": pd.Series(
+                (completed_arr - started_arr) / 1_000_000.0, dtype="float64"
+            ),
+        }
     )
