@@ -333,3 +333,62 @@ def _hash64(s: str) -> int:
 
     b = s.encode()
     return zlib.crc32(b) | (zlib.crc32(b, 0x9E3779B9) << 32)
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop rows of ``new_docs`` whose content
+    already exists in ``reference`` — the incremental-ingestion /
+    snapshot-refresh pass of a training-data pipeline (only NEW data is
+    hashed against the standing corpus, never corpus-vs-corpus).
+
+    One broadcast-or-shuffle left_anti on a 16-byte md5 — the reference
+    side reduces to a distinct hash set, so at 100 TB the join moves
+    16 bytes/doc, never text.
+    """
+    ref = reference.select(F.md5(F.col(text_col)).alias("__content_hash")).distinct()
+    return (
+        new_docs.withColumn("__content_hash", F.md5(F.col(text_col)))
+        .join(ref, on="__content_hash", how="left_anti")
+        .drop("__content_hash")
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    word ``k``-gram with any benchmark document, with the count of
+    distinct overlapping k-grams — the standard n-gram-overlap test-set
+    contamination check run before training.
+
+    Shape: shingle both sides (distinct per doc), reduce the benchmark
+    to a distinct shingle set (tiny relative to the corpus — benchmark
+    suites are MBs, corpora are TBs), equi-join, count per doc. The
+    join key is the shingle string; the benchmark side broadcasts at
+    real scale.
+
+    Output: (doc_id, n_hits) for contaminated docs only — anti-join it
+    back to the corpus to drop them (see plans/extension_queries.py).
+    """
+    c_sh = shingles(corpus, text_col=text_col, id_col=id_col, k=k)
+    b_sh = (
+        shingles(benchmark, text_col=text_col, id_col=id_col, k=k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        c_sh.join(b_sh, on="shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )

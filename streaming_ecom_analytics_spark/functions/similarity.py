@@ -158,12 +158,18 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_fraction: float | None = None,
+    max_train_rows: int = 200_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     + probe-the-nearest-lists exact rerank — the other classic ANN
     scale path beside hyperplane LSH.
 
-    - Train: Spark ML KMeans over the corpus (distributed Lloyd's).
+    - Train: Spark ML KMeans on a deterministic SAMPLE of the corpus
+      (~``max_train_rows`` rows by default — quantizer quality needs
+      ~100-1000 points per centroid, not the whole corpus; fitting
+      Lloyd's on 100 TB of vectors would rescan everything maxIter
+      times for no recall gain).
     - Index: each corpus vector assigned to its nearest centroid's
       list — at scale this is the partitioning/bucketing key, so one
       query touches n_probe/n_lists of the data.
@@ -171,8 +177,8 @@ def ivf_topk(
       broadcast-literal dot products), explodes its n_probe nearest
       list ids, joins corpus lists, exact cosine rerank, window top-k.
 
-    Deterministic via fixed seed. Approximate by design → rows-only
-    check; recall asserted in unit tests.
+    Deterministic via fixed seed (sampling included). Approximate by
+    design → rows-only check; recall asserted in unit tests.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -180,14 +186,18 @@ def ivf_topk(
     from streaming_ecom_analytics_spark.caching import persist_tracked
 
     v = F.col(vec_col).cast("array<double>")
-    # cached (tracked — see caching.py): Lloyd's iterations rescan the
-    # features maxIter times, and the transform scans once more
+    # cached (tracked — see caching.py): the KMeans transform and the
+    # probe join both rescan the assigned corpus
     feat = persist_tracked(
         embeddings.select(
             F.col(id_col), v.alias("arr"), array_to_vector(v).alias("features")
         )
     )
-    model = KMeans(k=n_lists, seed=seed, maxIter=5, tol=1e-3).fit(feat)
+    if train_fraction is None:
+        n_rows = feat.count()  # cheap: materializes the cache we need anyway
+        train_fraction = min(1.0, max_train_rows / max(n_rows, 1))
+    train = feat if train_fraction >= 1.0 else feat.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, maxIter=5, tol=1e-3).fit(train)
     corpus = model.transform(feat).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("arr").alias("nvec"),

@@ -257,3 +257,71 @@ def winnow_fingerprint_rows(
     return fp.select(
         F.col("doc_id"), F.posexplode("fingerprint").alias("pos", "fp_hash")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 56,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap
+    (stride < chunk_tokens) — the sequence-packing / context-window
+    prep step of a training pipeline.
+
+    Pure built-in array ops (split once → transform(sequence) →
+    explode): chunk i covers words [i*stride+1, i*stride+chunk_tokens],
+    i ranges over 0..(n_words-1) div stride, so every word lands in at
+    least one chunk and consecutive chunks overlap by
+    chunk_tokens - stride tokens. No UDF, no shuffle — a projection
+    that scales with the scan.
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    """
+    expr = (
+        f"transform(sequence(0, int((greatest(size(__words), 1) - 1) div {stride})),"
+        f" i -> struct(i AS chunk_id,"
+        f"             concat_ws(' ', slice(__words, i * {stride} + 1, {chunk_tokens})) AS chunk_text,"
+        f"             size(slice(__words, i * {stride} + 1, {chunk_tokens})) AS n_tokens))"
+    )
+    return (
+        docs.select(F.col(id_col), _tokens(text_col).alias("__words"))
+        .select(F.col(id_col), F.explode(F.expr(expr)).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def ngram_doc_frequency(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    top: int = 100,
+) -> DataFrame:
+    """Top-``top`` word k-grams by document frequency — vocabulary /
+    boilerplate mining over a corpus (an n-gram present in a huge share
+    of documents is template noise worth stripping).
+
+    Shingles are distinct-per-doc, so the count IS document frequency.
+    Fully deterministic ordering (count desc, then shingle) makes the
+    cut line engine-portable. The plan is partial-agg → final-agg →
+    TakeOrderedAndProject: the full n-gram distribution is never
+    collected or globally sorted.
+    """
+    from streaming_ecom_analytics_spark.functions.dedup import shingles
+
+    return (
+        shingles(docs, text_col=text_col, id_col=id_col, k=k)
+        .groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(top)
+    )

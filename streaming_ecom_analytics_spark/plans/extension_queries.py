@@ -349,3 +349,112 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort + hash) works. Hashes themselves are engine-specific → no SQL
     oracle; overlap semantics are unit-tested."""
     return text.winnow_fingerprint_rows(catalog.documents(spark, sf_dir))
+
+
+# ---- Cross-corpus & packing operators (training-data pipeline) ----
+# The documents table's `source` column stratifies the corpus: src0
+# plays the benchmark / standing-reference corpus, everything else the
+# incoming corpus.
+
+_DECONTAM_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(list_slice(w, i, i + 3), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+    SELECT c.doc_id, COUNT(*) AS n_hits
+    FROM sh c JOIN bench b ON c.shingle = b.shingle
+    WHERE c.source <> 'src0'
+    GROUP BY c.doc_id
+"""
+
+
+@register("decontaminate_ngrams", _DECONTAM_ORACLE)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 4-gram overlap between the corpus
+    (source != src0) and the benchmark suite (source = src0) — the
+    n-gram contamination check run before training. The benchmark
+    shingle set is distinct-reduced (and broadcastable at real scale)."""
+    docs = catalog.documents(spark, sf_dir)
+    return dedup.contaminated_docs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=4,
+    )
+
+
+@register(
+    "dedup_cross_corpus",
+    """
+    SELECT n.doc_id, n.source
+    FROM documents n
+    WHERE n.source <> 'src0'
+      AND md5(n.text) NOT IN (SELECT md5(text) FROM documents WHERE source = 'src0')
+    """,
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion exact dedup: new docs (source != src0)
+    whose content hash does not already exist in the standing corpus
+    (source = src0). The join moves 16-byte md5 keys, never text."""
+    docs = catalog.documents(spark, sf_dir)
+    return dedup.dedup_against(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    ).select("doc_id", "source")
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    )
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(list_slice(w, i * 56 + 1, i * 56 + 64), ' ') AS chunk_text,
+           len(list_slice(w, i * 56 + 1, i * 56 + 64)) AS n_tokens
+    FROM w, unnest(generate_series(0, (greatest(len(w), 1) - 1) // 56)) AS t(i)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks, stride 56 (8-token
+    overlap) — sequence-packing prep as a pure projection (split once →
+    transform(sequence) → explode; no UDF, no shuffle)."""
+    return text.chunk_documents(
+        catalog.documents(spark, sf_dir), chunk_tokens=64, stride=56
+    )
+
+
+@register(
+    "ngram_doc_frequency",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    )
+    SELECT shingle, COUNT(*) AS doc_freq
+    FROM sh GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle ASC
+    LIMIT 100
+    """,
+)
+def q_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 trigrams by document frequency (vocabulary/boilerplate
+    mining). Deterministic cut line (freq desc, shingle asc); plan is
+    two-phase agg + TakeOrderedAndProject — the distribution is never
+    globally sorted."""
+    return text.ngram_doc_frequency(catalog.documents(spark, sf_dir), k=3, top=100)

@@ -1,0 +1,111 @@
+"""Unit tests for the cross-corpus / packing operators: incremental
+exact dedup, n-gram decontamination, chunking, n-gram doc frequency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.functions import dedup, text
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    reference = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (11, "a completely fresh document with novel words"),
+            (12, "she said the quick brown fox jumps over whatever"),  # 4-gram overlap
+        ],
+        "doc_id long, text string",
+    )
+    return reference, new
+
+
+def test_dedup_against_drops_exact_matches(corpora):
+    reference, new = corpora
+    kept = {r.doc_id for r in dedup.dedup_against(new, reference).collect()}
+    assert kept == {11, 12}
+
+
+def test_dedup_against_keeps_all_columns(corpora):
+    reference, new = corpora
+    out = dedup.dedup_against(new, reference)
+    assert out.columns == new.columns  # no helper column leaks
+
+
+def test_contaminated_docs_counts_overlapping_ngrams(corpora):
+    reference, new = corpora
+    hits = {
+        r.doc_id: r.n_hits
+        for r in dedup.contaminated_docs(new, reference, k=4).collect()
+    }
+    # doc 10 shares every 4-gram of doc 1 (6 of them); doc 12 shares
+    # "the quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps over"; doc 11 shares none
+    assert hits[10] == 6
+    assert hits[12] == 3
+    assert 11 not in hits
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = (
+        text.chunk_documents(df, chunk_tokens=4, stride=3)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # 10 words, stride 3 → chunk starts at words 0,3,6,9 → 4 chunks
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[3].chunk_text == "w9"  # tail chunk, clamped
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 1]
+    # every word appears in at least one chunk
+    covered = {w for r in rows for w in r.chunk_text.split()}
+    assert covered == set(words.split())
+
+
+def test_chunk_documents_single_and_empty(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "")], "doc_id long, text string")
+    rows = text.chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_id = {(r.doc_id, r.chunk_id): r for r in rows}
+    assert by_id[(1, 0)].chunk_text == "solo"
+    assert (2, 0) in by_id  # empty text still yields its (empty) chunk
+
+
+def test_ngram_doc_frequency_orders_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c e"),
+            (3, "a b c d"),  # dup of 1: shingles identical
+            (4, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.ngram_doc_frequency(df, k=3, top=3).collect()
+    assert (rows[0].shingle, rows[0].doc_freq) == ("a b c", 3)
+    # ties broken alphabetically: "b c d" (docs 1,3) before "b c e"
+    assert (rows[1].shingle, rows[1].doc_freq) == ("b c d", 2)
+    assert (rows[2].shingle, rows[2].doc_freq) == ("b c e", 1) or rows[2].doc_freq == 1
+
+
+def test_ivf_sample_fit_deterministic(spark):
+    """ivf_topk with sampling bounds must stay deterministic run-to-run."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import similarity
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    q = emb.filter("vec_id < 3")
+    a = similarity.ivf_topk(emb, q, k=3, n_lists=4, n_probe=2, max_train_rows=500)
+    b = similarity.ivf_topk(emb, q, k=3, n_lists=4, n_probe=2, max_train_rows=500)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
