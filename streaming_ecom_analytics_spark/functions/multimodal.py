@@ -9,11 +9,13 @@ Design for 100 TB of media:
 - Decode / resize / frame-sample run in ``mapInPandas``: one Python
   worker per partition, Arrow batches in, so the expensive step scales
   with executors and keeps the JVM row path untouched.
-- The actual codec work needs PIL/ffmpeg-class libraries that are NOT
-  in this container — ``decode_image`` raises NotImplementedError
-  unless ``fake=True``, which substitutes a deterministic synthetic
-  decode (seeded by content hash) so the full pipeline — schema,
-  partitioning, UDF signatures, batch shapes — is real and tested.
+- PNG and binary PPM/PGM decode for REAL via the pure-numpy codecs in
+  ``functions/imaging.py`` (zlib is stdlib). Formats that need an
+  entropy-codec library (JPEG/WebP/video — PIL/ffmpeg are NOT in this
+  container) raise NotImplementedError unless ``fake=True``, which
+  substitutes a deterministic synthetic decode (seeded by content
+  hash) so the full pipeline — schema, partitioning, UDF signatures,
+  batch shapes — stays testable for those too.
 """
 
 from __future__ import annotations
@@ -60,14 +62,26 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def synthesize_media(spark, n: int = 64, *, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA —
-    fixture generator for tests and pipeline dry-runs."""
+    fixture generator for tests and pipeline dry-runs. Every third row
+    is a REAL PNG and every third+1 a real PPM (exercising the actual
+    codecs); the rest are raw rasters for the fake-decode path."""
+    from streaming_ecom_analytics_spark.functions import imaging
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-        content = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        if i % 3 == 0:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            content, codec = imaging.encode_png(np.asarray(img)), "png"
+        elif i % 3 == 1:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            content, codec = imaging.encode_ppm(np.asarray(img)), "pgm"
+        else:
+            content = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            codec = "fake-raw"
         rows.append(
-            (i, "image", "fake-raw", bytearray(content), (w, h, None, len(content)))
+            (i, "image", codec, bytearray(content), (w, h, None, len(content)))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -84,12 +98,25 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(content: bytes, width: int, height: int, *, fake: bool = False) -> np.ndarray:
-    """Decode one image. Real codecs (PIL/libjpeg) are unavailable in
-    this environment — STUB: only the deterministic fake path exists."""
+    """Decode one image to a uint8 array.
+
+    PNG and binary PPM/PGM decode for REAL (pure numpy/zlib — see
+    functions/imaging.py); formats needing an entropy codec library
+    (JPEG/WebP; PIL/libjpeg not in this container) raise
+    NotImplementedError unless ``fake=True``, which substitutes the
+    deterministic synthetic decoder so pipelines stay testable."""
+    from streaming_ecom_analytics_spark.functions import imaging
+
+    fmt = imaging.sniff_format(bytes(content))
+    if fmt == "png":
+        return imaging.decode_png(bytes(content))
+    if fmt in ("ppm", "pgm"):
+        return imaging.decode_ppm(bytes(content))
     if not fake:
         raise NotImplementedError(
-            "real image decoding requires PIL/libjpeg (not in this container); "
-            "pass fake=True for the deterministic synthetic decoder"
+            "only PNG/PPM/PGM decode without a codec library (PIL/libjpeg "
+            "not in this container); pass fake=True for the deterministic "
+            "synthetic decoder"
         )
     return _fake_decode(content, width, height)
 
@@ -105,21 +132,24 @@ def image_features(
     pixel decode is a stub (see decode_image).
     """
 
+    from streaming_ecom_analytics_spark.functions import imaging
+
     def extract(batches):
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 w, h = row["meta"]["width"], row["meta"]["height"]
                 img = decode_image(bytes(row["content"]), w, h, fake=fake_decode)
+                luma = imaging.to_luma(img)  # (H, W) float64, any channel count
                 # crude box-downsample to a fixed-length feature
-                ys = np.array_split(img.astype(np.float64).ravel(), target_dim)
+                ys = np.array_split(luma.ravel(), target_dim)
                 feat = [float(chunk.mean()) for chunk in ys]
                 out.append(
                     (
                         row["media_id"],
-                        int(w),
-                        int(h),
-                        float(img.mean()),
+                        int(luma.shape[1]),
+                        int(luma.shape[0]),
+                        float(luma.mean()),
                         [np.float32(x) for x in feat],
                     )
                 )

@@ -458,3 +458,27 @@ def q_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase agg + TakeOrderedAndProject — the distribution is never
     globally sorted."""
     return text.ngram_doc_frequency(catalog.documents(spark, sf_dir), k=3, top=100)
+
+
+@register("image_features", None)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode → luma features over mapInPandas. No media
+    table exists in the driver lake, so the input is the deterministic
+    synthesized fixture (PNG and PPM rows decode through the REAL
+    pure-numpy codecs in functions/imaging.py; raw rasters take the
+    seeded fake path). Rows-only: output is deterministic
+    (seed-pinned), no SQL oracle exists for pixel decoding. The
+    array<float> feature column is serialized to JSON for the driver's
+    scalar-only canonicalizer."""
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    feats = multimodal.image_features(
+        multimodal.synthesize_media(spark, n=48), target_dim=8
+    )
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )

@@ -1,0 +1,133 @@
+"""Pure-numpy PNG/PPM codecs: round-trips, spec edge cases, and the
+multimodal pipeline over real (non-fake) decodes."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from streaming_ecom_analytics_spark.functions import imaging, multimodal
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (8, 3, 3), (4, 4, 4)])
+def test_png_roundtrip(shape):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = imaging.decode_png(imaging.encode_png(img))
+    assert back.shape == img.shape
+    assert np.array_equal(back, img)
+
+
+def test_png_all_filter_types_decode():
+    """Build a PNG whose scanlines use filters 0-4 explicitly and check
+    the de-filter math against a straight reconstruction."""
+    w, ch = 4, 1
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(5, w), dtype=np.uint8)
+    stride = w * ch
+    lines = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = cur.copy()
+            enc[ch:] = cur[ch:] - cur[:-ch]
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                enc[x] = (int(cur[x]) - (left + int(prev[x])) // 2) % 256
+        else:
+            enc = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) % 256
+        lines.append(bytes([f]) + enc.tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    png = (
+        imaging.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(imaging.decode_png(png), img)
+
+
+def test_png_rejects_unsupported():
+    img = np.zeros((2, 2), np.uint8)
+    png = bytearray(imaging.encode_png(img))
+    png[24] = 16  # bit depth byte inside IHDR
+    # fix IHDR crc so we hit the depth check, not a crc mismatch
+    with pytest.raises(ValueError, match="bit depth"):
+        imaging.decode_png(bytes(png))
+    with pytest.raises(ValueError, match="signature"):
+        imaging.decode_png(b"JFIF not a png")
+
+
+@pytest.mark.parametrize("shape", [(6, 4), (3, 5, 3)])
+def test_ppm_roundtrip(shape):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = imaging.decode_ppm(imaging.encode_ppm(img))
+    assert np.array_equal(back, img)
+
+
+def test_ppm_header_with_comment():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"P5\n# a comment\n4 3\n255\n" + img.tobytes()
+    assert np.array_equal(imaging.decode_ppm(raw), img)
+
+
+def test_resize_nearest_and_luma():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    small = imaging.resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2)
+    assert np.array_equal(small, img[::2, ::2])
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[..., 1] = 255  # pure green
+    luma = imaging.to_luma(rgb)
+    assert luma.shape == (2, 2)
+    assert abs(luma[0, 0] - 0.587 * 255) < 1e-9
+
+
+def test_decode_image_sniffs_real_formats():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    out = multimodal.decode_image(imaging.encode_png(img), 6, 5)
+    assert np.array_equal(out, img)
+    grey = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    out = multimodal.decode_image(imaging.encode_ppm(grey), 6, 5)
+    assert np.array_equal(out, grey)
+    with pytest.raises(NotImplementedError, match="PNG/PPM"):
+        multimodal.decode_image(b"\xff\xd8\xff JPEG bytes", 2, 2)
+
+
+def test_image_features_over_real_codecs(spark):
+    """The pipeline decodes PNG and PPM rows for real (fake only for
+    raw rasters) and yields stable features."""
+    media = multimodal.synthesize_media(spark, n=12)
+    out = multimodal.image_features(media, target_dim=8).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r.feature) == 8
+        assert 0.0 <= r.mean_luma <= 255.0
+    # determinism across runs
+    out2 = multimodal.image_features(media, target_dim=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -124,3 +124,48 @@ def test_streaming_uses_stateful_agg(spark):
     assert agg.isStreaming
     logical = agg._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" in logical
+
+
+def test_chunking_is_shuffle_free(spark):
+    """doc_chunks is a pure projection chain — any Exchange means the
+    packing pass would reshuffle the whole corpus at scale."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in plan
+    assert "PythonMapInArrow" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_decontamination_pushes_source_filter(spark):
+    """The corpus/benchmark split (source filter) must reach the
+    parquet scan, and no text column may appear in an Exchange's
+    output — only doc_id + shingle keys shuffle."""
+    plan = _plan(spark, "decontaminate_ngrams")
+    assert "PushedFilters" in plan
+    pushed = [seg[:160] for seg in plan.split("PushedFilters")[1:]]
+    assert any("source" in seg for seg in pushed)
+
+
+def test_cross_corpus_dedup_is_anti_join_on_hash(spark):
+    """dedup_cross_corpus anti-joins on the md5 — never the text."""
+    plan = _plan(spark, "dedup_cross_corpus")
+    assert "LeftAnti" in plan
+    anti_segment = plan.split("LeftAnti", 1)[0][-400:] + plan.split("LeftAnti", 1)[1][:400]
+    assert "__content_hash" in anti_segment
+
+
+def test_funnel_is_partitionwise_single_shuffle(spark):
+    """The batch funnel must be ONE hash repartition + in-partition
+    sort + mapInPandas — a per-group applyInPandas (FlatMapGroupsIn*)
+    or a second Exchange is the per-user-overhead regression."""
+    plan = _plan(spark, "funnel_conversions")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan or "MapInArrow" in plan
+    # exactly one Exchange: the user_id repartition
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ngram_frequency_two_phase_topk(spark):
+    """Partial agg before the shuffle, TakeOrderedAndProject at the
+    top — the full n-gram distribution is never globally sorted."""
+    plan = _plan(spark, "ngram_doc_frequency")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
