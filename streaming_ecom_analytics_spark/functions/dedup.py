@@ -204,10 +204,27 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Exact verification on the candidate set only.
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa_sh = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb_sh = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # Exact verification on the candidate set only. The shingle table
+    # is first semi-reduced to candidate docs: candidates are
+    # output-sized while shingles are corpus-sized, so this turns the
+    # two verify joins from corpus-volume shuffles into candidate-only
+    # volume (one semi-join pass over the shingle table instead of
+    # shuffling it fully into both intersection sides plus the size
+    # aggregate). No broadcast hint — candidate-id cardinality is
+    # data-dependent and can exceed driver memory at corpus scale; AQE
+    # converts the semi join to broadcast when the id set is small.
+    # Candidates are persisted: three verify branches reference them
+    # and would otherwise re-run the whole LSH chain each.
+    candidates = persist_tracked(candidates)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, on=id_col, how="left_semi")
+    sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa_sh = sh_cand.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb_sh = sh_cand.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         candidates.join(sa_sh, on="doc_a")
         .join(sb_sh, on=["doc_b", "shingle"])
