@@ -221,7 +221,10 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = sh.join(cand_ids, on=id_col, how="left_semi")
+    # sh_cand has three consumers (sizes + both intersection sides);
+    # uncached, each would re-run the semi join and the candidate-id
+    # distinct shuffle.
+    sh_cand = persist_tracked(sh.join(cand_ids, on=id_col, how="left_semi"))
     sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa_sh = sh_cand.select(F.col(id_col).alias("doc_a"), "shingle")
     sb_sh = sh_cand.select(F.col(id_col).alias("doc_b"), "shingle")
