@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cached plans otherwise compile without AQE (no runtime
+        # partition coalescing or broadcast conversion inside the
+        # cached subtree) — the persist-heavy dedup/curation pipelines
+        # measurably benefit from adaptive cached plans.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
