@@ -412,3 +412,115 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected edge list via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Output: (node, component) for every node appearing in ``edges``,
+    where component is the smallest node id in the node's component.
+
+    Scale posture: each round is one groupBy + one join over the
+    current edge set — no transitive-closure blowup, no driver-side
+    graph. The round count is O(log n) in the worst case (star
+    contraction squares path lengths), so a billion-node dup graph
+    converges in ~30 rounds of linear shuffles. The per-round
+    convergence check is a single count+checksum aggregate; an action
+    per round is inherent to any fixpoint algorithm.
+    """
+    # localCheckpoint (not persist): each round's plan references the
+    # previous round's, so without lineage truncation the logical plan
+    # nests one level per iteration and Catalyst compile time grows
+    # superlinearly — measured minutes for a 40-node path graph.
+    # Eager localCheckpoint materializes to executor storage and cuts
+    # the lineage; on a cluster, swap for checkpoint() on a reliable
+    # dir if executor loss during the (short) fixpoint loop matters.
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        # bit_xor, not sum: a sum of 64-bit hashes overflows under
+        # ANSI mode; XOR is order-independent and overflow-free.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(s, d))").alias("chk"),
+        ).first()
+        return (row["n"], row["chk"])
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.union(cur.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        mins = sym.groupBy("s").agg(F.least(F.min("d"), F.col("s")).alias("m"))
+        return (
+            sym.join(mins, on="s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        oriented = cur.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        ).distinct()
+        mins = oriented.groupBy("s").agg(F.min("d").alias("m"))
+        joined = oriented.join(mins, on="s")
+        rewired = joined.where(F.col("d") != F.col("m")).select(
+            F.col("d").alias("s"), F.col("m").alias("d")
+        )
+        centers = mins.select(F.col("s"), F.col("m").alias("d"))
+        return rewired.union(centers).where(F.col("s") != F.col("d")).distinct()
+
+    fp = _fingerprint(e)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        nfp = _fingerprint(nxt)
+        e = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+
+    # At the fixpoint every edge is (node, component-min) with the
+    # center implied; add the centers' self-labels.
+    labels = e.select(F.col("s").alias("node"), F.col("d").alias("component"))
+    centers = e.select(F.col("d").alias("node"), F.col("d").alias("component")).distinct()
+    return labels.union(centers).distinct()
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS over the whole
+    corpus: every document gets a cluster id (the smallest doc_id
+    reachable through the near-dup graph; singletons label themselves)
+    and a canonical flag — the keep/drop decision a dedup pipeline
+    actually needs, rather than a bag of pairwise matches.
+
+    Output: (doc_id, cluster_id, is_canonical) — one row per document.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    ids = docs.select(F.col(id_col).cast("long").alias(id_col))
+    return (
+        ids.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")))
+    )

@@ -77,6 +77,63 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_CLUSTER_ORACLE = """
+    WITH RECURSIVE
+    w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id,
+           CAST(a = MIN(b) AS BIGINT) AS is_canonical
+    FROM reach GROUP BY a
+"""
+
+
+@register("dedup_clusters", _DUP_CLUSTER_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into duplicate CLUSTERS: connected
+    components (alternating large-star/small-star rounds) over the
+    LSH pair graph, then a per-document canonical flag. The oracle
+    recomputes components as a recursive-CTE transitive closure over
+    the brute-force Jaccard pairs — closure is test-scale-only; the
+    star algorithm is the O(log n)-round scale path.
+    """
+    docs = catalog.documents(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.8)
+    out = dedup.dup_clusters(docs, pairs)
+    return out.select(
+        "doc_id", "cluster_id", F.col("is_canonical").cast("long").alias("is_canonical")
+    )
+
+
 @register("near_dup_simhash", None)
 def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-distance near-dup pairs (engine-specific bits →
