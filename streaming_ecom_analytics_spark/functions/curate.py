@@ -83,3 +83,65 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [*key_cols]
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment by
+    content-free id hashing: bucket = first two md5 bytes of the id
+    string, mod 100. Hash-based (not random) so the split is stable
+    under reruns, repartitioning, and incremental corpus growth — a
+    document's split never changes when other documents are added,
+    which is the property leakage audits depend on.
+
+    Output: (doc_id, bucket, split). Narrow transformation — no
+    shuffle; md5 is evaluated JVM-side and matches every engine that
+    speaks md5 (the oracle recomputes the same bytes in DuckDB).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * F.lit(256) + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    return docs.select(
+        F.col(id_col),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_per_group: int = 25,
+) -> DataFrame:
+    """Deterministic per-stratum sample: the n documents per group
+    with the smallest md5(id) — an unbiased, rerun-stable stand-in
+    for random sampling that every engine reproduces exactly.
+
+    Output: (group_col, doc_id, sample_rank). One shuffle on the
+    group key; the window's sort is per-partition. At skew (one giant
+    stratum) AQE splits the partition, and rank<=n prunes early via
+    WindowGroupLimit pushdown (Spark 3.5+): executors keep only n
+    rows per group during the sort instead of sorting whole strata.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(F.col(group_col), F.col(id_col))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_group)
+        .select(group_col, id_col, F.col("sample_rank").cast("long").alias("sample_rank"))
+    )

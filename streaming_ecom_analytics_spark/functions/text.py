@@ -325,3 +325,146 @@ def ngram_doc_frequency(
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(top)
     )
+
+
+def repetition_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText-style
+    repetition filters, Rae et al. 2021 §A1.1): fraction of duplicate
+    word 2-grams and the frequency share of the most common word.
+    High values flag boilerplate/spam for removal before training.
+
+    Output: (doc_id, n_words, dup_bigram_frac, top_word_frac).
+
+    Plan shape: one explode per metric family feeding a two-level
+    aggregation — all built-in expressions, shuffle keys are
+    (doc_id[, word]) so partial aggregation absorbs the fan-out
+    map-side. No full-text shuffle: only exploded tokens move.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    # top-word share: count per (doc, word), then max/sum per doc
+    word_counts = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    top_word = word_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_c"),
+    )
+    # duplicate-bigram fraction: 1 - distinct/total over word 2-grams
+    bigrams = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(__w) - 2, 0)),"
+                " i -> concat_ws(' ', slice(__w, i + 1, 2)))"
+            )
+        ).alias("bg"),
+    )
+    bg_stats = bigrams.groupBy(id_col).agg(
+        F.count("*").alias("n_bg"),
+        F.countDistinct("bg").alias("n_bg_distinct"),
+    )
+    return (
+        top_word.join(bg_stats, on=id_col)
+        .select(
+            id_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(
+                (F.col("n_bg") - F.col("n_bg_distinct")).cast("double") / F.col("n_bg"), 6
+            ).alias("dup_bigram_frac"),
+            F.round(F.col("top_c").cast("double") / F.col("n_words"), 6).alias(
+                "top_word_frac"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-learn smoothing).
+
+    Output: (doc_id, term, tf, score) — ties broken by term asc, so
+    the result is deterministic and engine-comparable.
+
+    Plan shape: token explode → (doc, term) counts → document
+    frequency by term (second aggregation over first's output — the
+    (doc, term) grid is already distinct, so df is a cheap re-shuffle
+    by term, never by text) → broadcast-sized doc count via a scalar
+    subquery-free crossJoin of a 1-row aggregate (Spark plans it as
+    BroadcastNestedLoopJoin over a single row — constant cost) →
+    row_number window per doc.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_by_term, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"), "score")
+    )
+
+
+# Patterns kept RE2-compatible (no backrefs/lookaround) so the same
+# regex runs identically on Spark (Java regex) and DuckDB (RE2).
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "[PHONE]"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails, phone numbers, and IPv4 addresses from document
+    text, with a per-document redaction count — the standard PII pass
+    before corpus release/training.
+
+    Output: (doc_id, text, n_redactions). Pure chained regexp_replace
+    — codegen'd, linear, no shuffle at all (narrow transformation).
+    """
+    redacted = F.col(text_col)
+    for pat, tag in _PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, tag)
+    n_red = (
+        F.size(F.split(redacted, r"\[EMAIL\]|\[PHONE\]|\[IP\]", -1)) - F.lit(1)
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        redacted.alias(text_col),
+        n_red.alias("n_redactions"),
+    )

@@ -539,3 +539,140 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_luma", 6).alias("mean_luma"),
         F.to_json(F.col("feature")).alias("feature_json"),
     )
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    tw AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c FROM wc GROUP BY doc_id),
+    bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 1)),
+               i -> array_to_string(list_slice(w, i, i + 1), ' ')
+             )) AS bg
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+    ),
+    bgstats AS (
+      SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT bg) AS n_bg_distinct
+      FROM bgs GROUP BY doc_id
+    )
+    SELECT tw.doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CAST(n_bg - n_bg_distinct AS DOUBLE) / n_bg, 6) AS dup_bigram_frac,
+           ROUND(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac
+    FROM tw JOIN bgstats ON tw.doc_id = bgstats.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition metrics (dup-bigram
+    fraction, top-word share) — the boilerplate/spam filter family."""
+    return text.repetition_stats(catalog.documents(spark, sf_dir))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS score
+      FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF;
+    deterministic tie-break on term makes it engine-comparable."""
+    return text.tfidf_top_terms(catalog.documents(spark, sf_dir), top_k=3)
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '[PHONE]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS text
+      FROM documents
+    )
+    SELECT doc_id, text,
+           CAST(len(regexp_split_to_array(text, '\[EMAIL\]|\[PHONE\]|\[IP\]')) - 1 AS BIGINT)
+             AS n_redactions
+    FROM red
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones/IPv4 → tags) with per-doc redaction
+    counts. RE2-compatible patterns run identically on both engines;
+    unit tests cover synthetic PII (the driver corpus is clean)."""
+    from streaming_ecom_analytics_spark.functions import text as text_fns
+
+    return text_fns.redact_pii(catalog.documents(spark, sf_dir))
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 10 THEN 'val'
+                WHEN bucket < 20 THEN 'test'
+                ELSE 'train' END AS split
+    FROM b
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment — stable
+    under reruns and corpus growth (a doc's split never changes)."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    return curate.assign_splits(catalog.documents(spark, sf_dir))
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 25
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample: smallest-md5(id) rows per
+    stratum — rerun-stable, engine-exact 'random' sampling."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    return curate.stratified_sample(
+        catalog.documents(spark, sf_dir), group_col="source", n_per_group=25
+    )

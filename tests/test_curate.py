@@ -69,3 +69,42 @@ def test_dedup_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_out").collect()
     assert sorted(r.event_id for r in got) == [1, 2]
+
+
+def test_assign_splits_deterministic_and_proportional(spark):
+    from streaming_ecom_analytics_spark.functions import curate
+
+    df = spark.createDataFrame([(i, "t") for i in range(2000)], "doc_id long, text string")
+    out = curate.assign_splits(df).collect()
+    again = {r.doc_id: r.split for r in curate.assign_splits(df).collect()}
+    by_split = {}
+    for r in out:
+        assert again[r.doc_id] == r.split  # rerun-stable
+        by_split[r.split] = by_split.get(r.split, 0) + 1
+    assert 0.05 < by_split["val"] / 2000 < 0.15
+    assert 0.05 < by_split["test"] / 2000 < 0.15
+    assert by_split["train"] / 2000 > 0.7
+
+
+def test_assign_splits_stable_under_growth(spark):
+    from streaming_ecom_analytics_spark.functions import curate
+
+    small = spark.createDataFrame([(i, "t") for i in range(100)], "doc_id long, text string")
+    big = spark.createDataFrame([(i, "t") for i in range(300)], "doc_id long, text string")
+    s = {r.doc_id: r.split for r in curate.assign_splits(small).collect()}
+    b = {r.doc_id: r.split for r in curate.assign_splits(big).collect()}
+    assert all(b[i] == s[i] for i in s)  # growth never reassigns
+
+
+def test_stratified_sample_caps_per_group(spark):
+    from streaming_ecom_analytics_spark.functions import curate
+
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curate.stratified_sample(df, n_per_group=5).collect()
+    per_group = {}
+    for r in out:
+        per_group.setdefault(r.source, []).append(r.sample_rank)
+    assert set(per_group) == {"g0", "g1", "g2"}
+    for ranks in per_group.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]

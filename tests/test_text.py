@@ -94,3 +94,44 @@ def test_winnow_fingerprint_overlap(spark):
     overlap_other = len(fps[1] & fps[3]) / max(len(fps[1] | fps[3]), 1)
     assert overlap_near > 0.5
     assert overlap_other == 0.0
+
+
+def test_repetition_stats_flags_repeated_text(spark):
+    clean = "one two three four five six seven eight nine ten"
+    spammy = "buy now " * 20  # one bigram repeated
+    df = spark.createDataFrame([(1, clean), (2, spammy.strip())], "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert out[1].dup_bigram_frac == 0.0
+    assert out[1].top_word_frac == pytest.approx(0.1)
+    assert out[2].dup_bigram_frac > 0.9
+    assert out[2].top_word_frac == pytest.approx(0.5)
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra zebra zebra"),
+            (2, "common yak yak"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(df, top_k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in every doc (idf floor); rare terms win where present
+    assert top[1] == "zebra"
+    assert top[2] == "yak"
+    assert top[3] == "common"
+
+
+def test_redact_pii(spark):
+    dirty = (
+        "contact alice@example.com or +1-555-123-4567 from host 192.168.1.10 today"
+    )
+    clean = "no private information in this sentence at all"
+    df = spark.createDataFrame([(1, dirty), (2, clean)], "doc_id long, text string")
+    out = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert "[EMAIL]" in out[1].text and "[PHONE]" in out[1].text and "[IP]" in out[1].text
+    assert "alice" not in out[1].text and "192.168" not in out[1].text
+    assert out[1].n_redactions == 3
+    assert out[2].text == clean and out[2].n_redactions == 0
