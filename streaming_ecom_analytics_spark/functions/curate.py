@@ -145,3 +145,54 @@ def stratified_sample(
         .where(F.col("sample_rank") <= n_per_group)
         .select(group_col, id_col, F.col("sample_rank").cast("long").alias("sample_rank"))
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in id order, within
+    each group) to consecutive context-window bins of at most
+    ``budget`` whitespace tokens — how training pipelines batch
+    variable-length documents into fixed-length sequences. A document
+    longer than the budget gets a bin of its own (overflowing alone,
+    never splitting).
+
+    Output: (group_col, doc_id, n_tokens, bin_id), bin ids dense from
+    0 per group.
+
+    Scale shape: token counts are computed JVM-side; only (group, id,
+    count) triples — not text — reach the per-group Python stage. The
+    greedy scan is a prefix-dependent recurrence, inherently
+    sequential per group, so applyInPandas is the honest minimal
+    Python surface: O(docs-per-group) ints in memory, no quadratic
+    work. For unbounded groups at corpus scale, pre-shard the group
+    key (e.g. group on (source, date) or a hash bucket) — packing
+    quality is unaffected because bins never cross groups anyway.
+    """
+    toks = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        acc = 0
+        b = 0
+        for n in pdf["n_tokens"]:
+            if acc and acc + n > budget:
+                b += 1
+                acc = 0
+            acc += n
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    schema = f"{group_col} string, {id_col} long, n_tokens long, bin_id long"
+    return toks.groupBy(group_col).applyInPandas(pack, schema)

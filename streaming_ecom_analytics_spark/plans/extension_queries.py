@@ -676,3 +676,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.stratified_sample(
         catalog.documents(spark, sf_dir), group_col="source", n_per_group=25
     )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH RECURSIVE
+    t AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed(source, rn, doc_id, n_tok, bin_id, acc) AS (
+      SELECT source, rn, doc_id, n_tok, 0, n_tok FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.rn, t.doc_id, t.n_tok,
+             CASE WHEN p.acc + t.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.acc + t.n_tok > 512 THEN t.n_tok ELSE p.acc + t.n_tok END
+      FROM packed p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(bin_id AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing (512-token budget, per source).
+    The oracle replays the same greedy recurrence as a recursive CTE —
+    sequential per group on both engines, so results match exactly."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    return curate.pack_sequences(catalog.documents(spark, sf_dir), budget=512)

@@ -108,3 +108,26 @@ def test_stratified_sample_caps_per_group(spark):
     assert set(per_group) == {"g0", "g1", "g2"}
     for ranks in per_group.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_pack_sequences_greedy_budget(spark):
+    from streaming_ecom_analytics_spark.functions import curate
+
+    rows = [
+        (1, "a", "w " * 300),   # 300 tokens -> bin 0
+        (2, "a", "w " * 200),   # 300+200=500 <= 512 -> bin 0
+        (3, "a", "w " * 100),   # 500+100 > 512 -> bin 1
+        (4, "a", "w " * 600),   # oversize doc -> own bin 2
+        (5, "a", "w " * 10),    # bin 3 (600 already overflows bin 2)
+        (6, "b", "w " * 5),     # separate group restarts at bin 0
+    ]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+    )
+    out = {r.doc_id: (r.source, r.n_tokens, r.bin_id) for r in curate.pack_sequences(df).collect()}
+    assert out[1] == ("a", 300, 0)
+    assert out[2] == ("a", 200, 0)
+    assert out[3] == ("a", 100, 1)
+    assert out[4] == ("a", 600, 2)
+    assert out[5] == ("a", 10, 3)
+    assert out[6] == ("b", 5, 0)
