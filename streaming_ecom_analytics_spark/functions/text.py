@@ -396,13 +396,13 @@ def tfidf_top_terms(
     Output: (doc_id, term, tf, score) — ties broken by term asc, so
     the result is deterministic and engine-comparable.
 
-    Plan shape: token explode → (doc, term) counts → document
-    frequency by term (second aggregation over first's output — the
-    (doc, term) grid is already distinct, so df is a cheap re-shuffle
-    by term, never by text) → broadcast-sized doc count via a scalar
-    subquery-free crossJoin of a 1-row aggregate (Spark plans it as
-    BroadcastNestedLoopJoin over a single row — constant cost) →
-    row_number window per doc.
+    Plan shape: ONE token explode → (doc, term) counts → document
+    frequency as a count window over the already-aggregated grid
+    (partitionBy term) — a groupBy+self-join formulation would compile
+    the explode subtree twice; the window keeps a single lineage and
+    shuffles only the distinct (doc, term) rows, never text → global
+    doc count joins as a broadcast single row (constant cost) →
+    row_number window per doc with group-limit pushdown.
     """
     from pyspark.sql import Window
 
@@ -410,10 +410,9 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     )
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(df_by_term, on="term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

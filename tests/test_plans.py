@@ -169,3 +169,36 @@ def test_ngram_frequency_two_phase_topk(spark):
     plan = _plan(spark, "ngram_doc_frequency")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pii_and_splits_are_shuffle_free(spark):
+    """Narrow curation ops must not introduce any exchange."""
+    for name in ("pii_redaction", "train_val_test_split"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_stratified_sample_prunes_window_groups(spark):
+    """row_number <= n must push a per-group limit into the sort
+    (WindowGroupLimit, Spark 3.5+) — executors keep n rows per
+    stratum instead of sorting whole strata."""
+    plan = _plan(spark, "stratified_sample")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle on the stratum key (+AQE read)
+
+
+def test_tfidf_single_token_explode(spark):
+    """TF-IDF reads/explodes tokens once; document frequency must
+    re-aggregate the (doc,term) grid, not re-explode the corpus."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert plan.count("Generate") == 1
+    assert "CartesianProduct" not in plan  # N-docs joins as broadcast single row
+
+
+def test_pack_sequences_ships_counts_not_text(spark):
+    """Only (group, id, n_tokens) may cross into the Python stage."""
+    plan = _plan(spark, "pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan
+    import re
+    seg = plan.split("FlatMapGroupsInPandas", 1)[0]
+    assert "text" not in seg.split("Scan parquet", 1)[0]  # no text col above the scan
