@@ -196,3 +196,52 @@ def pack_sequences(
 
     schema = f"{group_col} string, {id_col} long, n_tokens long, bin_id long"
     return toks.groupBy(group_col).applyInPandas(pack, schema)
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-cluster resolution with QUALITY-aware canonical
+    selection: resolve near-dup pairs into clusters (connected
+    components), then keep the highest-quality member of each cluster
+    (ties break to the smallest id) — 'dedup keeps the best copy',
+    not just the first one seen.
+
+    Output: one row per cluster — (cluster_id, doc_id, quality_score,
+    n_members).
+
+    Scale shape: quality is an inline column expression (no extra
+    pass over text); the argmax is a row_number window on the cluster
+    key with group-limit pushdown, shuffling only (cluster, id, score)
+    triples.
+    """
+    from pyspark.sql import Window
+
+    from streaming_ecom_analytics_spark.functions import text as text_fns
+    from streaming_ecom_analytics_spark.functions.dedup import dup_clusters
+
+    clusters = dup_clusters(docs, pairs, id_col=id_col)
+    scored = docs.select(
+        F.col(id_col), text_fns.quality_score_col(text_col).alias("quality_score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        clusters.join(scored, on=id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            id_col,
+            "quality_score",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

@@ -77,8 +77,7 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_CLUSTER_ORACLE = """
-    WITH RECURSIVE
+_CLUSTER_CTES = """
     w AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
@@ -111,6 +110,11 @@ _DUP_CLUSTER_ORACLE = """
       UNION
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     )
+"""
+
+_DUP_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE
+{_CLUSTER_CTES}
     SELECT a AS doc_id, MIN(b) AS cluster_id,
            CAST(a = MIN(b) AS BIGINT) AS is_canonical
     FROM reach GROUP BY a
@@ -708,3 +712,51 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.functions import curate
 
     return curate.pack_sequences(catalog.documents(spark, sf_dir), budget=512)
+
+
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE
+{_CLUSTER_CTES},
+    clusters AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    ),
+    q AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / nullif(length(text), 0) AS punct_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + least(coalesce(stopword_ratio, 0.0) * 10.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - coalesce(punct_ratio, 0.0) * 5.0) * 0.2, 6)
+               AS quality_score
+      FROM q
+    )
+    SELECT cluster_id, doc_id, quality_score, n_members FROM (
+      SELECT c.cluster_id, c.doc_id, s.quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY s.quality_score DESC, c.doc_id ASC
+             ) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+      FROM clusters c JOIN scored s ON c.doc_id = s.doc_id
+    ) WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution: cluster near-dups (star
+    rounds over the LSH pair graph), keep each cluster's best-quality
+    member. End-to-end composition of dedup + quality scoring."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    docs = catalog.documents(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.8)
+    return curate.dedup_keep_best(docs, pairs)

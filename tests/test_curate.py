@@ -131,3 +131,20 @@ def test_pack_sequences_greedy_budget(spark):
     assert out[4] == ("a", 600, 2)
     assert out[5] == ("a", 10, 3)
     assert out[6] == ("b", 5, 0)
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    from streaming_ecom_analytics_spark.functions import curate, dedup
+
+    # doc 2 is a near-dup of doc 1 but much longer -> higher quality
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    longer = base * 3
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, longer.strip()), (3, "unrelated pasta recipe content")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.jaccard_pairs(df, threshold=0.5)
+    out = {r.cluster_id: r for r in curate.dedup_keep_best(df, pairs).collect()}
+    assert out[1].doc_id == 2          # best-quality member wins, not min id
+    assert out[1].n_members == 2
+    assert out[3].doc_id == 3 and out[3].n_members == 1
