@@ -128,3 +128,59 @@ def q_active_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.windowed_active_users(
         catalog.events(spark, sf_dir), watermark=None, exact=False
     )
+
+
+@register(
+    "event_session_attribution",
+    """
+    WITH l AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT e.event_id, e.user_id, sess.session_start, sess.session_end
+    FROM events e
+    JOIN sess ON e.user_id = sess.user_id
+             AND e.ts >= sess.session_start AND e.ts < sess.session_end
+    """,
+)
+def q_event_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: attribute every event to its containing
+    30-minute-gap session via the bucketed interval-join operator
+    (operators/interval.py) — explode sessions into 30-min time
+    buckets, equi-join events on (user_id, bucket), exact range
+    filter. The oracle is the naive non-equi BETWEEN join over the
+    gaps-and-islands session twin."""
+    from streaming_ecom_analytics_spark.operators.interval import interval_join
+
+    ev = catalog.events(spark, sf_dir)
+    sessions = windows.session_windows(ev, watermark=None)
+    points = ev.select("event_id", "user_id", "ts")
+    return interval_join(
+        points,
+        sessions.select("user_id", "session_start", "session_end"),
+        on="user_id",
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=1800,
+    ).select("event_id", "user_id", "session_start", "session_end")

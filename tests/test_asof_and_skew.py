@@ -131,3 +131,60 @@ def test_salted_join_matches_plain(spark):
     plain = big.join(small, on="k").select("k", "payload", "tag").collect()
     salted = salted_join(big, small, on="k", n_salts=4).select("k", "payload", "tag").collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_interval_join_basic(spark):
+    from datetime import datetime
+
+    from streaming_ecom_analytics_spark.operators.interval import interval_join
+
+    T = datetime
+    points = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 10, 15)),   # inside iv A
+            (2, 10, T(2024, 1, 1, 11, 0)),    # == iv A end (half-open -> no match)
+            (3, 10, T(2024, 1, 3, 9, 59)),    # before iv B
+            (4, 20, T(2024, 1, 1, 10, 30)),   # other key, inside C
+            (5, 10, T(2024, 1, 1, 10, 0)),    # == iv A start (inclusive)
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, "A", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 11, 0)),
+            (10, "B", T(2024, 1, 3, 10, 0), T(2024, 1, 3, 12, 0)),
+            (20, "C", T(2024, 1, 1, 10, 0), T(2024, 1, 1, 11, 0)),
+        ],
+        "k long, name string, start timestamp, end timestamp",
+    )
+    out = {
+        (r.pid, r.name)
+        for r in interval_join(
+            points, intervals, on="k", ts_col="ts", bucket_seconds=900
+        ).collect()
+    }
+    assert out == {(1, "A"), (5, "A"), (4, "C")}
+
+
+def test_interval_join_overlapping_intervals_no_dup(spark):
+    """Overlapping intervals each match once; a long interval spanning
+    many buckets still produces exactly one row per contained point."""
+    from datetime import datetime
+
+    from streaming_ecom_analytics_spark.operators.interval import interval_join
+
+    T = datetime
+    points = spark.createDataFrame(
+        [(1, 1, T(2024, 1, 1, 12, 0))], "pid long, k long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, "short", T(2024, 1, 1, 11, 0), T(2024, 1, 1, 13, 0)),
+            (1, "long", T(2024, 1, 1, 0, 0), T(2024, 1, 2, 0, 0)),
+        ],
+        "k long, name string, start timestamp, end timestamp",
+    )
+    rows = interval_join(
+        points, intervals, on="k", ts_col="ts", bucket_seconds=3600
+    ).collect()
+    assert sorted(r.name for r in rows) == ["long", "short"]

@@ -202,3 +202,12 @@ def test_pack_sequences_ships_counts_not_text(spark):
     import re
     seg = plan.split("FlatMapGroupsInPandas", 1)[0]
     assert "text" not in seg.split("Scan parquet", 1)[0]  # no text col above the scan
+
+
+def test_interval_join_is_equi_join(spark):
+    """The range join must compile to a hash equi-join on
+    (key, bucket) — never BroadcastNestedLoopJoin / CartesianProduct
+    (the naive non-equi plan)."""
+    plan = _plan(spark, "event_session_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
