@@ -183,3 +183,58 @@ def top_revenue_by_category(
         .orderBy(F.desc("revenue"), F.asc("category"))
         .limit(k)
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: purchase revenue
+    and event counts at hour, day, and month grain in one result —
+    with each coarser grain aggregated FROM THE NEXT FINER AGGREGATE,
+    never from raw events (the TimescaleDB continuous-aggregate /
+    OLAP cube-reuse pattern).
+
+    Scale shape: the raw table is scanned exactly once (hour grain);
+    day reduces hour rows (24x smaller), month reduces day rows —
+    re-aggregation cost is measured in thousands of rows regardless
+    of corpus size. Sums stay DECIMAL through every level so
+    sum-of-sums is exact and engine-portable, cast to double only on
+    output. The hour base is persisted: it feeds its own output
+    branch plus the day cascade.
+
+    Output: (grain, bucket_start, revenue, n_events).
+    """
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    hour = persist_tracked(
+        events.filter(F.col(type_col) == purchase_type)
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__rev"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    day = persist_tracked(
+        hour.groupBy(F.date_trunc("day", F.col("bucket_start")).alias("bucket_start"))
+        .agg(F.sum("__rev").alias("__rev"), F.sum("n_events").alias("n_events"))
+    )
+    month = day.groupBy(
+        F.date_trunc("month", F.col("bucket_start")).alias("bucket_start")
+    ).agg(F.sum("__rev").alias("__rev"), F.sum("n_events").alias("n_events"))
+
+    def _out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+
+    return _out(hour, "hour").unionByName(_out(day, "day")).unionByName(
+        _out(month, "month")
+    )

@@ -617,3 +617,37 @@ def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.alias("seconds_since_prev"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+@register(
+    "revenue_time_rollup",
+    """
+    WITH hour AS (
+      SELECT date_trunc('hour', ts) AS bucket_start,
+             SUM(CAST(value AS DECIMAL(18,2))) AS rev, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    day AS (
+      SELECT date_trunc('day', bucket_start) AS bucket_start,
+             SUM(rev) AS rev, SUM(n) AS n
+      FROM hour GROUP BY 1
+    ),
+    month AS (
+      SELECT date_trunc('month', bucket_start) AS bucket_start,
+             SUM(rev) AS rev, SUM(n) AS n
+      FROM day GROUP BY 1
+    )
+    SELECT 'hour' AS grain, bucket_start, CAST(rev AS DOUBLE) AS revenue,
+           CAST(n AS BIGINT) AS n_events FROM hour
+    UNION ALL
+    SELECT 'day', bucket_start, CAST(rev AS DOUBLE), CAST(n AS BIGINT) FROM day
+    UNION ALL
+    SELECT 'month', bucket_start, CAST(rev AS DOUBLE), CAST(n AS BIGINT) FROM month
+    """,
+)
+def q_revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain continuous-aggregate rollup (hour -> day -> month),
+    coarser grains re-aggregated from finer ones — one raw scan."""
+    from streaming_ecom_analytics_spark.operators.aggregates import time_rollup
+
+    return time_rollup(catalog.events(spark, sf_dir))

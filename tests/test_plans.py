@@ -234,3 +234,12 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_time_rollup_reaggregates_from_cache(spark):
+    """Coarser grains must re-aggregate the finer cached aggregate:
+    every union branch reads an InMemoryTableScan (the plan string
+    repeats the cached subtree's *description* per reference, but the
+    file scan executes once and all reuse goes through the cache)."""
+    plan = _plan(spark, "revenue_time_rollup")
+    assert plan.count("InMemoryTableScan") >= 4  # hour×2, day×2
