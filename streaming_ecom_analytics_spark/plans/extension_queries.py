@@ -760,3 +760,44 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.documents(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.8)
     return curate.dedup_keep_best(docs, pairs)
+
+
+_EMB_CLUSTER_ORACLE = """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                  6) >= 0.45
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS vec_id, MIN(b) AS cluster_id,
+           CAST(a = MIN(b) AS BIGINT) AS is_canonical
+    FROM reach GROUP BY a
+"""
+
+
+@register("embedding_dup_clusters", _EMB_CLUSTER_ORACLE)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clusters: cosine near-dup pairs
+    (LSH/Gram-blocked, exact-verified) resolved into connected
+    components — the semantic-dedup counterpart of the text-side
+    dedup_clusters."""
+    emb = catalog.embeddings(spark, sf_dir)
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.45)
+    out = dedup.dup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
+    )
+    return out.select(
+        "vec_id", "cluster_id", F.col("is_canonical").cast("long").alias("is_canonical")
+    )
