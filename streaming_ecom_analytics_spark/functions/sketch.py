@@ -1,0 +1,91 @@
+"""Count-min sketch as a first-class distributed operator.
+
+A CMS is a depth×width counter grid; item i increments one counter
+per row (hash family), and an item's estimate is the MIN over its
+depth counters — never an underestimate, overestimate bounded by
+2N/width with probability 1-(1/2)^depth (Cormode & Muthukrishnan
+2005).
+
+Spark-first realization: the grid IS a DataFrame of (d, idx, c) rows.
+
+- build: explode each item into its depth (family, index) cells —
+  pure column expressions (xxhash64 + per-family XOR masks, the same
+  construction as functions/dedup.minhash_signatures) — then ONE
+  groupBy((d, idx)) count. The shuffle carries 12-byte keys, and the
+  aggregate's key space is capped at depth×width cells no matter how
+  large the corpus: partial aggregation compresses every partition to
+  ≤ depth×width rows map-side, which is the whole point of a sketch —
+  fixed-size state, mergeable by addition (union of sketch tables +
+  re-aggregation merges sketches of disjoint corpora).
+- probe: hash query terms into the same cells, broadcast-join against
+  the (tiny) grid, MIN over families. Cells the corpus never touched
+  are absent from the table and coalesce to 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.functions.dedup import _mix_constants
+
+
+def _cells(col_expr, *, depth: int, width: int, seed: int):
+    """One (family, index) struct per hash family for an item column."""
+    base = F.xxhash64(col_expr)
+    return [
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(base.bitwiseXOR(F.lit(mask))), F.lit(width)).alias("idx"),
+        )
+        for d, mask in enumerate(_mix_constants(depth, seed=seed))
+    ]
+
+
+def build_count_min(
+    items: DataFrame,
+    col: str,
+    *,
+    depth: int = 5,
+    width: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the sketch table: (d, idx, c) with at most depth×width rows."""
+    return (
+        items.select(
+            F.explode(F.array(*_cells(F.col(col), depth=depth, width=width, seed=seed))).alias(
+                "cell"
+            )
+        )
+        .select("cell.d", "cell.idx")
+        .groupBy("d", "idx")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def estimate_counts(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    depth: int = 5,
+    width: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Estimate each probe item's frequency: MIN over its depth cells.
+
+    The sketch side broadcasts (≤ depth×width rows by construction);
+    probes flow map-side — no shuffle of the probe set beyond the
+    final per-item min.
+    """
+    cells = probes.select(
+        F.col(col),
+        F.explode(F.array(*_cells(F.col(col), depth=depth, width=width, seed=seed))).alias(
+            "cell"
+        ),
+    ).select(col, "cell.d", "cell.idx")
+    return (
+        cells.join(F.broadcast(sketch), on=["d", "idx"], how="left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
+    )

@@ -801,3 +801,30 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "cluster_id", F.col("is_canonical").cast("long").alias("is_canonical")
     )
+
+
+@register("cms_term_frequencies", None)
+def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's exact
+    top-20 terms, with true counts alongside — (term, exact_count,
+    est_count). Rows-only: cell placement depends on xxhash64, which
+    the oracle engine lacks; the CMS guarantee (never underestimates,
+    bounded overestimate) is unit-tested instead."""
+    from streaming_ecom_analytics_spark.functions import sketch as cms
+
+    docs = catalog.documents(spark, sf_dir)
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    tokens = persist_tracked(tokens)  # feeds build + exact top-20
+    sk = cms.build_count_min(tokens, "term", depth=5, width=4096)
+    top = (
+        tokens.groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms.estimate_counts(sk, top.select("term"), "term", depth=5, width=4096)
+    return top.join(est, on="term").select("term", "exact_count", "est_count")

@@ -109,3 +109,39 @@ def test_dup_clusters_labels_all_docs(spark, docs):
     assert out[2] == (1, False)
     assert out[4] == (1, False)
     assert out[3] == (3, True)
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS never underestimates; overestimate bounded by 2N/width at
+    5 families on this fixture."""
+    from streaming_ecom_analytics_spark.functions import sketch as cms
+
+    rows = [("a",)] * 100 + [("b",)] * 37 + [(f"rare{i}",) for i in range(200)]
+    items = spark.createDataFrame(rows, "term string")
+    sk = cms.build_count_min(items, "term", depth=5, width=1024)
+    probes = spark.createDataFrame([("a",), ("b",), ("rare0",), ("absent",)], "term string")
+    est = {r.term: r.est_count for r in cms.estimate_counts(sk, probes, "term", depth=5, width=1024).collect()}
+    n = len(rows)
+    assert est["a"] >= 100 and est["a"] <= 100 + 2 * n / 1024 + 1
+    assert est["b"] >= 37
+    assert est["rare0"] >= 1
+    assert est["absent"] <= 2 * n / 1024 + 1  # ~0 with high probability
+
+
+def test_count_min_sketch_mergeable(spark):
+    """Sketches of disjoint corpora merge by union + re-aggregation to
+    exactly the sketch of the union."""
+    from pyspark.sql import functions as F
+
+    from streaming_ecom_analytics_spark.functions import sketch as cms
+
+    p1 = spark.createDataFrame([("x",)] * 10 + [("y",)] * 5, "term string")
+    p2 = spark.createDataFrame([("x",)] * 7 + [("z",)] * 3, "term string")
+    merged = (
+        cms.build_count_min(p1, "term", width=256)
+        .unionByName(cms.build_count_min(p2, "term", width=256))
+        .groupBy("d", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = cms.build_count_min(p1.unionByName(p2), "term", width=256)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
