@@ -93,3 +93,96 @@ def test_jaccard_bounds_and_exact_dups(spark, texts):
                 assert match[0].jaccard == 1.0
         elif key:
             seen[key] = i
+
+
+_points = st.lists(
+    st.tuples(st.integers(0, 99), st.integers(0, 3), _ts),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+_intervals = st.lists(
+    st.tuples(st.integers(0, 999), st.integers(0, 3), _ts, st.integers(1, 5000)),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(points=_points, ivs=_intervals, bucket=st.sampled_from([60, 3600, 86400]))
+@settings(**_SETTINGS)
+def test_interval_join_equals_bruteforce(spark, points, ivs, bucket):
+    """Bucketed rewrite == naive point-in-interval containment, for
+    any bucket width (width only affects the plan, never the rows)."""
+    from streaming_ecom_analytics_spark.operators.interval import interval_join
+
+    iv_rows = [
+        (iid, k, start, start + dt.timedelta(seconds=dur)) for iid, k, start, dur in ivs
+    ]
+    p = spark.createDataFrame(points, "pid long, k long, ts timestamp")
+    i = spark.createDataFrame(iv_rows, "iid long, k long, start timestamp, end timestamp")
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(p, i, on="k", ts_col="ts", bucket_seconds=bucket).collect()
+    }
+    expected = {
+        (pid, iid)
+        for pid, pk, ts in points
+        for iid, ik, start, end in iv_rows
+        if pk == ik and start <= ts < end
+    }
+    assert got == expected
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_connected_components_property(spark, edges):
+    """CC label = min reachable node, for arbitrary multigraphs with
+    self-loops and duplicate/reversed edges."""
+    clean = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in clean for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=10
+    ),
+    budget=st.integers(1, 20),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants(spark, texts, budget):
+    """Bins are dense from 0, bin totals respect the budget except for
+    single oversize docs, and every doc appears exactly once."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    rows = [(i, "g", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = curate.pack_sequences(df, budget=budget).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(texts)))
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r.n_tokens)
+    assert sorted(by_bin) == list(range(len(by_bin)))  # dense bin ids
+    for toks in by_bin.values():
+        assert sum(toks) <= budget or len(toks) == 1  # oversize only alone
