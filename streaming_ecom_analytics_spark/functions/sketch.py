@@ -89,3 +89,46 @@ def estimate_counts(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def windowed_count_min(
+    events: DataFrame,
+    *,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str | None = "1 hour",
+    depth: int = 5,
+    width: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-min sketch per event-time window — streaming-safe
+    frequency tracking with HARD-BOUNDED state: at most depth×width
+    counters per open window, no matter how many distinct items flow
+    (a plain per-item count's state grows with cardinality; this is
+    the ST7 trade taken for frequencies instead of distincts).
+
+    Works identically on a batch frame (watermark=None) — the batch
+    twin is the test oracle. Output: (window_start, window_end, d,
+    idx, c); probe with ``estimate_counts`` filtered to one window.
+    """
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.select(
+            F.col(ts_col),
+            F.explode(
+                F.array(*_cells(F.col(col), depth=depth, width=width, seed=seed))
+            ).alias("cell"),
+        )
+        .groupBy(F.window(F.col(ts_col), window), F.col("cell.d"), F.col("cell.idx"))
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "d",
+            "idx",
+            "c",
+        )
+    )

@@ -184,3 +184,20 @@ def q_event_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="session_end",
         bucket_seconds=1800,
     ).select("event_id", "user_id", "session_start", "session_end")
+
+
+@register("cms_event_types_15m", None)
+def q_cms_event_types_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 companion: windowed count-min sketch grid over event types
+    (bounded state per window regardless of cardinality). Rows-only —
+    cell placement is xxhash64-based; streaming==batch equality is
+    asserted in tests/test_streaming.py."""
+    from streaming_ecom_analytics_spark.functions import sketch as cms
+
+    return cms.windowed_count_min(
+        catalog.events(spark, sf_dir),
+        col="event_type",
+        window="15 minutes",
+        watermark=None,
+        width=256,
+    )

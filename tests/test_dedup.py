@@ -145,3 +145,14 @@ def test_count_min_sketch_mergeable(spark):
     )
     direct = cms.build_count_min(p1.unionByName(p2), "term", width=256)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_connected_components_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert dedup.connected_components(df).count() == 0
+
+
+def test_dup_clusters_no_pairs_all_singletons(spark, docs):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert out == {i: (i, True) for i in (1, 2, 3, 4)}

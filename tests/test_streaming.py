@@ -164,3 +164,34 @@ def test_session_window_streaming(spark, events_dir):
     assert len(u1) == 1 and u1[0].n_events == 2
     assert u1[0].session_start == _t(0)
     assert u1[0].session_end == _t(16)  # last event 10:06 + 10 min gap
+
+
+def test_windowed_count_min_streaming_matches_batch(spark, events_dir):
+    """The streaming windowed CMS grid must equal the batch twin's —
+    the sketch is deterministic, so micro-batching can't change it."""
+    from streaming_ecom_analytics_spark.functions import sketch as cms
+
+    stream = _stream(spark, events_dir)
+    agg = cms.windowed_count_min(
+        stream, col="event_type", window="15 minutes", watermark="1 hour", width=256
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.d, r.idx): r.c
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    batch = spark.read.parquet(events_dir + "/*")
+    want = {
+        (r.window_start, r.d, r.idx): r.c
+        for r in cms.windowed_count_min(
+            batch, col="event_type", window="15 minutes", watermark=None, width=256
+        ).collect()
+    }
+    assert got == want and len(got) > 0
