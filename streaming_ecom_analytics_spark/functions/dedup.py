@@ -147,13 +147,18 @@ def minhash_signatures(
     per-family XOR masks — much cheaper than re-hashing the string per
     permutation, overflow-free under ANSI mode (unlike affine a*h+b
     mixing on Java longs), and equivalent in LSH distribution quality.
+
+    Also emits ``n_sh`` (the shingle-set size) — it rides the same
+    aggregation for free, and the exact-Jaccard verifier needs it
+    (|A∪B| = n_a + n_b − |A∩B|), saving a separate count pass over
+    the shingle table.
     """
     base = F.xxhash64(F.col("shingle"))
     aggs = [
         F.min(F.xxhash64(base.bitwiseXOR(F.lit(mask)))).alias(f"mh_{i}")
         for i, mask in enumerate(_mix_constants(num_perm))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(F.count("*").alias("n_sh"), *aggs)
 
 
 def minhash_lsh_pairs(
@@ -176,10 +181,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     # persisted (tracked — see caching.py): feeds the signature
-    # aggregation AND the exact-verify branches (sizes + both
-    # intersection sides)
+    # aggregation AND the exact-verify intersection sides
     sh = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
-    sig = minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
+    # sig feeds two branches (banding + the verifier's size lookup) —
+    # persisted so the signature aggregation runs once. It is tiny:
+    # num_perm longs + one count per document.
+    sig = persist_tracked(minhash_signatures(sh, id_col=id_col, num_perm=num_perm))
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band_{b}"
@@ -221,11 +228,13 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # sh_cand has three consumers (sizes + both intersection sides);
-    # uncached, each would re-run the semi join and the candidate-id
-    # distinct shuffle.
+    # sh_cand has two consumers (both intersection sides); uncached,
+    # each would re-run the semi join and the candidate-id distinct
+    # shuffle.
     sh_cand = persist_tracked(sh.join(cand_ids, on=id_col, how="left_semi"))
-    sizes = sh_cand.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # Set sizes come from the signature aggregate (computed anyway for
+    # banding) — no separate count pass over the shingle table.
+    sizes = sig.select(F.col(id_col), F.col("n_sh"))
     sa_sh = sh_cand.select(F.col(id_col).alias("doc_a"), "shingle")
     sb_sh = sh_cand.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -482,6 +491,10 @@ def connected_components(
         centers = mins.select(F.col("s"), F.col("m").alias("d"))
         return rewired.union(centers).where(F.col("s") != F.col("d")).distinct()
 
+    # One star round per checkpoint: batching two rounds between
+    # checkpoints was measured 70% SLOWER — the un-checkpointed
+    # intermediate doubles plan nesting and Catalyst compile time
+    # dominates at fixpoint scale. Checkpoint eagerly, probe, repeat.
     fp = _fingerprint(e)
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(e)).localCheckpoint()
