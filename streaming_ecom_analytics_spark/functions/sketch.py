@@ -132,3 +132,49 @@ def windowed_count_min(
             "c",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count rollups
+# ---------------------------------------------------------------------------
+
+
+def hll_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One Apache DataSketches HLL sketch per group over ``item_col``.
+
+    The sketch column is a binary blob of ≤ 2^lg_k registers, built by
+    Spark's JVM-side ``hll_sketch_agg`` — fixed-size partial state per
+    group no matter how many rows feed it, and mergeable with
+    :func:`hll_rollup`. This is the scale answer to COUNT(DISTINCT) at
+    coarser grains: sketch ONCE at the fine grain (e.g. per day while
+    ingesting), then every coarser rollup (month, quarter, all-time) is
+    a union of the tiny sketch table instead of a rescan of the corpus.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(item_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    *,
+    sketch_col: str = "hll",
+    estimate_alias: str = "approx_distinct",
+) -> DataFrame:
+    """Merge fine-grain HLL sketches to a coarser grain and estimate.
+
+    Input is :func:`hll_sketches` output; ``group_cols`` are the coarser
+    keys (already-present columns or expressions aliased upstream).
+    The union is associative and loss-free across sketches, so rolling
+    day → month → year re-reads only sketch rows, never raw data.
+    """
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(estimate_alias)
+    )

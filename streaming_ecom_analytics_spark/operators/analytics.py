@@ -1,0 +1,208 @@
+"""Customer-analytics operators: cohort retention, RFM segmentation,
+and rolling anomaly detection over the event stream.
+
+These extend the reference's reporting family (six nightly aggregates in
+snowflake_refresh.py:5-80) with the next tier of e-commerce analytics a
+warehouse user would reach for — expressed as composable lazy DataFrame
+transforms over the same events table.
+
+Scale notes (100 TB posture):
+- cohort_retention: two hash aggregates (per-user min, then per-cell
+  count) — both shuffle on bounded keys (user_id, then ~days² cells);
+  the cohort-size join broadcasts (one row per cohort day).
+- rfm_segments: one per-user aggregate, then two broadcast joins against
+  1-row frames (reference day, quartile thresholds). The thresholds come
+  from a scalar exact-percentile aggregate — NOT a global ntile window,
+  which would funnel every row through one partition; percentile is a
+  two-phase aggregate and keeps the plan fully parallel.
+- revenue_anomalies: the rolling window runs over the PRE-AGGREGATED
+  daily series (one row per day — 3.7k rows per decade, regardless of
+  fact-table size), so the unpartitioned window is tiny by construction.
+  Mean/variance derive from exact DECIMAL window sums rather than the
+  engine's stddev so the z-scores are bit-reproducible across engines
+  (same IEEE expression on the same exact inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _day(ts_col: str) -> Column:
+    return F.date_trunc("day", F.col(ts_col))
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Day-grain cohort retention matrix.
+
+    Users are cohorted by their first-activity day; each (cohort_day,
+    day_offset) cell counts distinct users from that cohort active
+    ``day_offset`` days later, plus the retained fraction of the
+    cohort's size.
+    """
+    day = _day(ts_col).alias("activity_day")
+    first_seen = events.groupBy(user_col).agg(F.min(_day(ts_col)).alias("cohort_day"))
+    activity = events.select(F.col(user_col), day).distinct()
+    cells = (
+        activity.join(first_seen, on=user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("activity_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+    sizes = cells.where(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("active_users").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), on="cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    price_col: str = "value",
+    purchase_type: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation.
+
+    Recency is days since the user's last purchase relative to the
+    corpus's most recent purchase day; frequency is purchase count;
+    monetary is exact-decimal revenue. Each metric is scored 1-4 by
+    exact-percentile quartile thresholds (recency inverted: recent =
+    high score), and users land in a named segment.
+    """
+    purchases = events.filter(F.col(type_col) == purchase_type)
+    per_user = purchases.groupBy(user_col).agg(
+        F.max(_day(ts_col)).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col(price_col).cast("decimal(18,2)")).cast("double"), 2).alias(
+            "monetary"
+        ),
+    )
+    ref = purchases.agg(F.max(_day(ts_col)).alias("ref_day"))
+    metrics = (
+        per_user.join(F.broadcast(ref))
+        .select(
+            F.col(user_col),
+            F.datediff(F.col("ref_day"), F.col("last_day")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    # Quartile thresholds as ONE scalar aggregate row (two-phase exact
+    # percentile — scale-safe, unlike a global ntile window). ROUND(6)
+    # absorbs the ≤1-ulp interpolation difference vs DuckDB quantile_cont.
+    thresholds = metrics.agg(
+        *[
+            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{m[0]}{int(q * 100)}")
+            for m in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def _score_desc(col: str, p: str) -> Column:  # lower is better (recency)
+        return (
+            F.when(F.col(col) <= F.col(f"{p}25"), 4)
+            .when(F.col(col) <= F.col(f"{p}50"), 3)
+            .when(F.col(col) <= F.col(f"{p}75"), 2)
+            .otherwise(1)
+        )
+
+    def _score_asc(col: str, p: str) -> Column:  # higher is better
+        return (
+            F.when(F.col(col) > F.col(f"{p}75"), 4)
+            .when(F.col(col) > F.col(f"{p}50"), 3)
+            .when(F.col(col) > F.col(f"{p}25"), 2)
+            .otherwise(1)
+        )
+
+    scored = metrics.join(F.broadcast(thresholds)).select(
+        F.col(user_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score_desc("recency_days", "r").alias("r_score"),
+        _score_asc("frequency", "f").alias("f_score"),
+        _score_asc("monetary", "m").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "recent")
+        .otherwise("hibernating")
+        .alias("segment"),
+    )
+
+
+def revenue_anomalies(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    purchase_type: str = "purchase",
+    type_col: str = "event_type",
+    trailing_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Daily revenue with a trailing-window z-score anomaly flag.
+
+    The mean and variance come from exact DECIMAL window sums
+    (sum, sum-of-squares) rather than the engine's stddev aggregate, so
+    the z-score is the same IEEE-double expression over the same exact
+    inputs on any engine — bit-reproducible, hence oracle-hashable.
+    z is NULL until the trailing window is fully populated and when the
+    window variance is zero.
+    """
+    daily = (
+        events.filter(F.col(type_col) == purchase_type)
+        .groupBy(_day(ts_col).alias("event_date"))
+        .agg(
+            F.round(F.sum(F.col(price_col).cast("decimal(18,2)")).cast("double"), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    rev_dec = F.col("revenue").cast("decimal(18,2)")
+    w = Window.orderBy("event_date").rowsBetween(-(trailing_days - 1), 0)
+    stats = daily.select(
+        "event_date",
+        "revenue",
+        F.count("*").over(w).alias("n"),
+        F.sum(rev_dec).over(w).cast("double").alias("s1"),
+        F.sum(rev_dec * rev_dec).over(w).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = F.when(
+        (F.col("n") >= trailing_days) & (var > 0),
+        F.round((F.col("revenue") - mean) / F.sqrt(var), 6),
+    )
+    return stats.select(
+        "event_date",
+        "revenue",
+        F.round(mean, 6).alias("trailing_mean"),
+        z.alias("z_score"),
+        F.when(z.isNotNull() & (F.abs(z) > z_threshold), 1).otherwise(0).alias(
+            "is_anomaly"
+        ),
+    )

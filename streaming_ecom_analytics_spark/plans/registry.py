@@ -353,4 +353,5 @@ from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401
     extension_queries,
     relational_queries,
     streaming_queries,
+    warehouse_queries,
 )

@@ -1,0 +1,254 @@
+"""Warehouse-tier queries: cohort retention, RFM segmentation, rolling
+anomaly detection, CDC merge apply, SCD2 history, HLL distinct rollups.
+
+These extend the reference's nightly reporting family
+(snowflake_refresh.py:5-80) with the warehouse operations its Snowflake
+target provides natively (MERGE, window analytics) — re-expressed as
+engine operators so a reference user migrating here keeps them.
+
+Oracle conventions follow plans/registry.py (identical aliases, day-
+truncated TIMESTAMP grains, DECIMAL money sums, CASE chains written
+identically on both engines). The HLL rollup is rows-only: the sketch
+estimate is engine-specific (DataSketches HLL), verified instead by a
+unit-test error bound against exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark import catalog
+from streaming_ecom_analytics_spark.functions import sketch
+from streaming_ecom_analytics_spark.operators import analytics, cdc
+from streaming_ecom_analytics_spark.plans.registry import register
+
+_COHORT_ORACLE = """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS activity_day
+      FROM events
+    ),
+    cells AS (
+      SELECT fs.cohort_day,
+             date_diff('day', fs.cohort_day, act.activity_day) AS day_offset,
+             COUNT(*) AS active_users
+      FROM act JOIN fs USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_day, active_users AS cohort_size FROM cells WHERE day_offset = 0
+    )
+    SELECT c.cohort_day, c.day_offset, c.active_users, s.cohort_size,
+           ROUND(c.active_users / s.cohort_size, 6) AS retention
+    FROM cells c JOIN sizes s USING (cohort_day)
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention matrix over the events table."""
+    return analytics.cohort_retention(catalog.events(spark, sf_dir))
+
+
+_RFM_ORACLE = """
+    WITH purchases AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+      SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS monetary
+      FROM purchases GROUP BY user_id
+    ),
+    ref AS (SELECT MAX(day) AS ref_day FROM purchases),
+    metrics AS (
+      SELECT user_id,
+             date_diff('day', last_day, ref_day) AS recency_days,
+             frequency, monetary
+      FROM per_user CROSS JOIN ref
+    ),
+    thr AS (
+      SELECT ROUND(quantile_cont(recency_days, 0.25), 6) AS r25,
+             ROUND(quantile_cont(recency_days, 0.50), 6) AS r50,
+             ROUND(quantile_cont(recency_days, 0.75), 6) AS r75,
+             ROUND(quantile_cont(frequency, 0.25), 6) AS f25,
+             ROUND(quantile_cont(frequency, 0.50), 6) AS f50,
+             ROUND(quantile_cont(frequency, 0.75), 6) AS f75,
+             ROUND(quantile_cont(monetary, 0.25), 6) AS m25,
+             ROUND(quantile_cont(monetary, 0.50), 6) AS m50,
+             ROUND(quantile_cont(monetary, 0.75), 6) AS m75
+      FROM metrics
+    ),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             CASE WHEN recency_days <= r25 THEN 4
+                  WHEN recency_days <= r50 THEN 3
+                  WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency > f75 THEN 4
+                  WHEN frequency > f50 THEN 3
+                  WHEN frequency > f25 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary > m75 THEN 4
+                  WHEN monetary > m50 THEN 3
+                  WHEN monetary > m25 THEN 2 ELSE 1 END AS m_score
+      FROM metrics CROSS JOIN thr
+    )
+    SELECT *,
+           CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'recent'
+                ELSE 'hibernating' END AS segment
+    FROM scored
+"""
+
+
+@register("rfm_segments", _RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile RFM quartile segmentation of purchasers."""
+    return analytics.rfm_segments(catalog.events(spark, sf_dir))
+
+
+_ANOMALY_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT event_date, revenue,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2)) * CAST(revenue AS DECIMAL(18,2)))
+                  OVER w AS DOUBLE) AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY event_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_date, revenue,
+           ROUND(s1 / n, 6) AS trailing_mean,
+           CASE WHEN n >= 7 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                THEN ROUND((revenue - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+                END AS z_score,
+           CASE WHEN n >= 7 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                 AND abs((revenue - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM stats
+"""
+
+
+@register("revenue_anomaly_zscore", _ANOMALY_ORACLE)
+def q_revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day z-score anomaly flags on daily revenue."""
+    return analytics.revenue_anomalies(catalog.events(spark, sf_dir))
+
+
+_CDC_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate"
+
+_CDC_ORACLE = f"""
+    WITH base AS (
+      SELECT {_CDC_COLS} FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    ch AS (
+      SELECT {_CDC_COLS},
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3') THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    SELECT {_CDC_COLS} FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT {_CDC_COLS} FROM ch WHERE op <> 'D'
+"""
+
+
+@register("cdc_upsert", _CDC_ORACLE)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a derived change batch (25% deletes by key-hash, rest
+    upserts) onto the pre-1999 orders snapshot."""
+    cols = [c.strip() for c in _CDC_COLS.split(",")]
+    orders = catalog.load_table(spark, "orders", sf_dir).select(*cols)
+    cut = F.lit("1999-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cut)
+    changes = orders.filter(F.col("o_orderdate") >= cut).withColumn(
+        "op",
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            ),
+            "D",
+        ).otherwise("U"),
+    )
+    return cdc.apply_changes(
+        base, changes, key_cols=["o_orderkey"], seq_col="o_orderdate"
+    )
+
+
+_SCD2_ORACLE = f"""
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 80 THEN 'mid' ELSE 'high' END AS tier
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM obs
+    ),
+    chg AS (
+      SELECT user_id, tier, ts, event_id FROM marked
+      WHERE prev IS NULL OR prev <> tier
+    )
+    SELECT user_id, tier,
+           ts AS effective_from,
+           COALESCE(lead(ts) OVER w, TIMESTAMP '{cdc.SCD2_OPEN_END}') AS effective_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_user_tiers", _SCD2_ORACLE)
+def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity history of each purchaser's spend tier."""
+    obs = (
+        catalog.events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("value") < 20, "low")
+            .when(F.col("value") < 80, "mid")
+            .otherwise("high")
+            .alias("tier"),
+        )
+    )
+    return cdc.scd2_intervals(
+        obs, key_col="user_id", ts_col="ts", attr_col="tier", tiebreak_col="event_id"
+    )
+
+
+@register("approx_users_monthly_rollup", None)
+def q_approx_users_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct users: HLL sketches built per DAY, merged to
+    months — the rollup never rescans raw events (rows-only: the
+    DataSketches estimate is engine-specific; tests/test_sketch.py
+    bounds its error against exact counts)."""
+    ev = catalog.events(spark, sf_dir)
+    daily = sketch.hll_sketches(
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+        ["day"],
+        "user_id",
+    )
+    monthly = sketch.hll_rollup(
+        daily.select(F.date_trunc("month", "day").alias("month"), "hll"),
+        ["month"],
+        estimate_alias="approx_users",
+    )
+    exact = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return monthly.join(exact, on="month").select("month", "approx_users", "exact_users")

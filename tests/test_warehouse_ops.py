@@ -1,0 +1,208 @@
+"""Unit tests for the warehouse-tier operators: CDC merge apply, SCD2
+history, cohort/RFM/anomaly analytics, HLL rollups.
+
+Oracle parity for the registered queries lives in test_oracle_parity.py
+(registry-wide); these tests pin the operator SEMANTICS on purpose-built
+tiny frames — multi-change keys, delete/upsert ties, tier flip-flops,
+constant series — that the testdata does not guarantee to contain.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.functions import sketch
+from streaming_ecom_analytics_spark.operators import analytics, cdc
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# apply_changes
+# ---------------------------------------------------------------------------
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),  # update existing
+            (3, None, 1, "D"),  # delete existing
+            (4, "d", 1, "U"),  # insert new
+            (5, None, 1, "D"),  # delete of absent key = no-op
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    out = cdc.apply_changes(base, changes, key_cols=["k"], seq_col="seq")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "b2"), (4, "d")}
+
+
+def test_apply_changes_latest_seq_wins_and_tie_prefers_upsert(spark):
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (1, "x", 1, "U"),
+            (1, None, 2, "D"),
+            (1, "y", 3, "U"),  # highest seq → survives
+            (2, None, 7, "D"),
+            (2, "z", 7, "U"),  # same seq: 'U' > 'D' lexically → upsert wins
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    out = cdc.apply_changes(base, changes, key_cols=["k"], seq_col="seq")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "y"), (2, "z")}
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_versions_and_current_flag(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 10, "low"),
+        (1, _ts("2024-01-02T00:00:00"), 11, "low"),  # no change → absorbed
+        (1, _ts("2024-01-03T00:00:00"), 12, "high"),  # version 2
+        (1, _ts("2024-01-04T00:00:00"), 13, "low"),  # version 3 (flip back)
+        (2, _ts("2024-01-01T00:00:00"), 20, "mid"),  # single version
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "tier"])
+    out = cdc.scd2_intervals(
+        df, key_col="user_id", ts_col="ts", attr_col="tier", tiebreak_col="event_id"
+    )
+    got = {
+        (r.user_id, r.tier, r.effective_from.isoformat(), r.effective_to.isoformat(), r.is_current)
+        for r in out.collect()
+    }
+    open_end = _ts(cdc.SCD2_OPEN_END.replace(" ", "T")).isoformat()
+    assert got == {
+        (1, "low", "2024-01-01T00:00:00", "2024-01-03T00:00:00", 0),
+        (1, "high", "2024-01-03T00:00:00", "2024-01-04T00:00:00", 0),
+        (1, "low", "2024-01-04T00:00:00", open_end, 1),
+        (2, "mid", "2024-01-01T00:00:00", open_end, 1),
+    }
+
+
+def test_scd2_half_open_intervals_tile_without_gaps(spark):
+    # adjacent versions share the boundary instant: to = next.from
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "a"),
+        (1, _ts("2024-01-05T00:00:00"), 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "attr"])
+    out = cdc.scd2_intervals(
+        df, key_col="user_id", ts_col="ts", attr_col="attr", tiebreak_col="event_id"
+    ).orderBy("effective_from")
+    a, b = out.collect()
+    assert a.effective_to == b.effective_from
+
+
+# ---------------------------------------------------------------------------
+# analytics
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_counts_and_fraction(spark):
+    rows = [
+        # cohort day 1: users 1,2; day 2 retains only user 1
+        (1, _ts("2024-01-01T01:00:00")),
+        (2, _ts("2024-01-01T02:00:00")),
+        (1, _ts("2024-01-02T01:00:00")),
+        # user 3 starts day 2 → its own cohort
+        (3, _ts("2024-01-02T03:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r.cohort_day.date().isoformat(), r.day_offset): (
+            r.active_users,
+            r.cohort_size,
+            r.retention,
+        )
+        for r in analytics.cohort_retention(df).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-02", 0): (1, 1, 1.0),
+    }
+
+
+def test_rfm_scores_partition_users_sensibly(spark):
+    # 8 users with strictly increasing frequency/monetary and strictly
+    # decreasing recency → every user's three scores must agree, and the
+    # quartiles must split 8 users into 4 score buckets of 2.
+    rows = []
+    for u in range(8):
+        for p in range(u + 1):  # frequency = u+1
+            rows.append(
+                (u, _ts(f"2024-01-{u + 1:02d}T00:00:00"), "purchase", 10.0)
+            )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    out = analytics.rfm_segments(df).collect()
+    assert len(out) == 8
+    by_user = {r.user_id: r for r in out}
+    for u, r in by_user.items():
+        assert r.r_score == r.f_score == r.m_score, r
+    from collections import Counter
+
+    counts = Counter(r.r_score for r in out)
+    assert counts == {1: 2, 2: 2, 3: 2, 4: 2}
+    assert by_user[7].segment == "loyal"
+    assert by_user[0].segment == "hibernating"
+
+
+def test_revenue_anomalies_flags_spike_not_constant(spark):
+    # 9 constant days then one 10x spike: constant window → zero
+    # variance → z NULL; the spike day must flag.
+    rows = []
+    for d in range(1, 10):
+        rows.append((_ts(f"2024-01-{d:02d}T12:00:00"), "purchase", 100.0))
+    rows.append((_ts("2024-01-10T12:00:00"), "purchase", 1000.0))
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = {r.event_date.date().isoformat(): r for r in analytics.revenue_anomalies(df).collect()}
+    assert out["2024-01-05"].z_score is None  # constant window
+    spike = out["2024-01-10"]
+    assert spike.is_anomaly == 1 and spike.z_score > 2
+    assert all(r.is_anomaly == 0 for d, r in out.items() if d != "2024-01-10")
+
+
+# ---------------------------------------------------------------------------
+# HLL rollup
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_matches_exact_within_bound(spark):
+    # 3 days × overlapping user ranges; month estimate must be within
+    # the lg_k=12 error bound (~1.6% rel. std error; assert 5%).
+    rows = [
+        (d, u)
+        for d, lo, hi in [(1, 0, 4000), (2, 2000, 6000), (3, 4000, 8000)]
+        for u in range(lo, hi)
+    ]
+    df = spark.createDataFrame(rows, ["day", "user_id"])
+    daily = sketch.hll_sketches(df, ["day"], "user_id")
+    assert daily.count() == 3
+    total = sketch.hll_rollup(
+        daily.select(F.lit(1).alias("all"), "hll"), ["all"]
+    ).collect()[0]
+    assert abs(total.approx_distinct - 8000) / 8000 < 0.05
+
+
+def test_hll_rollup_is_merge_not_sum(spark):
+    # duplicated users across days must NOT double count
+    df = spark.createDataFrame(
+        [(d, u) for d in (1, 2, 3) for u in range(1000)], ["day", "user_id"]
+    )
+    daily = sketch.hll_sketches(df, ["day"], "user_id")
+    total = sketch.hll_rollup(
+        daily.select(F.lit(1).alias("all"), "hll"), ["all"]
+    ).collect()[0]
+    assert abs(total.approx_distinct - 1000) / 1000 < 0.05
