@@ -178,3 +178,100 @@ def hll_rollup(
     return sketches.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(estimate_alias)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set-membership prefilter as a DataFrame of set bits
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Build a Bloom filter over ``col`` as a DataFrame of set bit
+    positions (single ``idx`` column, ≤ n_bits rows).
+
+    Same grid-as-DataFrame idea as the count-min builder: the filter is
+    the DISTINCT of each item's ``n_hashes`` cell indices — fixed-size
+    no matter the corpus (partial distinct caps map-side state at
+    n_bits), and mergeable across corpora by union+distinct. Spark's
+    own runtime bloom pruning (spark.sql.optimizer.runtime.bloomFilter)
+    is planner-internal and join-local; this one is an explicit,
+    storable, shippable artifact — build once against a 100 TB corpus,
+    persist the (few-MB) bit table, prefilter any later scan with it.
+    """
+    return (
+        df.select(
+            F.explode(
+                F.array(*_cells(F.col(col), depth=n_hashes, width=n_bits, seed=seed))
+            ).alias("cell")
+        )
+        .select(F.col("cell.idx").alias("idx"))
+        .distinct()
+    )
+
+
+def bloom_contains_keys(
+    keys: DataFrame,
+    bits: DataFrame,
+    col: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Keys from ``keys`` that the Bloom filter MIGHT contain.
+
+    No false negatives (every inserted key survives); false-positive
+    rate ≈ (1 - e^{-kn/m})^k. The bit table broadcasts; the probe is a
+    broadcast join + one count-per-key aggregate (a key passes iff all
+    ``n_hashes`` of its cells are set).
+    """
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(*_cells(F.col(col), depth=n_hashes, width=n_bits, seed=seed))
+        ).alias("cell"),
+    ).select(F.col(col), F.col("cell.idx").alias("idx"))
+    return (
+        probes.join(F.broadcast(bits), on="idx")
+        .groupBy(col)
+        .agg(F.count("*").alias("__hits"))
+        .where(F.col("__hits") == n_hashes)
+        .select(col)
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Semi join accelerated by a Bloom prefilter on the big side.
+
+    Exact result (equals ``big.join(small, on, "left_semi")``): the
+    bloom pass drops the (vast) non-matching majority of ``big``'s keys
+    with a broadcast probe — no shuffle of the fact table — and only
+    the few survivors (matches + false positives) go through the exact
+    semi join that removes the false positives. At 100 TB this turns a
+    full-fact-table shuffle into a shuffle of ~|matches| rows.
+    """
+    bits = bloom_bits(small, on, n_bits=n_bits, n_hashes=n_hashes, seed=seed)
+    big_keys = big.select(on).distinct()
+    maybe = bloom_contains_keys(
+        big_keys, bits, on, n_bits=n_bits, n_hashes=n_hashes, seed=seed
+    )
+    confirmed = maybe.join(small.select(on).distinct(), on=on, how="left_semi")
+    # No forced broadcast: the bloom path earns its keep exactly when
+    # the small side (hence `confirmed`) may exceed broadcast size —
+    # only the bounded bit table must broadcast. AQE picks the strategy.
+    return big.join(confirmed, on=on, how="left_semi")

@@ -252,3 +252,74 @@ def q_approx_users_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("user_id").alias("exact_users")
     )
     return monthly.join(exact, on="month").select("month", "approx_users", "exact_users")
+
+
+_INCR_ORACLE = """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue,
+           COUNT(*) AS n_purchases,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_purchase
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@register("incremental_daily_revenue", _INCR_ORACLE)
+def q_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue maintained INCREMENTALLY: the history is split into
+    a 'stored snapshot' batch and a 'delta' batch at an arbitrary cut,
+    each reduced to additive DECIMAL partials, then merged with
+    operators/incremental.py. The oracle is the full recompute over all
+    events — green means the incremental path is bit-identical to the
+    from-scratch aggregate (associativity over any batch slicing)."""
+    from streaming_ecom_analytics_spark.operators import incremental
+
+    ev = catalog.events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    measures = {
+        "rev_sum": F.sum(F.col("value").cast("decimal(18,2)")),
+        "n_purchases": F.count("*"),
+    }
+    key = F.date_trunc("day", "ts").alias("event_date")
+    snapshot = incremental.partial_aggregate(ev.filter(F.col("ts") < cut), [key], measures)
+    delta = incremental.partial_aggregate(ev.filter(F.col("ts") >= cut), [key], measures)
+    merged = incremental.combine_partials(
+        snapshot, delta, ["event_date"], ["rev_sum", "n_purchases"]
+    )
+    return merged.select(
+        "event_date",
+        F.round(F.col("rev_sum").cast("double"), 2).alias("total_revenue"),
+        F.col("n_purchases"),
+        F.round(F.col("rev_sum").cast("double") / F.col("n_purchases"), 6).alias(
+            "avg_purchase"
+        ),
+    )
+
+
+_BLOOM_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'AUTOMOBILE'
+    )
+"""
+
+
+@register("bloom_filtered_orders", _BLOOM_ORACLE)
+def q_bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join accelerated by an explicit Bloom prefilter: the
+    automobile-segment customer keys build a broadcastable bit table
+    that drops non-matching orders before the exact semi join. Oracle =
+    the plain EXISTS semi join, so the bloom stage must be invisible in
+    the result (no false negatives, false positives exactly removed)."""
+    orders = catalog.load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    autos = (
+        catalog.load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return sketch.bloom_semi_join(orders, autos, on="o_custkey", n_bits=1 << 16)

@@ -206,3 +206,71 @@ def test_hll_rollup_is_merge_not_sum(spark):
         daily.select(F.lit(1).alias("all"), "hll"), ["all"]
     ).collect()[0]
     assert abs(total.approx_distinct - 1000) / 1000 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    inserted = spark.range(0, 2000).selectExpr("id AS k")
+    bits = sketch.bloom_bits(inserted, "k", n_bits=1 << 16, n_hashes=5)
+    # every inserted key must pass
+    assert (
+        sketch.bloom_contains_keys(inserted, bits, "k", n_bits=1 << 16, n_hashes=5).count()
+        == 2000
+    )
+    # disjoint probes: fp rate ≈ (1-e^{-kn/m})^k ≈ 2e-5 at n=2000,
+    # m=65536, k=5; assert a slack bound
+    absent = spark.range(1_000_000, 1_010_000).selectExpr("id AS k")
+    fp = sketch.bloom_contains_keys(absent, bits, "k", n_bits=1 << 16, n_hashes=5).count()
+    assert fp < 50
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    big = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS payload")
+    small = spark.range(0, 5000, 7).selectExpr("id AS k")  # every 7th key
+    got = sketch.bloom_semi_join(big, small, on="k", n_bits=1 << 14)
+    want = big.join(small, on="k", how="left_semi")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_combine_partials_associative_over_any_slicing(spark):
+    from streaming_ecom_analytics_spark.operators import incremental
+
+    rows = [(i % 5, float(i) + 0.17) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    measures = {
+        "s": F.sum(F.col("v").cast("decimal(18,2)")),
+        "n": F.count("*"),
+    }
+    full = incremental.partial_aggregate(df, ["k"], measures)
+
+    # slice three ways, fold pairwise in arbitrary order
+    a = incremental.partial_aggregate(df.filter("v < 50"), ["k"], measures)
+    b = incremental.partial_aggregate(df.filter("v >= 50 AND v < 120"), ["k"], measures)
+    c = incremental.partial_aggregate(df.filter("v >= 120"), ["k"], measures)
+    merged = incremental.combine_partials(
+        incremental.combine_partials(c, a, ["k"], ["s", "n"]), b, ["k"], ["s", "n"]
+    )
+    f = {(r.k): (str(r.s), r.n) for r in full.collect()}
+    m = {(r.k): (str(r.s), r.n) for r in merged.collect()}
+    assert f == m
+
+
+def test_combine_partials_passes_through_one_sided_keys(spark):
+    from streaming_ecom_analytics_spark.operators import incremental
+
+    snap = spark.createDataFrame([(1, 10, 2)], ["k", "s", "n"])
+    delta = spark.createDataFrame([(2, 5, 1)], ["k", "s", "n"])
+    out = {
+        r.k: (r.s, r.n)
+        for r in incremental.combine_partials(snap, delta, ["k"], ["s", "n"]).collect()
+    }
+    assert out == {1: (10, 2), 2: (5, 1)}
