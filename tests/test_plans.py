@@ -243,3 +243,63 @@ def test_time_rollup_reaggregates_from_cache(spark):
     file scan executes once and all reuse goes through the cache)."""
     plan = _plan(spark, "revenue_time_rollup")
     assert plan.count("InMemoryTableScan") >= 4  # hour×2, day×2
+
+
+def test_rfm_avoids_global_window(spark):
+    """RFM quartiles must come from a scalar percentile aggregate, NOT
+    a global ntile window — an empty-partition-spec Window funnels the
+    whole user table through one task at scale."""
+    plan = _plan(spark, "rfm_segments")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold joins
+
+
+def test_cohort_retention_broadcasts_cohort_sizes(spark):
+    plan = _plan(spark, "cohort_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_window_is_over_daily_grain_only(spark):
+    """The (tiny-by-construction) global window must sit ABOVE the
+    daily aggregate — i.e. exactly one Window, fed by a HashAggregate,
+    with the event_type filter still pushed to the scan."""
+    plan = _plan(spark, "revenue_anomaly_zscore")
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_cdc_upsert_no_global_sort(spark):
+    """MERGE apply: per-key window for latest-change, no global Sort
+    over the snapshot, scan filters pushed."""
+    plan = _plan(spark, "cdc_upsert")
+    # Sort nodes must all be local (window/SMJ partition-local sorts)
+    assert "Sort [" not in plan or "global=true" not in plan.split("Sort [", 1)[1][:120].replace(" ", "")
+    assert "PushedFilters" in plan
+
+
+def test_bloom_semi_join_broadcasts_bits_not_facts(spark):
+    """The bloom probe must broadcast the bit table; the orders fact
+    table must not appear on a broadcast side."""
+    plan = _plan(spark, "bloom_filtered_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # final exact semi join present
+    assert "LeftSemi" in plan
+
+
+def test_incremental_merge_is_one_aggregate_over_union(spark):
+    """Snapshot+delta merge = union + keyed hash aggregate; partial
+    aggregation must compress map-side (two-phase)."""
+    plan = _plan(spark, "incremental_daily_revenue")
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_hll_rollup_reaggregates_sketches_not_rows(spark):
+    """The month rollup's input is the day-grain sketch table (union of
+    fixed-size blobs), not a rescan: two aggregate layers stacked."""
+    plan = _plan(spark, "approx_users_monthly_rollup")
+    assert "hll_union_agg" in plan or "HllUnionAgg" in plan or "hll" in plan.lower()
+    assert plan.count("HashAggregate") >= 4  # day partial/final + month partial/final
