@@ -201,3 +201,31 @@ def q_cms_event_types_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=None,
         width=256,
     )
+
+
+@register(
+    "click_purchase_attribution_pairs",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_click_purchase_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (streaming/joins.py): every (click, purchase-within-30-min) pair
+    per user. The identical plan runs as a watermarked stream-stream
+    join on readStream input — asserted equal in tests/test_streaming.py."""
+    from streaming_ecom_analytics_spark.streaming import joins
+
+    return joins.attribute_purchases_to_clicks(
+        catalog.events(spark, sf_dir), within="30 minutes", watermark=None
+    )

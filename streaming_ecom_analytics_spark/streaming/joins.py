@@ -1,0 +1,90 @@
+"""Stream-stream joins: click→purchase attribution within a time bound.
+
+The reference's Flink layer is prose-specified as per-stream windowed
+aggregation only (README.md:47,51); real-time attribution (join the
+purchase stream back to the click that led to it) is the natural next
+query a user of that bus asks for, and Structured Streaming supports it
+natively: both sides watermarked, join condition carrying a time range
+so the state store can evict rows once the other stream's watermark
+passes them (Spark SS stream-stream join semantics).
+
+The SAME function works on batch frames (pass ``watermark=None``):
+logical plan identity is the engine's core testing trick — the batch
+twin is the DuckDB-checkable oracle for the streaming plan.
+
+Scale notes (100 TB posture): state per side is bounded by
+watermark + ``within`` horizon, keyed by user — eviction is by event
+time, not count. The join shuffles both streams on user_id once;
+parallelism = shuffle partitions, skew bounded by per-user fan-in
+within the horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribute_purchases_to_clicks(
+    events: DataFrame,
+    *,
+    within: str = "30 minutes",
+    watermark: str | None = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    click_type: str = "click",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Every (click, later purchase) pair of the same user within
+    ``within`` — the raw attribution pair stream.
+
+    One input frame (batch or streaming source); the two sides are
+    filtered views of it. For streaming input, both sides carry the
+    watermark and the BETWEEN condition bounds join state.
+    """
+    clicks = _side(events, click_type, watermark, ts_col, user_col, type_col, "click")
+    purchases = _side(
+        events, purchase_type, watermark, ts_col, user_col, type_col, "purchase"
+    )
+    cond = (
+        (clicks["__u"] == purchases["__u"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return (
+        clicks.join(purchases, on=cond, how="inner")
+        .select(
+            clicks["__u"].alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
+def _side(
+    events: DataFrame,
+    event_type: str,
+    watermark: str | None,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    prefix: str,
+) -> DataFrame:
+    side = events.filter(F.col(type_col) == event_type)
+    if watermark:
+        side = side.withWatermark(ts_col, watermark)
+    cols = [
+        F.col(user_col).alias("__u"),
+        F.col("event_id").alias(f"{prefix}_id"),
+        F.col(ts_col).alias(f"{prefix}_ts"),
+    ]
+    if prefix == "purchase":
+        cols.append(F.col("value").alias("purchase_value"))
+    return side.select(*cols)

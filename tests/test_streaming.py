@@ -195,3 +195,51 @@ def test_windowed_count_min_streaming_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    from streaming_ecom_analytics_spark.streaming import joins
+
+    # own fixture: the shared one has no view→later-purchase pair.
+    # user 1: views t0,t2 → purchase t5 (2 pairs, purchase in a LATER
+    # micro-batch than the clicks — exercises buffered join state);
+    # user 2: purchase t1 precedes its view t3 → no pair from t1, but
+    # view t3 → purchase t10 pairs across batches 1→2.
+    batches = [
+        [(1, _t(0), 1, "view", 1.0, "{}"), (2, _t(1), 2, "purchase", 9.0, "{}")],
+        [(3, _t(2), 1, "view", 1.0, "{}"), (4, _t(3), 2, "view", 1.0, "{}")],
+        [(5, _t(5), 1, "purchase", 30.0, "{}"), (6, _t(10), 2, "purchase", 40.0, "{}")],
+    ]
+    d = tmp_path / "attr_events"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch_{i}"), mode="overwrite"
+        )
+    events_dir = str(d)
+    stream = _stream(spark, events_dir)
+    pairs = joins.attribute_purchases_to_clicks(
+        stream, within="30 minutes", watermark="1 hour", click_type="view"
+    )
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_attr_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_attr_out").collect()
+    }
+    batch = spark.read.parquet(events_dir + "/*")
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in joins.attribute_purchases_to_clicks(
+            batch, within="30 minutes", watermark=None, click_type="view"
+        ).collect()
+    }
+    # streaming may drop pairs whose click arrived later than the
+    # watermark allows; with this fixture nothing qualifying is late,
+    # so the sets must be equal and non-empty
+    assert got == want and len(got) > 0
