@@ -245,3 +245,49 @@ def dedup_keep_best(
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    *,
+    weight_col,
+    id_col: str = "doc_id",
+    n_per_group: int = 30,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirtsis A-ES),
+    deterministic and engine-reproducible.
+
+    Each row draws a pseudo-uniform u ∈ (0, 1] from md5(id) — the same
+    32 hex-derived bits on any engine — and ranks by ln(u)/w (the A-ES
+    key: selecting the top-n by u^(1/w) ⇔ by ln(u)/w since ln u ≤ 0).
+    The chance of selection is proportional to weight, the draw is
+    rerun-stable (no RNG state), and the whole thing is built-in column
+    expressions.
+
+    This is the domain-mixture op of a training-data pipeline: weight
+    documents by quality/length/source priors and draw a fixed-size
+    mixture per language or per domain. One shuffle on the group key
+    (or one TakeOrderedAndProject when ungrouped); WindowGroupLimit
+    keeps only n rows per group during the sort.
+    """
+    from pyspark.sql import Window
+
+    # u in (0,1]: 32 bits of md5 + 1, over 2^32 — never 0, so ln is finite
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    if not group_cols:
+        # global sample: orderBy+limit fuses to TakeOrderedAndProject —
+        # no single-partition window, no full sort materialization
+        return docs.orderBy(key.desc(), F.col(id_col).asc()).limit(n_per_group)
+    w = Window.partitionBy(*group_cols).orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

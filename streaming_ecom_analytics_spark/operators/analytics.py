@@ -206,3 +206,33 @@ def revenue_anomalies(
             "is_anomaly"
         ),
     )
+
+
+def mad_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Robust dispersion per group: median and median-absolute-deviation.
+
+    Outlier-resistant counterpart to mean/stddev — two exact-percentile
+    aggregates (both two-phase, parallel) with one equi-join on the
+    group key between them; the group-median frame is tiny and
+    broadcasts. ROUND(6) absorbs ≤1-ulp interpolation differences
+    between engines' linear-interpolated medians.
+    """
+    med = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("median_value")
+    )
+    return (
+        df.join(F.broadcast(med), on=group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.first("median_value"), 6).alias("median_value"),
+            F.round(
+                F.expr(f"percentile(abs({value_col} - median_value), 0.5)"), 6
+            ).alias("mad"),
+            F.count("*").alias("n"),
+        )
+    )

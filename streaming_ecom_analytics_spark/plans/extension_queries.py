@@ -828,3 +828,36 @@ def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = cms.estimate_counts(sk, top.select("term"), "term", depth=5, width=4096)
     return top.join(est, on="term").select("term", "exact_count", "est_count")
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars + 1 AS DOUBLE) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+      FROM keyed
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= 30
+"""
+
+
+@register("domain_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def q_domain_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample (Efraimidis-Spirtsis A-ES), longer
+    documents proportionally likelier — the domain-mixture draw of a
+    training-data pipeline, deterministic from md5 bits so any engine
+    reproduces the same mixture."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    docs = catalog.load_table(spark, "documents", sf_dir).select(
+        "lang", "doc_id", (F.col("n_chars") + 1).alias("w")
+    )
+    return curate.weighted_sample(
+        docs, weight_col="w", id_col="doc_id", n_per_group=30, group_cols=("lang",)
+    ).select("lang", "doc_id")

@@ -323,3 +323,27 @@ def q_bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("o_custkey"))
     )
     return sketch.bloom_semi_join(orders, autos, on="o_custkey", n_bits=1 << 16)
+
+
+_MAD_ORACLE = """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS median_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(MAX(m.median_value), 6) AS median_value,
+           ROUND(quantile_cont(abs(e.value - m.median_value), 0.5), 6) AS mad,
+           COUNT(*) AS n
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
+@register("value_mad_by_type", _MAD_ORACLE)
+def q_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type dispersion: median and median absolute deviation
+    of event value — two parallel exact-percentile aggregates with a
+    broadcast of the tiny group-median frame."""
+    return analytics.mad_by_group(
+        catalog.events(spark, sf_dir), group_col="event_type", value_col="value"
+    )

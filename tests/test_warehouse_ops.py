@@ -274,3 +274,53 @@ def test_combine_partials_passes_through_one_sided_keys(spark):
         for r in incremental.combine_partials(snap, delta, ["k"], ["s", "n"]).collect()
     }
     assert out == {1: (10, 2), 2: (5, 1)}
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES) and robust stats
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_is_deterministic_and_biased_by_weight(spark):
+    from streaming_ecom_analytics_spark.functions import curate
+
+    # two weight classes: ids 0..499 weight 1, ids 500..999 weight 20 —
+    # the heavy class must dominate the sample but the draw stays
+    # without-replacement and rerun-stable
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CASE WHEN id >= 500 THEN 20.0 ELSE 1.0 END AS w"
+    )
+    s1 = curate.weighted_sample(df, weight_col="w", id_col="doc_id", n_per_group=100)
+    s2 = curate.weighted_sample(df, weight_col="w", id_col="doc_id", n_per_group=100)
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids2 = {r.doc_id for r in s2.collect()}
+    assert ids1 == ids2 and len(ids1) == 100
+    heavy = sum(1 for i in ids1 if i >= 500)
+    # E[heavy] ≈ 95 under A-ES with 20:1 weights; demand a clear majority
+    assert heavy > 75
+
+
+def test_weighted_sample_grouped_caps_per_group(spark):
+    from streaming_ecom_analytics_spark.functions import curate
+
+    df = spark.range(300).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS g", "1.0 AS w"
+    )
+    out = curate.weighted_sample(
+        df, weight_col="w", id_col="doc_id", n_per_group=10, group_cols=("g",)
+    )
+    from collections import Counter
+
+    counts = Counter(r.g for r in out.collect())
+    assert counts == {"0": 10, "1": 10, "2": 10}
+
+
+def test_mad_by_group_robust_to_outlier(spark):
+    # group a: 1..9 plus a huge outlier — median 5.5? (10 values) and
+    # MAD must stay small; stddev would explode
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1e9)]
+    rows += [("b", 7.0)] * 5
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in analytics.mad_by_group(df, group_col="g", value_col="v").collect()}
+    assert out["a"].median_value == 5.5 and out["a"].mad < 5
+    assert out["b"].median_value == 7.0 and out["b"].mad == 0.0 and out["b"].n == 5
