@@ -236,3 +236,57 @@ def mad_by_group(
             F.count("*").alias("n"),
         )
     )
+
+
+def item_cooccurrence(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_expr: Column | None = None,
+    purchase_type: str = "purchase",
+    type_col: str = "event_type",
+    min_support: int = 2,
+) -> DataFrame:
+    """'Customers who bought X also bought Y': item co-purchase counts
+    with cosine similarity over binary user-item vectors.
+
+    One distinct (user, item) pass, a self equi-join on the user key
+    (fan-out bounded by per-user basket size — the classic recommender
+    shape), one pair aggregate, then two joins against the small
+    item-count frame. ``min_support`` prunes the pair tail early.
+    At 100 TB the skew knob is basket size, not item count: cap or
+    sample pathological baskets upstream if a bot user buys everything.
+    """
+    if item_expr is None:
+        item_expr = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ui = (
+        events.filter((F.col(type_col) == purchase_type) & item_expr.isNotNull())
+        .select(F.col(user_col).alias("u"), item_expr.alias("item"))
+        .distinct()
+    )
+    counts = ui.groupBy("item").agg(F.count("*").alias("n"))
+    a = ui.select(F.col("u"), F.col("item").alias("item_a"))
+    b = ui.select(F.col("u"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, on="u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    ca = counts.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ca, on="item_a")
+        .join(cb, on="item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(F.col("n_both") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias(
+                "cosine"
+            ),
+        )
+    )

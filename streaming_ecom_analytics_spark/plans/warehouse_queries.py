@@ -347,3 +347,33 @@ def q_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.mad_by_group(
         catalog.events(spark, sf_dir), group_col="event_type", value_col="value"
     )
+
+
+_COOC_ORACLE = """
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    cnt AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT item_a, item_b, ca.n AS n_a, cb.n AS n_b, n_both,
+           ROUND(n_both / sqrt(ca.n * cb.n), 6) AS cosine
+    FROM pairs
+    JOIN cnt ca ON ca.item = item_a
+    JOIN cnt cb ON cb.item = item_b
+"""
+
+
+@register("item_cooccurrence", _COOC_ORACLE)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase recommender pairs over the category payload
+    (props->k), min support 5."""
+    return analytics.item_cooccurrence(catalog.events(spark, sf_dir), min_support=5)

@@ -324,3 +324,22 @@ def test_mad_by_group_robust_to_outlier(spark):
     out = {r.g: r for r in analytics.mad_by_group(df, group_col="g", value_col="v").collect()}
     assert out["a"].median_value == 5.5 and out["a"].mad < 5
     assert out["b"].median_value == 7.0 and out["b"].mad == 0.0 and out["b"].n == 5
+
+
+def test_item_cooccurrence_counts_and_cosine(spark):
+    rows = [
+        # users 1,2 both buy items 10 and 20; user 3 buys only 10
+        (1, "purchase", '{"k": 10}'),
+        (1, "purchase", '{"k": 20}'),
+        (2, "purchase", '{"k": 10}'),
+        (2, "purchase", '{"k": 20}'),
+        (2, "purchase", '{"k": 20}'),  # duplicate purchase → still 1 user
+        (3, "purchase", '{"k": 10}'),
+        (3, "view", '{"k": 20}'),  # non-purchase ignored
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "props"])
+    out = analytics.item_cooccurrence(df, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.n_a, r.n_b, r.n_both) == (10, 20, 3, 2, 2)
+    assert abs(r.cosine - round(2 / (6**0.5), 6)) < 1e-9
