@@ -290,3 +290,57 @@ def item_cooccurrence(
             ),
         )
     )
+
+
+def histogram_fixed_width(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 25,
+) -> DataFrame:
+    """Fixed-width histogram over ``value_col`` with a zero-filled bin
+    spine (every bin present, empty ones at count 0).
+
+    Mirrors the profiling histograms warehouse engines expose (DuckDB
+    ``histogram()``, Snowflake APPROX_TOP_K plots) as one hash
+    aggregate: ``floor((v - lo) / width)`` clamped to ``[0, n_bins)``
+    is the grouping key, so the shuffle carries at most ``n_bins`` rows
+    per map partition. The spine is a broadcastable ``n_bins``-row
+    frame built from ``sequence()`` — the left join against it costs
+    nothing at any corpus size. Out-of-range values clamp into the edge
+    bins (DuckDB twin uses the same least/greatest expression).
+    """
+    if n_bins < 1 or hi <= lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    filled = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("bin_sum"),
+        )
+    )
+    spine = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
+        .select(F.col("bin").cast("long"))
+    )
+    return (
+        spine.join(filled, on="bin", how="left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(F.coalesce(F.col("bin_sum"), F.lit(0)).cast("double"), 2).alias(
+                "bin_sum"
+            ),
+        )
+    )

@@ -377,3 +377,32 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase recommender pairs over the category payload
     (props->k), min support 5."""
     return analytics.item_cooccurrence(catalog.events(spark, sf_dir), min_support=5)
+
+
+_HISTOGRAM_ORACLE = """
+    WITH spine AS (SELECT unnest(range(0, 25)) AS bin),
+    b AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0), 24) AS BIGINT) AS bin,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS bin_sum
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT s.bin,
+           ROUND(0.0 + s.bin * 20.0, 6) AS bin_lo,
+           ROUND(0.0 + (s.bin + 1) * 20.0, 6) AS bin_hi,
+           COALESCE(b.n, 0) AS n,
+           ROUND(CAST(COALESCE(b.bin_sum, 0) AS DOUBLE), 2) AS bin_sum
+    FROM spine s LEFT JOIN b USING (bin)
+"""
+
+
+@register("value_histogram", _HISTOGRAM_ORACLE)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling histogram of event value: 25 fixed-width bins over
+    [0, 500) with a zero-filled spine — one clamped-floor hash
+    aggregate, at most 25 rows shuffled per map partition."""
+    return analytics.histogram_fixed_width(
+        catalog.events(spark, sf_dir), "value", lo=0.0, hi=500.0, n_bins=25
+    )

@@ -343,3 +343,20 @@ def test_item_cooccurrence_counts_and_cosine(spark):
     r = out[0]
     assert (r.item_a, r.item_b, r.n_a, r.n_b, r.n_both) == (10, 20, 3, 2, 2)
     assert abs(r.cosine - round(2 / (6**0.5), 6)) < 1e-9
+
+
+def test_histogram_fixed_width_clamps_and_zero_fills(spark):
+    # values: -5 clamps into bin 0, 105 clamps into the top bin; bin 1
+    # (10..20) is empty and must still appear with n=0
+    df = spark.createDataFrame(
+        [(-5.0,), (2.0,), (25.0,), (105.0,), (None,)], ["v"]
+    )
+    out = {r.bin: r for r in analytics.histogram_fixed_width(
+        df, "v", lo=0.0, hi=100.0, n_bins=10
+    ).collect()}
+    assert sorted(out) == list(range(10))
+    assert out[0].n == 2 and out[0].bin_sum == -3.0  # -5 clamped + 2.0
+    assert out[1].n == 0 and out[1].bin_sum == 0.0
+    assert out[2].n == 1
+    assert out[9].n == 1 and out[9].bin_sum == 105.0  # clamped high
+    assert out[3].bin_lo == 30.0 and out[3].bin_hi == 40.0
