@@ -238,3 +238,54 @@ def time_rollup(
     return _out(hour, "hour").unionByName(_out(day, "day")).unionByName(
         _out(month, "month")
     )
+
+
+def gapfill_daily_locf(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled daily series with last-observation-carried-forward
+    (the TimescaleDB ``time_bucket_gapfill`` + ``locf`` pattern).
+
+    Aggregates to day grain, builds the full min→max day spine with
+    ``sequence()`` over a ONE-ROW bounds aggregate (never a driver
+    collect), left-joins the sparse series onto it, and carries the
+    last seen daily sum forward with an ignore-nulls ``last()`` window.
+
+    Scale shape: the expensive pass is the day aggregate over the raw
+    table (bounded shuffle: one row per day). Everything after runs on
+    the day series — ~3.7k rows per decade no matter the corpus size —
+    so the single unpartitioned LOCF window is tiny by construction,
+    and the spine join broadcasts.
+
+    Output: (day, n, day_sum, filled_sum, is_gap).
+    """
+    daily = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__sum"),
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = spine.join(daily, on="day", how="left")
+    return joined.select(
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.round(F.col("__sum").cast("double"), 2).alias("day_sum"),
+        F.round(
+            F.last(F.col("__sum"), ignorenulls=True).over(w).cast("double"), 2
+        ).alias("filled_sum"),
+        F.col("__sum").isNull().alias("is_gap"),
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from streaming_ecom_analytics_spark import catalog
 from streaming_ecom_analytics_spark.functions import sketch
-from streaming_ecom_analytics_spark.operators import analytics, cdc
+from streaming_ecom_analytics_spark.operators import aggregates, analytics, cdc
 from streaming_ecom_analytics_spark.plans.registry import register
 
 _COHORT_ORACLE = """
@@ -406,3 +406,40 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.histogram_fixed_width(
         catalog.events(spark, sf_dir), "value", lo=0.0, hi=500.0, n_bins=25
     )
+
+
+_GAPFILL_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events
+      WHERE event_type = 'purchase' AND value > 180
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+                                    (SELECT MAX(day) FROM daily),
+                                    INTERVAL 1 DAY)) AS day
+    )
+    SELECT s.day,
+           COALESCE(d.n, 0) AS n,
+           ROUND(CAST(d.s AS DOUBLE), 2) AS day_sum,
+           ROUND(CAST(LAST_VALUE(d.s IGNORE NULLS) OVER (
+             ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS filled_sum,
+           d.s IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@register("gapfilled_highvalue_revenue", _GAPFILL_ORACLE)
+def q_gapfilled_highvalue_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series of high-value (>180) purchase revenue
+    with LOCF carry — the TimescaleDB time_bucket_gapfill + locf
+    pattern, day spine built engine-side from a one-row bounds
+    aggregate."""
+    ev = catalog.events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 180)
+    )
+    return aggregates.gapfill_daily_locf(ev)

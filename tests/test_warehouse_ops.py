@@ -360,3 +360,22 @@ def test_histogram_fixed_width_clamps_and_zero_fills(spark):
     assert out[2].n == 1
     assert out[9].n == 1 and out[9].bin_sum == 105.0  # clamped high
     assert out[3].bin_lo == 30.0 and out[3].bin_hi == 40.0
+
+
+def test_gapfill_daily_locf_carries_and_flags(spark):
+    from streaming_ecom_analytics_spark.operators import aggregates
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 9), 10.0),
+        (dt.datetime(2024, 1, 1, 15), 5.0),
+        # Jan 2-3 missing
+        (dt.datetime(2024, 1, 4, 1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = {r.day.day: r for r in aggregates.gapfill_daily_locf(df).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert out[1].n == 2 and out[1].day_sum == 15.0 and not out[1].is_gap
+    assert out[2].n == 0 and out[2].day_sum is None and out[2].is_gap
+    assert out[2].filled_sum == 15.0 and out[3].filled_sum == 15.0  # carried
+    assert out[4].filled_sum == 7.0 and not out[4].is_gap
