@@ -344,3 +344,103 @@ def histogram_fixed_width(
             ),
         )
     )
+
+
+def user_growth(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Daily new users and the cumulative user-growth curve.
+
+    Two hash aggregates (per-user first-seen day, then per-day count)
+    followed by a running sum over the DAY series — the unpartitioned
+    window is safe because its input is one row per day (~3.7k rows
+    per decade) regardless of corpus size; the heavy lifting is the
+    per-user min, a plain two-phase aggregate on the user key.
+    """
+    first_seen = events.groupBy(user_col).agg(
+        F.min(_day(ts_col)).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    *,
+    key_col: str = "category",
+    revenue_col: str = "revenue",
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """Pareto / ABC inventory classification over an ALREADY-AGGREGATED
+    (key, revenue) frame: rank by revenue, cumulative share of total,
+    class A up to ``a_cut`` of revenue, B up to ``b_cut``, C beyond.
+
+    Designed to run on an aggregate output (one row per key), so the
+    two unpartitioned windows (rank, running share) sort thousands of
+    rows, not the fact table. Exact DECIMAL running sums keep the
+    cumulative share bit-reproducible across engines.
+    """
+    dec = F.col(revenue_col).cast("decimal(18,2)")
+    w_rank = Window.orderBy(F.desc(revenue_col), F.asc(key_col))
+    total = df.agg(F.sum(dec).alias("__total"))
+    return (
+        df.select(F.col(key_col), F.col(revenue_col), dec.alias("__dec"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            revenue_col,
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+            F.round(
+                F.sum("__dec")
+                .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= a_cut, "A")
+            .when(F.col("cum_share") <= b_cut, "B")
+            .otherwise("C"),
+        )
+    )
+
+
+def mom_growth(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Month-over-month revenue growth: monthly revenue with the
+    previous month's value (lag) and the growth fraction. Callers
+    apply any row filter (e.g. purchase-only) upstream.
+
+    One hash aggregate to month grain, then lag over the tiny month
+    series (12 rows/year). try_divide keeps the first month (no prior)
+    and any zero-revenue month NULL instead of erroring under ANSI.
+    """
+    monthly = df.groupBy(
+        F.date_trunc("month", F.col(ts_col)).alias("month")
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("__rev").over(w)
+    return monthly.select(
+        "month",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(prev.cast("double"), 2).alias("prev_revenue"),
+        F.round(
+            F.try_divide((F.col("__rev") - prev).cast("double"), prev.cast("double")),
+            6,
+        ).alias("growth"),
+    )

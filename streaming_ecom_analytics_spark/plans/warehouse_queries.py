@@ -443,3 +443,145 @@ def q_gapfilled_highvalue_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("event_type") == "purchase") & (F.col("value") > 180)
     )
     return aggregates.gapfill_daily_locf(ev)
+
+
+_USER_GROWTH_ORACLE = """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day
+      FROM events GROUP BY user_id
+    ),
+    d AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM d
+"""
+
+
+@register("user_growth_curve", _USER_GROWTH_ORACLE)
+def q_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users and the cumulative growth curve — per-user
+    first-seen aggregate, then a running sum over the tiny day
+    series."""
+    return analytics.user_growth(catalog.events(spark, sf_dir))
+
+
+_ABC_ORACLE = """
+    WITH c AS (
+      SELECT json_extract_string(props, '$.k') AS category,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1
+    ),
+    d AS (SELECT category, revenue,
+                 CAST(revenue AS DECIMAL(18,2)) AS rev_dec FROM c),
+    t AS (SELECT SUM(rev_dec) AS total FROM d)
+    SELECT d.category, d.revenue,
+           ROW_NUMBER() OVER (ORDER BY d.revenue DESC, d.category ASC) AS rank,
+           ROUND(CAST(SUM(d.rev_dec) OVER (
+                   ORDER BY d.revenue DESC, d.category ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_share,
+           CASE WHEN ROUND(CAST(SUM(d.rev_dec) OVER (
+                   ORDER BY d.revenue DESC, d.category ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) <= 0.8 THEN 'A'
+                WHEN ROUND(CAST(SUM(d.rev_dec) OVER (
+                   ORDER BY d.revenue DESC, d.category ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM d, t
+"""
+
+
+@register("category_abc_classes", _ABC_ORACLE)
+def q_category_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of categories by purchase revenue:
+    rank, cumulative revenue share, and A/B/C class. The windows run
+    over the per-category aggregate (bounded rows), never the fact
+    table."""
+    ev = catalog.events(spark, sf_dir)
+    cat = F.get_json_object(F.col("props"), "$.k")
+    per_cat = (
+        ev.filter((F.col("event_type") == "purchase") & cat.isNotNull())
+        .groupBy(cat.alias("category"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+    return analytics.abc_classification(per_cat)
+
+
+_MOM_ORACLE = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 2) AS prev_revenue,
+           ROUND(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6) AS growth
+    FROM m
+"""
+
+
+@register("orders_mom_growth", _MOM_ORACLE)
+def q_orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order revenue growth over the multi-year
+    orders table — lag over the ~84-row month series."""
+    orders = catalog.load_table(spark, "orders", sf_dir).select(
+        "o_orderdate", "o_totalprice"
+    )
+    return analytics.mom_growth(orders, ts_col="o_orderdate", value_col="o_totalprice")
+
+
+_SHIP_LATENCY_ORACLE = """
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                      ) AS DOUBLE) / COUNT(*), 6) AS avg_days_to_ship,
+           ROUND(CAST(COUNT(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                              CAST(l.l_shipdate AS DATE)) > 90
+                                 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS slow_fraction
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+"""
+
+
+@register("shipping_latency_monthly", _SHIP_LATENCY_ORACLE)
+def q_shipping_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency per ship month: average order-to-ship days
+    and the slow-shipment fraction (>90 days). Fact-fact equi join on
+    the order key feeding one month-grain hash aggregate; day sums
+    stay exact integers until the final division."""
+    li = catalog.load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = catalog.load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(days.cast("long")).cast("double") / F.count("*"), 6
+            ).alias("avg_days_to_ship"),
+            F.round(
+                F.count(F.when(days > 90, 1)).cast("double") / F.count("*"), 6
+            ).alias("slow_fraction"),
+        )
+    )

@@ -379,3 +379,44 @@ def test_gapfill_daily_locf_carries_and_flags(spark):
     assert out[2].n == 0 and out[2].day_sum is None and out[2].is_gap
     assert out[2].filled_sum == 15.0 and out[3].filled_sum == 15.0  # carried
     assert out[4].filled_sum == 7.0 and not out[4].is_gap
+
+
+def test_abc_classification_classes_and_shares(spark):
+    df = spark.createDataFrame(
+        [("x", 80.0), ("y", 15.0), ("z", 5.0)], ["category", "revenue"]
+    )
+    out = {r.category: r for r in analytics.abc_classification(df).collect()}
+    assert out["x"].rank == 1 and out["x"].abc_class == "A" and out["x"].cum_share == 0.8
+    assert out["y"].abc_class == "B" and out["y"].cum_share == 0.95
+    assert out["z"].abc_class == "C" and out["z"].cum_share == 1.0
+
+
+def test_mom_growth_lag_and_first_month_null(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 5), 100.0),
+        (dt.datetime(2024, 2, 10), 150.0),
+        (dt.datetime(2024, 2, 20), 50.0),
+        (dt.datetime(2024, 3, 1), 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    out = {r.month.month: r for r in analytics.mom_growth(df).collect()}
+    assert out[1].prev_revenue is None and out[1].growth is None
+    assert out[2].revenue == 200.0 and out[2].growth == 1.0
+    assert out[3].growth == -0.5
+
+
+def test_user_growth_counts_each_user_once(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),
+        (1, dt.datetime(2024, 1, 3)),  # returning, not new
+        (2, dt.datetime(2024, 1, 1)),
+        (3, dt.datetime(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.day.day: r for r in analytics.user_growth(df).collect()}
+    assert out[1].new_users == 2 and out[1].cumulative_users == 2
+    assert out[3].new_users == 1 and out[3].cumulative_users == 3
