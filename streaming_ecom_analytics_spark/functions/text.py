@@ -467,3 +467,47 @@ def redact_pii(
         redacted.alias(text_col),
         n_red.alias("n_redactions"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Build an inverted index: one row per term with its document
+    frequency and the sorted posting list serialized as a CSV string
+    (scalar, so results stay canonicalizable/hashable downstream —
+    the array-column lesson from doc_fingerprint).
+
+    Shape: explode → distinct (term, doc) pairs → one hash aggregate
+    keyed by term. The distinct dedups within-doc repeats BEFORE the
+    per-term aggregate, so a hot term's postings are built from unique
+    docs only; at 100 TB the posting list itself is the skew risk —
+    ``min_df`` bounds the tail, and a stop-term cap upstream bounds
+    the head. sort_array makes the CSV deterministic regardless of
+    partition arrival order.
+    """
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+        )
+        .where(F.length("term") >= min_term_len)
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)), lambda x: x.cast("string")
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

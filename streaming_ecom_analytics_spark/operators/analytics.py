@@ -444,3 +444,58 @@ def mom_growth(
             6,
         ).alias("growth"),
     )
+
+
+def time_weighted_avg_daily(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Daily mean of per-user TIME-WEIGHTED value averages (the
+    TimescaleDB ``time_weight('LOCF')`` pattern): each observation is
+    weighted by how long it remained the latest one within the
+    user-day, so irregular sampling doesn't bias toward chatty bursts.
+
+    The lead() window partitions by (user, day) — per-entity series,
+    bounded by one user's daily events, never a global or per-day sort.
+    Weighted sums stay exact (DECIMAL × long micros) so the per-user
+    TWA and the daily roll-up are bit-identical across engines; users
+    with a single observation (zero elapsed span) drop out via the
+    d > 0 guard rather than dividing by zero.
+
+    Output: (day, n_users, avg_twa).
+    """
+    day = _day(ts_col).alias("day")
+    t = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col, "day").orderBy("t", value_col)
+    pts = events.select(
+        F.col(user_col), day, t.alias("t"), F.col(value_col)
+    ).withColumn("t_next", F.lead("t").over(w))
+    per_user = (
+        pts.where(F.col("t_next").isNotNull())
+        .groupBy(user_col, "day")
+        .agg(
+            F.sum(
+                F.col(value_col).cast("decimal(18,2)")
+                * (F.col("t_next") - F.col("t"))
+            ).alias("vd"),
+            F.sum(F.col("t_next") - F.col("t")).alias("d"),
+        )
+        .where(F.col("d") > 0)
+        .select(
+            "day",
+            F.round(
+                F.col("vd").cast("double") / F.col("d").cast("double"), 6
+            ).alias("twa"),
+        )
+    )
+    return per_user.groupBy("day").agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            F.sum(F.col("twa").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_twa"),
+    )

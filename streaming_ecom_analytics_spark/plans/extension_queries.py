@@ -861,3 +861,28 @@ def q_domain_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.weighted_sample(
         docs, weight_col="w", id_col="doc_id", n_per_group=30, group_cols=("lang",)
     ).select("lang", "doc_id")
+
+
+_INVINDEX_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id,
+             t.term AS term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+      WHERE length(t.term) >= 3
+    )
+    SELECT term, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM pairs
+    GROUP BY term
+    HAVING COUNT(*) >= 2
+"""
+
+
+@register("inverted_index_terms", _INVINDEX_ORACLE)
+def q_inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents table: term → document
+    frequency + sorted CSV posting list, min_df=2."""
+    return text.inverted_index(
+        catalog.load_table(spark, "documents", sf_dir), min_df=2
+    )

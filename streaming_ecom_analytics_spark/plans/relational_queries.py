@@ -651,3 +651,65 @@ def q_revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.operators.aggregates import time_rollup
 
     return time_rollup(catalog.events(spark, sf_dir))
+
+
+_MARKET_SHARE_ORACLE = """
+    WITH r AS (
+      SELECT year(o.o_orderdate) AS order_year, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT order_year, nation,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY order_year) AS DOUBLE),
+                 6) AS market_share
+    FROM r
+"""
+
+
+@register("nation_market_share", _MARKET_SHARE_ORACLE)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 flavor: each supplier nation's share of global revenue
+    per order year. lineitem⋈orders is the one shuffle pair; supplier
+    and nation broadcast. The percent-of-total window runs on the
+    year×nation aggregate (~175 rows), never the fact table."""
+    li = catalog.load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = catalog.load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = catalog.load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = catalog.load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name"
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("order_year")
+    return per.select(
+        "order_year",
+        "nation",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double"), 6
+        ).alias("market_share"),
+    )

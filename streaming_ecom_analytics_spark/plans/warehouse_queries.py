@@ -585,3 +585,38 @@ def q_shipping_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slow_fraction"),
         )
     )
+
+
+_TWA_ORACLE = """
+    WITH pts AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             epoch_us(ts) AS t, value,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+               ORDER BY epoch_us(ts), value
+             ) AS t_next
+      FROM events
+    ),
+    pu AS (
+      SELECT user_id, day,
+             SUM(CAST(value AS DECIMAL(18,2)) * (t_next - t)) AS vd,
+             SUM(t_next - t) AS d
+      FROM pts WHERE t_next IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    twa AS (
+      SELECT day, ROUND(CAST(vd AS DOUBLE) / CAST(d AS DOUBLE), 6) AS twa
+      FROM pu WHERE d > 0
+    )
+    SELECT day, COUNT(*) AS n_users,
+           ROUND(CAST(SUM(CAST(twa AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_twa
+    FROM twa GROUP BY day
+"""
+
+
+@register("time_weighted_value_daily", _TWA_ORACLE)
+def q_time_weighted_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily mean of per-user time-weighted value averages — LOCF
+    weighting over irregular event times, per-entity windows only."""
+    return analytics.time_weighted_avg_daily(catalog.events(spark, sf_dir))

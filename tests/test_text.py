@@ -135,3 +135,22 @@ def test_redact_pii(spark):
     assert "alice" not in out[1].text and "192.168" not in out[1].text
     assert out[1].n_redactions == 3
     assert out[2].text == clean and out[2].n_redactions == 0
+
+
+def test_inverted_index_postings_sorted_and_deduped(spark):
+    from streaming_ecom_analytics_spark.functions import text as text_fns
+
+    df = spark.createDataFrame(
+        [
+            (7, "alpha beta beta gamma"),
+            (3, "Alpha, beta! x"),   # case-folded; 'x' too short
+            (5, "gamma delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.term: r for r in text_fns.inverted_index(df).collect()}
+    assert out["alpha"].df == 2 and out["alpha"].postings == "3,7"
+    assert out["beta"].df == 2 and out["beta"].postings == "3,7"  # within-doc dedup
+    assert out["gamma"].postings == "5,7"
+    assert out["delta"].df == 1
+    assert "x" not in out

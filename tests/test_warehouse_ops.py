@@ -420,3 +420,24 @@ def test_user_growth_counts_each_user_once(spark):
     out = {r.day.day: r for r in analytics.user_growth(df).collect()}
     assert out[1].new_users == 2 and out[1].cumulative_users == 2
     assert out[3].new_users == 1 and out[3].cumulative_users == 3
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: value 10 held for 3s, then 20 for 1s (last point is
+        # the LOCF terminator and carries no weight of its own)
+        (1, base, 10.0),
+        (1, base + dt.timedelta(seconds=3), 20.0),
+        (1, base + dt.timedelta(seconds=4), 99.0),
+        # user 2: single observation -> no span -> dropped
+        (2, base, 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = analytics.time_weighted_avg_daily(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_users == 1
+    assert abs(r.avg_twa - (10 * 3 + 20 * 1) / 4) < 1e-6  # 12.5
