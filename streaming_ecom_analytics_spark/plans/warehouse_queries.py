@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from streaming_ecom_analytics_spark import catalog
 from streaming_ecom_analytics_spark.functions import sketch
-from streaming_ecom_analytics_spark.operators import aggregates, analytics, cdc
+from streaming_ecom_analytics_spark.operators import aggregates, analytics, cdc, validation
 from streaming_ecom_analytics_spark.plans.registry import register
 
 _COHORT_ORACLE = """
@@ -620,3 +620,43 @@ def q_time_weighted_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily mean of per-user time-weighted value averages — LOCF
     weighting over irregular event times, per-entity windows only."""
     return analytics.time_weighted_avg_daily(catalog.events(spark, sf_dir))
+
+
+def _profile_col_sql(col: str, numeric: bool) -> str:
+    mn = f"CAST(MIN({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(MAX({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    return f"""
+      SELECT '{col}' AS column, COUNT(*) AS n_rows,
+             COUNT(CASE WHEN {col} IS NULL THEN 1 END) AS n_nulls,
+             ROUND(CAST(COUNT(CASE WHEN {col} IS NULL THEN 1 END) AS DOUBLE)
+                   / COUNT(*), 6) AS null_frac,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             {mn} AS min_val, {mx} AS max_val
+      FROM events"""
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    _profile_col_sql(c, n)
+    for c, n in [
+        ("event_id", True),
+        ("user_id", True),
+        ("event_type", False),
+        ("value", True),
+        ("props", False),
+    ]
+)
+
+
+@register("events_profile", _PROFILE_ORACLE)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the events table (null counts/fracs,
+    exact distincts, numeric min/max) in ONE aggregation pass + an
+    unpivot. ts is excluded: the oracle engine keeps nanosecond
+    precision the Spark reader truncates to micros, so its distinct
+    count is not comparable."""
+    ev = catalog.events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    return validation.profile_table(
+        ev, numeric_cols=("event_id", "user_id", "value")
+    )

@@ -441,3 +441,19 @@ def test_time_weighted_avg_weights_by_duration(spark):
     r = out[0]
     assert r.n_users == 1
     assert abs(r.avg_twa - (10 * 3 + 20 * 1) / 4) < 1e-6  # 12.5
+
+
+def test_profile_table_nulls_distincts_minmax(spark):
+    from streaming_ecom_analytics_spark.operators import validation
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (2, "b", None)], ["k", "s", "v"]
+    )
+    out = {r.column: r for r in validation.profile_table(
+        df, numeric_cols=("k", "v")
+    ).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
+    assert out["k"].min_val == 1.0 and out["k"].max_val == 2.0
+    assert out["s"].n_nulls == 1 and round(out["s"].null_frac, 6) == 0.333333
+    assert out["s"].min_val is None  # non-numeric: no min/max
+    assert out["v"].n_distinct == 2 and out["v"].max_val == 4.0
