@@ -499,3 +499,100 @@ def time_weighted_avg_daily(
             6,
         ).alias("avg_twa"),
     )
+
+
+def daily_percentile_bands(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Daily latency/value bands: exact p50/p90/p99 per day in one
+    two-phase percentile aggregate (group key = day, so partial state
+    is one digest per day per map task — no global sort, no window).
+    ROUND(6) absorbs the ≤1-ulp interpolation gap between engines.
+    """
+    aggs = [
+        F.round(F.expr(f"percentile({value_col}, {q})"), 6).alias(
+            f"p{int(round(q * 100))}"
+        )
+        for q in quantiles
+    ]
+    return events.groupBy(_day(ts_col).alias("day")).agg(
+        F.count("*").alias("n"), *aggs
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank by power iteration over an edge list — each round is
+    one join (rank/out-degree onto edges) + one aggregate (sum of
+    contributions per destination), the classic scale-out formulation:
+    no adjacency matrix, state is one (node, rank) row per node.
+
+    Undirected input should list both directions. Dangling nodes (no
+    out-edges) redistribute uniformly via the standard teleport term.
+    ``n_iter`` fixed iterations rather than convergence testing keeps
+    the plan deterministic and avoids a driver-side loop on a metric.
+    Each iteration ends in an EAGER ``localCheckpoint`` — persist alone
+    is not enough for iterative algorithms, because the logical plan
+    still nests the previous iteration's plan and each round here
+    references ``ranks`` twice (contributions + dangling mass), so the
+    un-truncated plan doubles per round and OOMs the analyzer around
+    a dozen iterations. Checkpointing cuts lineage to the materialized
+    RDD, keeping every round's plan constant-size. (On a multi-node
+    cluster prefer ``checkpoint()`` to a reliable dir if executor loss
+    during the run must be recoverable.)
+    """
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    nodes = persist_tracked(
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_deg = persist_tracked(
+        edges.groupBy(F.col(src_col).alias("node")).agg(
+            F.count("*").alias("out_deg")
+        )
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.join(out_deg, on="node").select(
+                    F.col("node").alias(src_col),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                on=src_col,
+            )
+            .groupBy(F.col(dst_col).alias("node"))
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, on="node", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        )
+        new_ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("m") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

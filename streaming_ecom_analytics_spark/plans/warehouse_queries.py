@@ -660,3 +660,36 @@ def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validation.profile_table(
         ev, numeric_cols=("event_id", "user_id", "value")
     )
+
+
+_BANDS_ORACLE = """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY 1
+"""
+
+
+@register("daily_value_bands", _BANDS_ORACLE)
+def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily p50/p90/p99 value bands — one two-phase percentile
+    aggregate keyed by day, no global sort."""
+    return analytics.daily_percentile_bands(catalog.events(spark, sf_dir))
+
+
+@register("item_pagerank", None)
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase item graph (both directions of
+    each item_cooccurrence pair). Rows-only: power iteration is not
+    expressible as one ANSI query; correctness is pinned by unit tests
+    (closed-form star graph, rank-mass conservation)."""
+    pairs = analytics.item_cooccurrence(
+        catalog.events(spark, sf_dir), min_support=2
+    ).select("item_a", "item_b")
+    edges = pairs.selectExpr("item_a AS src", "item_b AS dst").union(
+        pairs.selectExpr("item_b AS src", "item_a AS dst")
+    )
+    return analytics.pagerank(edges, n_iter=8)

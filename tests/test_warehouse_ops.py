@@ -457,3 +457,43 @@ def test_profile_table_nulls_distincts_minmax(spark):
     assert out["s"].n_nulls == 1 and round(out["s"].null_frac, 6) == 0.333333
     assert out["s"].min_val is None  # non-numeric: no min/max
     assert out["v"].n_distinct == 2 and out["v"].max_val == 4.0
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    # star: 1<->2, 1<->3, 1<->4 (undirected). Center must outrank leaves;
+    # by symmetry leaves are equal; total rank mass stays 1 exactly.
+    # Closed form (d=0.85, n=4, a=(1-d)/n):
+    #   center = a(1+3d)/(1-d^2), leaf = a(3+d)/(3(1-d^2))
+    # The star is bipartite, so power iteration converges ~d^k — use a
+    # tolerance matched to n_iter, not machine epsilon.
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    n_iter = 12
+    out = {r.node: r.rank for r in analytics.pagerank(edges, n_iter=n_iter).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out[2] == out[3] == out[4]
+    d, a = 0.85, 0.15 / 4
+    center = a * (1 + 3 * d) / (1 - d * d)
+    leaf = a * (3 + d) / (3 * (1 - d * d))
+    tol = d ** n_iter  # ~0.14
+    assert abs(out[1] - center) < tol and abs(out[2] - leaf) < tol
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # 1 -> 2 only: node 2 is dangling; redistribution keeps total mass 1
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    out = {r.node: r.rank for r in analytics.pagerank(edges, n_iter=8).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert out[2] > out[1]
+
+
+def test_daily_percentile_bands_exact(spark):
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 1, 1, h), float(v)) for h, v in
+            [(1, 10), (2, 20), (3, 30), (4, 40)]]
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    r = analytics.daily_percentile_bands(df).collect()[0]
+    assert r.n == 4 and r.p50 == 25.0 and r.p90 == 37.0
