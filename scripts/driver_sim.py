@@ -59,6 +59,11 @@ def main() -> int:
     unknown = set(oracles) - set(qs)
     assert not unknown, f"oracle_sql keys not in queries: {unknown}"
 
+    only = os.environ.get("DRIVER_SIM_ONLY")
+    if only:
+        wanted = {w for w in only.split(",") if w}
+        qs = {k: v for k, v in qs.items() if k in wanted}
+
     failures = []
     for name, fn in sorted(qs.items()):
         spdf = fn(spark, sf_dir).toPandas()

@@ -98,3 +98,35 @@ def scd2_intervals(
         ).alias("effective_to"),
         F.when(F.lead(ts_col).over(w_ver).isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (feature-store) join: attach the dimension version
+    that was valid at each fact's event time, against an SCD2-style
+    half-open interval history (``from <= ts < to``).
+
+    This is THE correctness primitive for training-data extraction —
+    joining current dimension values instead leaks the future into
+    features. Because SCD2 intervals tile each key without overlap,
+    every fact matches at most one version, so the plan is a plain
+    equi join on the key (shuffle or broadcast — Catalyst's choice)
+    with the range predicate evaluated as a post-join filter: fan-out
+    is bounded by versions-per-key, never quadratic. No window, no
+    sort of the fact table.
+    """
+    d = dims.withColumnRenamed(key_col, "__dim_key")
+    cond = (
+        (facts[ts_col] >= d[from_col])
+        & (facts[ts_col] < d[to_col])
+        & (facts[key_col] == d["__dim_key"])
+    )
+    return facts.join(d, cond, how).drop("__dim_key")

@@ -210,9 +210,9 @@ _SCD2_ORACLE = f"""
 """
 
 
-@register("scd2_user_tiers", _SCD2_ORACLE)
-def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 validity history of each purchaser's spend tier."""
+def _tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 spend-tier history of each purchaser (shared by the SCD2
+    and point-in-time-join queries)."""
     obs = (
         catalog.events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -228,6 +228,69 @@ def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cdc.scd2_intervals(
         obs, key_col="user_id", ts_col="ts", attr_col="tier", tiebreak_col="event_id"
+    )
+
+
+@register("scd2_user_tiers", _SCD2_ORACLE)
+def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity history of each purchaser's spend tier."""
+    return _tier_history(spark, sf_dir)
+
+
+_PIT_ORACLE = f"""
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 20 THEN 'low'
+                  WHEN value < 80 THEN 'mid' ELSE 'high' END AS tier
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM obs
+    ),
+    chg AS (
+      SELECT user_id, tier, ts, event_id FROM marked
+      WHERE prev IS NULL OR prev <> tier
+    ),
+    hist AS (
+      SELECT user_id, tier, ts AS effective_from,
+             COALESCE(lead(ts) OVER w, TIMESTAMP '{cdc.SCD2_OPEN_END}') AS effective_to
+      FROM chg
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT COALESCE(h.tier, 'no_purchase_yet') AS tier_at_event,
+           COUNT(*) AS n_view_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    LEFT JOIN hist h
+      ON e.user_id = h.user_id
+     AND e.ts >= h.effective_from AND e.ts < h.effective_to
+    WHERE e.event_type = 'view'
+    GROUP BY 1
+"""
+
+
+@register("pit_tier_at_view", _PIT_ORACLE)
+def q_pit_tier_at_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free point-in-time enrichment: each view event tagged with
+    the spend tier the user held AT THAT MOMENT (``cdc.pit_join``
+    against the SCD2 history), rolled up per tier. Views before the
+    user's first purchase carry no tier — the join must not borrow a
+    future version (that would be feature leakage in training data)."""
+    hist = _tier_history(spark, sf_dir).select(
+        "user_id", "tier", "effective_from", "effective_to"
+    )
+    views = (
+        catalog.events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id")
+    )
+    joined = cdc.pit_join(views, hist, key_col="user_id", ts_col="ts")
+    return joined.groupBy(
+        F.coalesce(F.col("tier"), F.lit("no_purchase_yet")).alias("tier_at_event")
+    ).agg(
+        F.count("*").alias("n_view_events"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 

@@ -104,6 +104,40 @@ def test_scd2_half_open_intervals_tile_without_gaps(spark):
 
 
 # ---------------------------------------------------------------------------
+# pit_join
+# ---------------------------------------------------------------------------
+
+
+def test_pit_join_attaches_version_valid_at_event_time(spark):
+    hist = spark.createDataFrame(
+        [
+            ("u1", "bronze", "2024-01-01", "2024-02-01"),
+            ("u1", "gold", "2024-02-01", "2200-01-01"),
+        ],
+        "user_id string, tier string, effective_from string, effective_to string",
+    ).select(
+        "user_id",
+        "tier",
+        F.col("effective_from").cast("timestamp").alias("effective_from"),
+        F.col("effective_to").cast("timestamp").alias("effective_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            ("e0", "u1", "2023-12-25"),  # before any version -> no tier
+            ("e1", "u1", "2024-01-15"),  # inside v1
+            ("e2", "u1", "2024-02-01"),  # boundary: half-open, belongs to v2
+            ("e3", "u2", "2024-03-01"),  # key with no history -> no tier
+        ],
+        "event_id string, user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cdc.pit_join(facts, hist, key_col="user_id", ts_col="ts")
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert got == {"e0": None, "e1": "bronze", "e2": "gold", "e3": None}
+    # tiled intervals => at most one match per fact: row count preserved
+    assert out.count() == facts.count()
+
+
+# ---------------------------------------------------------------------------
 # analytics
 # ---------------------------------------------------------------------------
 
