@@ -713,3 +713,310 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double"), 6
         ).alias("market_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (Q3/Q5/Q6/Q14/Q17/Q18/Q19 flavors on the
+# testdata's column subset). These pin the join-ordering / pushdown /
+# broadcast behavior a warehouse engine must get right; each plan shape
+# is asserted in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey AS order_key,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS order_date
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, order_key ASC LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment.
+
+    Both date predicates and the segment equality push into the scans;
+    customer is broadcast (segment filter shrinks it further), so the
+    only shuffle is orders⋈lineitem on orderkey. Top-10 runs as
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    c = catalog.load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp")
+    o = catalog.load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = catalog.load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > cutoff
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("order_key", "revenue", "order_date")
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue served by suppliers in the customer's
+    own nation, for one region and year.
+
+    Six-way join where every dimension (region, nation, customer,
+    supplier) is broadcast; lineitem⋈orders on orderkey is the single
+    shuffle. The s_nationkey = c_nationkey equality rides on the
+    broadcast supplier join as a second key — no extra exchange.
+    """
+    r = catalog.load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n = catalog.load_table(spark, "nation", sf_dir)
+    c = catalog.load_table(spark, "customer", sf_dir)
+    s = catalog.load_table(spark, "supplier", sf_dir)
+    o = catalog.load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown
+    showcase — all three predicates and the 2-column projection reach
+    the parquet reader; no shuffle at all (single scalar aggregate)."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage for one month —
+    conditional aggregation over a broadcast part join, single row."""
+    p = catalog.load_table(spark, "part", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast(_DEC)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero))
+                .cast("double")
+                / F.sum(revenue).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH brand_items AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#3'
+    ),
+    stats AS (
+      SELECT *,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS sum_qty,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n_items
+      FROM brand_items
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM stats
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * n_items * 5 < sum_qty
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand (lines below 20% of their part's average quantity).
+
+    The per-part average rides a window over the brand-filtered rows —
+    one shuffle on partkey, no second scan and no self-join. The
+    threshold compare is exact (DECIMAL sum vs quantity*count*5), so
+    boundary rows never flip between engines or partitionings.
+    """
+    p = catalog.load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    items = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    stats = items.select(
+        "*",
+        F.sum(_dec("l_quantity")).over(w).alias("sum_qty"),
+        F.count("*").over(w).alias("n_items"),
+    )
+    return (
+        stats.filter(_dec("l_quantity") * F.col("n_items") * F.lit(5) < F.col("sum_qty"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c.c_name AS customer, o.o_orderkey AS order_key,
+           o.o_orderdate AS order_date, o.o_totalprice AS total_price,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 300
+    ORDER BY total_price DESC, order_key ASC LIMIT 20
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with their customers — grouped HAVING over the
+    orders⋈lineitem shuffle, customer broadcast, top-20 as
+    TakeOrderedAndProject."""
+    c = catalog.load_table(spark, "customer", sf_dir)
+    o = catalog.load_table(spark, "orders", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_name").alias("customer"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > 300)
+        .select(
+            "customer",
+            "order_key",
+            "order_date",
+            "total_price",
+            F.col("__sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("order_key"))
+        .limit(20)
+    )
+
+
+@register(
+    "brand_bracket_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand×quantity brackets.
+
+    The OR-of-ANDs predicate evaluates post-join (it spans both
+    sides), but Catalyst still derives the implied single-side
+    residuals: the brand IN-list prunes part before broadcast and the
+    overall quantity envelope (1..30) pushes into the lineitem scan.
+    """
+    p = catalog.load_table(spark, "part", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity")
+    brackets = (
+        ((F.col("p_brand") == "Brand#1") & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & qty.between(20, 30))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(brackets)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

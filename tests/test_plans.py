@@ -303,3 +303,49 @@ def test_hll_rollup_reaggregates_sketches_not_rows(spark):
     plan = _plan(spark, "approx_users_monthly_rollup")
     assert "hll_union_agg" in plan or "HllUnionAgg" in plan or "hll" in plan.lower()
     assert plan.count("HashAggregate") >= 4  # day partial/final + month partial/final
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """forecast_revenue_change: shipdate/discount/quantity filters and
+    the 4-column projection all reach the parquet reader; no exchange
+    except the single final-aggregate gather."""
+    plan = _plan(spark, "forecast_revenue_change")
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "l_extendedprice" in read_schema
+    assert "l_partkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_q3_broadcasts_filtered_customer_and_takes_topk(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_single_shuffle_join_all_dims_broadcast(spark):
+    """local_supplier_volume joins 6 tables; only orders⋈lineitem may
+    shuffle — region/nation/customer/supplier are broadcast."""
+    plan = _plan(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # exchanges: at most the one fact-fact join pair + agg + AQE reads
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q17_uses_window_not_self_join(spark):
+    """small_quantity_revenue derives the per-part average via a
+    window over the already-joined rows — no second lineitem scan."""
+    plan = _plan(spark, "small_quantity_revenue")
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+    assert "Window" in plan
+
+
+def test_q19_derives_single_side_residuals(spark):
+    """brand_bracket_revenue's OR-of-ANDs must still prune both scans:
+    the quantity envelope reaches lineitem, the brand IN-list part."""
+    plan = _plan(spark, "brand_bracket_revenue")
+    li_scan = plan.split("Scan parquet", 1)[1]
+    assert "l_quantity" in plan.split("PushedFilters", 1)[1][:600] or "l_quantity" in li_scan
+    assert "p_brand" in plan
