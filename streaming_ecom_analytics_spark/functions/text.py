@@ -17,6 +17,8 @@ Operators
 from __future__ import annotations
 
 import pandas as pd
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -510,4 +512,70 @@ def inverted_index(
             ).alias("postings"),
         )
         .where(F.col("df") >= min_df)
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    *,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set — the retrieval
+    scorer of a training-data search/curation loop.
+
+    Output: (doc_id, score) for the ``top_k`` best documents, score
+    descending, ties broken by doc_id. idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form.
+
+    Plan: ONE token explode feeds both the per-document length and the
+    per-(doc, term) frequencies; only rows for the (tiny) query-term
+    set survive past the first aggregate, so the term shuffle carries
+    the query's postings, not the corpus vocabulary. Corpus constants
+    (N, avgdl, per-term df) ride broadcast joins. Per-term scores are
+    rounded to 6 places and summed as exact integer micros, so the
+    total is independent of term-addition order — bit-identical on any
+    engine or partitioning. Top-k fuses to TakeOrderedAndProject.
+    """
+    terms = [t for t in query_terms]
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    )
+    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("double").alias("total_dl")
+    )
+    tf = (
+        words.where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    term_score = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / norm, 6)
+    scored = (
+        tf.join(F.broadcast(df_t), on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            F.round(term_score * F.lit(1_000_000)).cast("long").alias("__micros"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg((F.sum("__micros") / F.lit(1_000_000.0)).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
     )

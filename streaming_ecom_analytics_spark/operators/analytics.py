@@ -596,3 +596,124 @@ def pagerank(
         )
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def rolling_time_features(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing time-RANGE features per row: each row gains the sum and
+    count of the user's rows in the preceding ``window_days`` (inclusive
+    of the current row) — the classic leak-free rolling feature of a
+    training pipeline (only the past enters the feature).
+
+    The frame is a RANGE over exact epoch microseconds (integer order
+    key), not a ROWS frame — gaps and same-timestamp peers behave
+    correctly by construction. One shuffle on the user key; per-user
+    state is the in-window rows only, so executor memory is bounded by
+    a user's activity inside the window, never their lifetime history.
+    The sum accumulates DECIMAL, so the feature is bit-stable across
+    partitionings and engines.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    span = window_days * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(micros)
+        .rangeBetween(-span, Window.currentRow)
+    )
+    return df.select(
+        "*",
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias(f"sum_{window_days}d"),
+        F.count("*").over(w).alias(f"n_{window_days}d"),
+    )
+
+
+def scale_features(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-group z-score and min-max scaling of a numeric column —
+    feature normalization with training-set statistics.
+
+    Group statistics come from ONE aggregate pass with exact DECIMAL
+    sums (sum and sum-of-squares), so mean/variance are identical on
+    any engine and any partition order; the tiny stats table broadcasts
+    back onto the rows. Variance uses the sample (n-1) denominator;
+    zero-variance or single-row groups yield NULL z (try_divide), and a
+    constant column yields NULL min_max — never a throw, never ±inf.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(v).cast("double").alias("__sum"),
+        F.sum(v * v).cast("double").alias("__sumsq"),
+        F.min(F.col(value_col)).alias("__min"),
+        F.max(F.col(value_col)).alias("__max"),
+    )
+    mean = F.col("__sum") / F.col("__n")
+    var = F.try_divide(
+        F.col("__sumsq") - F.col("__sum") * F.col("__sum") / F.col("__n"),
+        (F.col("__n") - F.lit(1)).cast("double"),
+    )
+    return (
+        df.join(F.broadcast(stats), on=group_col)
+        .select(
+            "*",
+            F.round(F.try_divide(F.col(value_col) - mean, F.sqrt(var)), 6).alias(
+                "z_score"
+            ),
+            F.round(
+                F.try_divide(
+                    F.col(value_col) - F.col("__min"), F.col("__max") - F.col("__min")
+                ),
+                6,
+            ).alias("min_max"),
+        )
+        .drop("__n", "__sum", "__sumsq", "__min", "__max")
+    )
+
+
+def negative_samples(
+    interactions: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    n_neg: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for recommender / contrastive
+    training: for every user, draw ``n_neg`` items the user never
+    interacted with, pseudo-randomly but rerun-stable (ranked by
+    md5(user|item) — no RNG state, identical on any engine).
+
+    Plan: the distinct item catalog is broadcast (catalogs are small
+    relative to interactions — document/override if not), each user's
+    candidate set is generated with a broadcast nested-loop against it,
+    the user's own positives are removed with a left_anti join on the
+    (user, item) key, and a per-user row_number window keeps ``n_neg``.
+    Shuffles touch (user, item) id pairs only — never payloads. Skew is
+    bounded: every user has exactly |catalog| candidate rows.
+    """
+    pos = interactions.select(user_col, item_col).distinct()
+    items = pos.select(item_col).distinct()
+    users = pos.select(user_col).distinct()
+    candidates = users.crossJoin(F.broadcast(items))
+    negatives = candidates.join(pos, on=[user_col, item_col], how="left_anti")
+    draw = F.md5(
+        F.concat_ws("|", F.col(user_col).cast("string"), F.col(item_col).cast("string"))
+    )
+    w = Window.partitionBy(user_col).orderBy(draw.asc(), F.col(item_col).asc())
+    return (
+        negatives.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_neg)
+        .select(user_col, item_col, (F.col("__rn")).cast("long").alias("neg_rank"))
+    )

@@ -886,3 +886,42 @@ def q_inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.inverted_index(
         catalog.load_table(spark, "documents", sf_dir), min_df=2
     )
+
+
+_BM25_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS total_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ROUND(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_dl / n_docs))),
+               6) * 1000000) AS BIGINT) AS micros
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+    )
+    SELECT doc_id, SUM(micros) / 1000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("bm25_doc_ranking", _BM25_ORACLE)
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the query {spark, join, window} by BM25
+    (k1=1.2, b=0.75) — the retrieval scorer of a data-curation search
+    loop. Per-term scores are summed as exact integer micros, so the
+    ranking is independent of term-addition order."""
+    return text.bm25_rank(
+        catalog.documents(spark, sf_dir),
+        query_terms=("spark", "join", "window"),
+        top_k=10,
+    )

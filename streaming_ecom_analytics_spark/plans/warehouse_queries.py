@@ -756,3 +756,100 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("item_b AS src", "item_a AS dst")
     )
     return analytics.pagerank(edges, n_iter=8)
+
+
+# ---------------------------------------------------------------------------
+# Feature-engineering ops: rolling time-range features, normalization,
+# negative sampling
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d,
+           COUNT(*) OVER w AS n_7d
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_user_spend_7d", _ROLLING_ORACLE)
+def q_rolling_user_spend_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free trailing features: every purchase carries the user's
+    7-day trailing spend sum and purchase count (time-RANGE frame over
+    exact epoch micros — only the past enters the feature)."""
+    purchases = (
+        catalog.events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return analytics.rolling_time_features(
+        purchases, user_col="user_id", ts_col="ts", value_col="value", window_days=7
+    ).select("event_id", "user_id", "ts", "sum_7d", "n_7d")
+
+
+_SCALE_ORACLE = """
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           ROUND((value - s / n) / NULLIF(sqrt((ss - s * s / n) / NULLIF(CAST(n - 1 AS DOUBLE), 0)), 0), 6) AS z_score,
+           ROUND((value - mn) / NULLIF(mx - mn, 0), 6) AS min_max
+    FROM events e JOIN stats USING (event_type)
+"""
+
+
+@register("scaled_event_values", _SCALE_ORACLE)
+def q_scaled_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score and min-max normalization of the value
+    column — feature scaling with exact-DECIMAL group statistics, so
+    the scaled features are bit-stable across engines/partitionings."""
+    ev = catalog.events(spark, sf_dir).select("event_id", "event_type", "value")
+    return analytics.scale_features(ev, value_col="value", group_col="event_type").select(
+        "event_id", "event_type", "z_score", "min_max"
+    )
+
+
+_NEG_ORACLE = """
+    WITH pos AS (
+      SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS item
+      FROM events WHERE event_type = 'purchase'
+    ),
+    items AS (SELECT DISTINCT item FROM pos),
+    users AS (SELECT DISTINCT user_id FROM pos),
+    neg AS (
+      SELECT c.user_id, c.item
+      FROM (SELECT u.user_id, i.item FROM users u CROSS JOIN items i) c
+      ANTI JOIN pos p ON p.user_id = c.user_id AND p.item = c.item
+    )
+    SELECT user_id, item, CAST(rn AS BIGINT) AS neg_rank
+    FROM (
+      SELECT user_id, item,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CONCAT(CAST(user_id AS VARCHAR), '|', item)), item
+             ) AS rn
+      FROM neg
+    ) WHERE rn <= 3
+"""
+
+
+@register("purchase_negative_samples", _NEG_ORACLE)
+def q_purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic negative items per purchasing user (items
+    the user never bought, ranked by md5(user|item) — rerun-stable,
+    no RNG state), the contrastive-training counterpart of the
+    positive interaction set."""
+    pos = (
+        catalog.events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.get_json_object(F.col("props"), "$.k").alias("item")
+        )
+    )
+    return analytics.negative_samples(pos, user_col="user_id", item_col="item", n_neg=3)

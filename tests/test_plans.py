@@ -349,3 +349,32 @@ def test_q19_derives_single_side_residuals(spark):
     li_scan = plan.split("Scan parquet", 1)[1]
     assert "l_quantity" in plan.split("PushedFilters", 1)[1][:600] or "l_quantity" in li_scan
     assert "p_brand" in plan
+
+
+def test_rolling_features_single_user_exchange(spark):
+    """rolling_user_spend_7d: one hash exchange on user_id feeds the
+    RANGE window — never a global (unpartitioned) window."""
+    plan = _plan(spark, "rolling_user_spend_7d")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_negative_sampling_broadcasts_catalog(spark):
+    """purchase_negative_samples: the item catalog rides a broadcast
+    nested loop (the only acceptable 'cartesian'); the positives are
+    removed by a broadcast/shuffled anti join, never re-scanned."""
+    plan = _plan(spark, "purchase_negative_samples")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_bm25_shuffles_postings_not_vocabulary(spark):
+    """bm25_doc_ranking: the query-term IN filter must land before the
+    (doc, term) aggregate so the term shuffle carries the 3-term
+    postings, and top-k fuses to TakeOrderedAndProject."""
+    plan = _plan(spark, "bm25_doc_ranking")
+    assert "TakeOrderedAndProject" in plan
+    # the isin filter applies on the exploded words, pre-aggregation
+    assert "term#" in plan and " IN (spark,join,window)" in plan

@@ -154,3 +154,31 @@ def test_inverted_index_postings_sorted_and_deduped(spark):
     assert out["gamma"].postings == "5,7"
     assert out["delta"].df == 1
     assert "x" not in out
+
+
+def test_bm25_prefers_rare_term_and_higher_tf(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),  # tf(apple)=2
+            (2, "apple banana banana"),  # tf(apple)=1
+            (3, "banana cherry cherry"),  # no apple
+            (4, "banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.bm25_rank(docs, query_terms=("apple",), top_k=4)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    # only docs containing the term score; higher tf ranks first
+    assert ids == [1, 2]
+    assert rows[0]["score"] > rows[1]["score"] > 0
+
+
+def test_bm25_idf_downweights_ubiquitous_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common x"), (3, "common y"), (4, "common z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in text.bm25_rank(docs, query_terms=("common", "rare"), top_k=4).collect()}
+    # doc 1 holds the rare term too -> strictly best
+    assert out[1] > max(v for k, v in out.items() if k != 1)

@@ -531,3 +531,76 @@ def test_daily_percentile_bands_exact(spark):
     df = spark.createDataFrame(rows, ["ts", "value"])
     r = analytics.daily_percentile_bands(df).collect()[0]
     assert r.n == 4 and r.p50 == 25.0 and r.p90 == 37.0
+
+
+# ---------------------------------------------------------------------------
+# feature engineering: rolling features, scaling, negative sampling
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_time_features_range_window_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 00:00:00", 10.0),
+            (2, "u1", "2024-01-08 00:00:00", 20.0),  # exactly 7d later: included
+            (3, "u1", "2024-01-16 00:00:00", 40.0),  # >7d past both: alone
+            (4, "u2", "2024-01-08 00:00:00", 5.0),  # other user unaffected
+        ],
+        "event_id long, user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = analytics.rolling_time_features(df, window_days=7)
+    got = {r["event_id"]: (r["sum_7d"], r["n_7d"]) for r in out.collect()}
+    assert got == {1: (10.0, 1), 2: (30.0, 2), 3: (40.0, 1), 4: (5.0, 1)}
+
+
+def test_rolling_time_features_same_timestamp_peers(spark):
+    df = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 12:00:00", 1.0), (2, "u1", "2024-01-01 12:00:00", 2.0)],
+        "event_id long, user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = analytics.rolling_time_features(df, window_days=7)
+    # RANGE frame: equal order keys are peers — both rows see both
+    assert {(r["sum_7d"], r["n_7d"]) for r in out.collect()} == {(3.0, 2)}
+
+
+def test_scale_features_zscore_and_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "b", 7.0), (5, "b", 7.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r["event_id"]: r for r in analytics.scale_features(df).collect()}
+    # group a: mean 2, sample std 1 -> z = -1, 0, 1; min_max 0, .5, 1
+    assert (out[1]["z_score"], out[2]["z_score"], out[3]["z_score"]) == (-1.0, 0.0, 1.0)
+    assert (out[1]["min_max"], out[2]["min_max"], out[3]["min_max"]) == (0.0, 0.5, 1.0)
+    # group b: zero variance -> NULL z; constant column -> NULL min_max
+    assert out[4]["z_score"] is None and out[4]["min_max"] is None
+
+
+def test_negative_samples_excludes_positives_and_is_deterministic(spark):
+    pos = spark.createDataFrame(
+        [("u1", "i1"), ("u1", "i2"), ("u2", "i3")],
+        "user_id string, item string",
+    )
+    out = analytics.negative_samples(pos, n_neg=2)
+    rows = {(r["user_id"], r["item"]) for r in out.collect()}
+    # never a positive pair
+    assert rows.isdisjoint({("u1", "i1"), ("u1", "i2"), ("u2", "i3")})
+    # u1 has one candidate left (i3); u2 has two (i1, i2)
+    assert {(u, i) for u, i in rows if u == "u1"} == {("u1", "i3")}
+    assert len({i for u, i in rows if u == "u2"}) == 2
+    # rerun-stable: no RNG state
+    again = {(r["user_id"], r["item"]) for r in analytics.negative_samples(pos, n_neg=2).collect()}
+    assert rows == again
+
+
+def test_negative_samples_caps_per_user(spark):
+    pos = spark.createDataFrame(
+        [("u1", f"i{k}") for k in range(10)] + [("u2", "i0")],
+        "user_id string, item string",
+    )
+    out = analytics.negative_samples(pos, n_neg=3)
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r["user_id"], []).append(r["neg_rank"])
+    assert per_user.get("u1") is None  # u1 bought everything
+    assert sorted(per_user["u2"]) == [1, 2, 3]
