@@ -37,12 +37,25 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
         warm_dir = "/root/testdata/sf0.001"
         warm = warm_dir if os.path.isdir(warm_dir) else sf_dir
-        for _, rq in sorted(REGISTRY.items()):
+        warm_failures = []
+        for name, rq in sorted(REGISTRY.items()):
             try:
                 rq.fn(spark, warm).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # a warmup failure must never sink the bench
+            except Exception as exc:  # never sink the bench, but NEVER silently:
+                # a warmup failure predicts a timed-loop crash (round-2 verdict #3)
+                warm_failures.append(name)
+                print(
+                    f"bench: WARMUP FAILURE {name}: {type(exc).__name__}: "
+                    f"{str(exc).splitlines()[0][:200]}",
+                    file=sys.stderr,
+                )
             release_tracked()
+        if warm_failures:
+            print(
+                f"bench: {len(warm_failures)} warmup failures "
+                f"(timed loop will likely crash): {warm_failures}",
+                file=sys.stderr,
+            )
 
     timings: dict[str, float] = {}
     for name, rq in sorted(REGISTRY.items()):

@@ -63,12 +63,31 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # front. Guarded to be idempotent so repeated reads don't churn the
     # session conf (each .set invalidates cached plan fragments).
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
+    # Parquet timestamp[us] WITHOUT timezone would otherwise read as
+    # TIMESTAMP_NTZ, which epoch functions (unix_micros, to_unix_timestamp
+    # arithmetic) reject with DATATYPE_MISMATCH. Reading it as LTZ at the
+    # scan (rather than casting after read) keeps timestamp predicates
+    # pushable into the parquet scan. Under the UTC session this is
+    # identity on the wall clock and matches the DuckDB oracle, whose
+    # TIMESTAMP is naive-UTC.
+    _ensure_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nano_cols = _nano_timestamp_cols(path)
     if nano_cols:
         _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    # Parquet timestamp[us] WITHOUT timezone reads as TIMESTAMP_NTZ, which
+    # epoch functions (unix_micros, unix_timestamp arithmetic) reject with
+    # DATATYPE_MISMATCH. Under the UTC-pinned session above, NTZ -> LTZ is
+    # identity on the wall clock, so normalize once here instead of
+    # special-casing every downstream call site. This also keeps parity
+    # with the DuckDB oracle, whose TIMESTAMP is naive-UTC.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from streaming_ecom_analytics_spark.caching import persist_tracked
+from streaming_ecom_analytics_spark.functions import guards
 
 
 def exact_dedup(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -90,6 +91,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_rows: int | None = guards.DEFAULT_BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold).
 
@@ -103,7 +105,14 @@ def jaccard_pairs(
     sides); it is persisted so the explode+distinct runs once, not per
     branch (exchange reuse can't cover it — each branch repartitions
     differently).
+
+    Guarded: raises BruteForceGuardError above ``max_rows`` input docs
+    (all-pairs is quadratic in posting-list sizes); minhash_lsh_pairs is
+    the scale path. ``max_rows=None`` disables the guard.
     """
+    guards.guard_brute_force(
+        docs, max_rows=max_rows, op="jaccard_pairs", scale_path="minhash_lsh_pairs"
+    )
     sh = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")

@@ -17,6 +17,7 @@ exclusive), so the oracle's new-session predicate is gap >= threshold.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from streaming_ecom_analytics_spark import catalog
 from streaming_ecom_analytics_spark.plans.registry import register
@@ -120,13 +121,40 @@ def q_active_users_daily_windowed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("active_users_daily_approx", None)
+_APPROX_DAU_ORACLE = """
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL '1 day' AS window_end,
+           event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1, 2, 3
+"""
+
+
+@register("active_users_daily_approx", _APPROX_DAU_ORACLE)
 def q_active_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST7 processed side: approx_count_distinct (HLL) — the
-    streaming-safe distinct; accuracy vs exact asserted in unit tests,
-    not hash-matched (sketches are engine-specific)."""
-    return windows.windowed_active_users(
-        catalog.events(spark, sf_dir), watermark=None, exact=False
+    """ST7 processed side: approx_count_distinct (HLL, rsd=0.05) — the
+    streaming-safe distinct. The sketch estimate is engine-specific,
+    so the query surfaces the checkable claim instead: the estimate
+    lands within 15% (3x the requested rsd) of the exact count for
+    every (day, event_type) window."""
+    ev = catalog.events(spark, sf_dir)
+    approx = windows.windowed_active_users(ev, watermark=None, exact=False)
+    exact = windows.windowed_active_users(ev, watermark=None, exact=True).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("active_users").alias("exact_users"),
+    )
+    return approx.join(exact, on=["window_start", "window_end", "event_type"]).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("active_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 
@@ -186,20 +214,76 @@ def q_event_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "session_start", "session_end")
 
 
-@register("cms_event_types_15m", None)
+_CMS_15M_ORACLE = """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+             AS window_end,
+           event_type,
+           COUNT(*) AS exact_count,
+           TRUE AS cms_ok
+    FROM events GROUP BY 1, 2, 3
+"""
+
+
+@register("cms_event_types_15m", _CMS_15M_ORACLE)
 def q_cms_event_types_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST7 companion: windowed count-min sketch grid over event types
-    (bounded state per window regardless of cardinality). Rows-only —
-    cell placement is xxhash64-based; streaming==batch equality is
-    asserted in tests/test_streaming.py."""
-    from streaming_ecom_analytics_spark.functions import sketch as cms
+    (bounded state per window regardless of cardinality — depth x width
+    counters, the ST7 trade for frequencies instead of distincts).
+    Cell placement is xxhash64-based, so the oracle checks the CMS
+    guarantee per (window, event_type): estimate >= exact and
+    <= exact + eps*N_window (eps = e/width). Streaming==batch grid
+    equality is separately asserted in tests/test_streaming.py."""
+    import math
 
-    return cms.windowed_count_min(
-        catalog.events(spark, sf_dir),
-        col="event_type",
-        window="15 minutes",
-        watermark=None,
-        width=256,
+    from streaming_ecom_analytics_spark.functions import sketch as cms
+    from streaming_ecom_analytics_spark.functions.sketch import _cells
+
+    ev = catalog.events(spark, sf_dir)
+    width, depth = 256, 5
+    grid = cms.windowed_count_min(
+        ev, col="event_type", window="15 minutes", watermark=None, width=width
+    )
+    exact = (
+        ev.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("exact_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "exact_count",
+        )
+    )
+    win_totals = exact.groupBy("window_start").agg(
+        F.sum("exact_count").alias("n_window")
+    )
+    probes = exact.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.explode(
+            F.array(*_cells(F.col("event_type"), depth=depth, width=width, seed=7))
+        ).alias("cell"),
+    ).select("window_start", "window_end", "event_type", "cell.d", "cell.idx")
+    est = (
+        probes.join(grid, on=["window_start", "window_end", "d", "idx"], how="left")
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_count"))
+    )
+    eps = math.e / width
+    return (
+        exact.join(est, on=["window_start", "window_end", "event_type"])
+        .join(win_totals, on="window_start")
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "exact_count",
+            (
+                (F.col("est_count") >= F.col("exact_count"))
+                & (F.col("est_count") <= F.col("exact_count") + F.lit(eps) * F.col("n_window"))
+            ).alias("cms_ok"),
+        )
     )
 
 

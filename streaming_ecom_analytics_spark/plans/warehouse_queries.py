@@ -294,12 +294,21 @@ def q_pit_tier_at_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_users_monthly_rollup", None)
+_HLL_ROLLUP_ORACLE = """
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY 1
+"""
+
+
+@register("approx_users_monthly_rollup", _HLL_ROLLUP_ORACLE)
 def q_approx_users_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly distinct users: HLL sketches built per DAY, merged to
-    months — the rollup never rescans raw events (rows-only: the
-    DataSketches estimate is engine-specific; tests/test_sketch.py
-    bounds its error against exact counts)."""
+    months — the rollup never rescans raw events. The DataSketches
+    estimate is engine-specific, but its error BOUND is checkable:
+    lg_k=12 gives ~1.6% relative standard error, so the oracle asserts
+    |approx - exact| <= 5% (3 sigma) alongside the exact count."""
     ev = catalog.events(spark, sf_dir)
     daily = sketch.hll_sketches(
         ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
@@ -314,7 +323,17 @@ def q_approx_users_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     exact = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    return monthly.join(exact, on="month").select("month", "approx_users", "exact_users")
+    return (
+        monthly.join(exact, on="month")
+        .select(
+            "month",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
+    )
 
 
 _INCR_ORACLE = """
@@ -743,12 +762,76 @@ def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.daily_percentile_bands(catalog.events(spark, sf_dir))
 
 
-@register("item_pagerank", None)
+def _pagerank_oracle(n_iter: int = 8, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in ANSI SQL: one CTE per power
+    iteration, each re-expressing exactly the Spark round (teleport +
+    damped in-sum of rank/out_deg; symmetric edges, so no dangling
+    mass). Not a recursive CTE — aggregation over the recursive
+    relation is restricted in most engines, and unrolling keeps the
+    replay bit-for-bit auditable."""
+    # Literals via repr() so the SQL decimal string parses to the SAME
+    # double Spark computes in Python (1.0 - 0.85 == 0.15000000000000002
+    # in binary floating point; writing "0.15" would be one ulp off).
+    teleport = f"CAST({(1.0 - damping)!r} AS DOUBLE) / (SELECT n FROM nn)"
+    damping_lit = f"CAST({damping!r} AS DOUBLE)"
+    base = """
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT item_a AS src, item_b AS dst FROM pairs
+      UNION ALL
+      SELECT item_b AS src, item_a AS dst FROM pairs
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+    )"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+    r{i} AS (
+      SELECT n.node,
+             {teleport} + {damping_lit} * COALESCE(s.in_sum, CAST(0.0 AS DOUBLE))
+               AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / d.out_deg) AS in_sum
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""")
+    return (
+        base
+        + "".join(steps)
+        + f"\n    SELECT node, ROUND(rank, 8) AS rank FROM r{n_iter}"
+    )
+
+
+@register("item_pagerank", _pagerank_oracle())
 def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase item graph (both directions of
-    each item_cooccurrence pair). Rows-only: power iteration is not
-    expressible as one ANSI query; correctness is pinned by unit tests
-    (closed-form star graph, rank-mass conservation)."""
+    each item_cooccurrence pair). Oracle: the same 8 power iterations
+    unrolled as one SQL statement (one CTE per round) — the co-purchase
+    graph is symmetric, so the Spark dangling-mass term is identically
+    zero and both replays reduce to teleport + damped in-sums.
+    Closed-form behavior (star graph, rank-mass conservation) is
+    additionally pinned by unit tests."""
     pairs = analytics.item_cooccurrence(
         catalog.events(spark, sf_dir), min_support=2
     ).select("item_a", "item_b")

@@ -188,3 +188,40 @@ def test_interval_join_overlapping_intervals_no_dup(spark):
         points, intervals, on="k", ts_col="ts", bucket_seconds=3600
     ).collect()
     assert sorted(r.name for r in rows) == ["long", "short"]
+
+
+def test_interval_join_on_ntz_parquet(spark, tmp_path):
+    """Regression (round-2 verdict #1): driver testdata stores parquet
+    timestamp[us] WITHOUT timezone, which Spark reads as TIMESTAMP_NTZ and
+    every unix_micros() call site then fails analysis. catalog.load_table
+    must hand downstream operators an LTZ timestamp so epoch arithmetic
+    works regardless of how the lake writer stamped the column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.operators.interval import interval_join
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 10, 15), dt.datetime(2024, 1, 1, 12, 0)],
+                pa.timestamp("us"),  # no tz -> TIMESTAMP_NTZ unless normalized
+            ),
+            "user_id": pa.array([10, 10], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "tsntz.parquet"))
+    points = catalog.load_table(spark, "tsntz", str(tmp_path))
+    assert points.schema["ts"].dataType.typeName() == "timestamp", (
+        "load_table must normalize TIMESTAMP_NTZ to LTZ"
+    )
+    intervals = spark.createDataFrame(
+        [(10, "A", dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 11, 0))],
+        "user_id long, name string, start timestamp, end timestamp",
+    )
+    out = interval_join(
+        points, intervals, on="user_id", ts_col="ts", bucket_seconds=900
+    ).collect()
+    assert {(r.event_id, r.name) for r in out} == {(1, "A")}

@@ -101,3 +101,45 @@ def test_lsh_bucketed_topk_finds_near_dup(spark):
     neighbors = [r.neighbor_id for r in out.collect()]
     # the planted near-dup lands in the same bucket and ranks first
     assert neighbors and neighbors[0] == 1
+
+
+def test_brute_force_guard_trips(spark):
+    """cosine_topk must refuse a query set above max_rows (round-2
+    verdict #6) — the brute-force baseline is quadratic and should not
+    silently run on a big input."""
+    from streaming_ecom_analytics_spark.functions.guards import BruteForceGuardError
+
+    big_q = spark.range(20).selectExpr(
+        "id AS vec_id", "array(cast(1.0 AS float), cast(0.0 AS float)) AS embedding"
+    )
+    with pytest.raises(BruteForceGuardError, match="lsh_bucketed_topk"):
+        similarity.cosine_topk(big_q, big_q, k=2, max_rows=10)
+    # explicit opt-out still works
+    out = similarity.cosine_topk(big_q, big_q, k=2, max_rows=None)
+    assert out.count() > 0
+
+
+def test_jaccard_guard_trips(spark):
+    from streaming_ecom_analytics_spark.functions.dedup import jaccard_pairs
+    from streaming_ecom_analytics_spark.functions.guards import BruteForceGuardError
+
+    docs = spark.range(20).selectExpr(
+        "id AS doc_id", "concat('common shared text body ', id % 3) AS text"
+    )
+    with pytest.raises(BruteForceGuardError, match="minhash_lsh_pairs"):
+        jaccard_pairs(docs, max_rows=10)
+
+
+def test_lsh_compose_runs_no_job(spark, vectors):
+    """Composing lsh_bucketed_topk with an explicit dim must not run a
+    Spark job (round-2 verdict #4: no driver action at plan-build time)."""
+    sc = spark.sparkContext
+    status = sc.statusTracker()
+    before = status.getJobIdsForGroup(None)
+    df = similarity.lsh_bucketed_topk(
+        vectors, vectors.filter("vec_id = 0"), k=3, n_planes=4, dim=3
+    )
+    after = status.getJobIdsForGroup(None)
+    assert before == after, "plan composition triggered a Spark job"
+    # and the plan still executes correctly
+    assert {r.neighbor_id for r in df.collect()} >= {1}
