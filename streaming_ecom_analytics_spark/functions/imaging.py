@@ -13,10 +13,12 @@ are implemented for real:
   scanlines with correct CRCs.
 - **PPM/PGM binary** (P5/P6, spec: https://netpbm.sourceforge.net/doc/ppm.html):
   ASCII header + raw bytes.
+- **JPEG** (baseline sequential, ITU-T T.81) lives in the sibling
+  ``functions/jpeg.py`` — full Huffman + IDCT decode and an Annex-K
+  encoder, pure numpy.
 
-JPEG/video stay stubbed (entropy decoders genuinely need a codec
-library); ``multimodal.decode_image`` sniffs magic bytes and routes
-here first.
+WebP/video stay stubbed (VP8/AV1 entropy decoders are out of scope);
+``multimodal.decode_image`` sniffs magic bytes and routes here first.
 """
 
 from __future__ import annotations
@@ -33,9 +35,11 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_format(content: bytes) -> str | None:
-    """'png' | 'ppm' | 'pgm' | None from magic bytes."""
+    """'png' | 'jpeg' | 'ppm' | 'pgm' | None from magic bytes."""
     if content[:8] == PNG_MAGIC:
         return "png"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"P5":

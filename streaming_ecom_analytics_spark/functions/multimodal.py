@@ -9,9 +9,11 @@ Design for 100 TB of media:
 - Decode / resize / frame-sample run in ``mapInPandas``: one Python
   worker per partition, Arrow batches in, so the expensive step scales
   with executors and keeps the JVM row path untouched.
-- PNG and binary PPM/PGM decode for REAL via the pure-numpy codecs in
-  ``functions/imaging.py`` (zlib is stdlib). Formats that need an
-  entropy-codec library (JPEG/WebP/video — PIL/ffmpeg are NOT in this
+- PNG, baseline JPEG, and binary PPM/PGM decode for REAL via the
+  pure-numpy codecs in ``functions/imaging.py`` and
+  ``functions/jpeg.py`` (zlib is stdlib; JPEG Huffman+IDCT is
+  implemented from the T.81 spec). Formats that still need an
+  entropy-codec library (WebP/video — PIL/ffmpeg are NOT in this
   container) raise NotImplementedError unless ``fake=True``, which
   substitutes a deterministic synthetic decode (seeded by content
   hash) so the full pipeline — schema, partitioning, UDF signatures,
@@ -62,21 +64,26 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def synthesize_media(spark, n: int = 64, *, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA —
-    fixture generator for tests and pipeline dry-runs. Every third row
-    is a REAL PNG and every third+1 a real PPM (exercising the actual
-    codecs); the rest are raw rasters for the fake-decode path."""
-    from streaming_ecom_analytics_spark.functions import imaging
+    fixture generator for tests and pipeline dry-runs. Rows rotate
+    through REAL PNG / PGM / baseline-JPEG encodings (exercising all
+    three actual codecs); every fourth row is a raw raster for the
+    fake-decode path."""
+    from streaming_ecom_analytics_spark.functions import imaging, jpeg
 
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-        if i % 3 == 0:
+        if i % 4 == 0:
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             content, codec = imaging.encode_png(np.asarray(img)), "png"
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
             content, codec = imaging.encode_ppm(np.asarray(img)), "pgm"
+        elif i % 4 == 2:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            content = jpeg.encode_jpeg(np.asarray(img), subsample=i % 8 == 2)
+            codec = "jpeg"
         else:
             content = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
             codec = "fake-raw"
@@ -100,23 +107,25 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(content: bytes, width: int, height: int, *, fake: bool = False) -> np.ndarray:
     """Decode one image to a uint8 array.
 
-    PNG and binary PPM/PGM decode for REAL (pure numpy/zlib — see
-    functions/imaging.py); formats needing an entropy codec library
-    (JPEG/WebP; PIL/libjpeg not in this container) raise
+    PNG, baseline JPEG, and binary PPM/PGM decode for REAL (pure
+    numpy — see functions/imaging.py and functions/jpeg.py); formats
+    still needing a codec library (WebP, AVIF, video) raise
     NotImplementedError unless ``fake=True``, which substitutes the
     deterministic synthetic decoder so pipelines stay testable."""
-    from streaming_ecom_analytics_spark.functions import imaging
+    from streaming_ecom_analytics_spark.functions import imaging, jpeg
 
     fmt = imaging.sniff_format(bytes(content))
     if fmt == "png":
         return imaging.decode_png(bytes(content))
+    if fmt == "jpeg":
+        return jpeg.decode_jpeg(bytes(content))
     if fmt in ("ppm", "pgm"):
         return imaging.decode_ppm(bytes(content))
     if not fake:
         raise NotImplementedError(
-            "only PNG/PPM/PGM decode without a codec library (PIL/libjpeg "
-            "not in this container); pass fake=True for the deterministic "
-            "synthetic decoder"
+            "only PNG/JPEG/PPM/PGM decode without a codec library (WebP/"
+            "AVIF/video need one; PIL/ffmpeg not in this container); pass "
+            "fake=True for the deterministic synthetic decoder"
         )
     return _fake_decode(content, width, height)
 
@@ -128,8 +137,9 @@ def image_features(
 
     Output: (media_id, width, height, mean_luma, feature[target_dim]).
     The Spark-side contract — Arrow batch iteration, pruned input
-    columns, typed output schema — is the real implementation; only the
-    pixel decode is a stub (see decode_image).
+    columns, typed output schema — plus PNG/JPEG/netpbm pixel decode
+    are all real; only codec-library formats (WebP/video) fall back to
+    the deterministic fake (see decode_image).
     """
 
     from streaming_ecom_analytics_spark.functions import imaging

@@ -545,12 +545,12 @@ def q_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode → luma features over mapInPandas. No media
     table exists in the driver lake, so the input is the deterministic
-    synthesized fixture (PNG and PPM rows decode through the REAL
-    pure-numpy codecs in functions/imaging.py; raw rasters take the
-    seeded fake path). Rows-only: output is deterministic
-    (seed-pinned), no SQL oracle exists for pixel decoding. The
-    array<float> feature column is serialized to JSON for the driver's
-    scalar-only canonicalizer."""
+    synthesized fixture (PNG, PGM, and baseline-JPEG rows decode
+    through the REAL pure-numpy codecs in functions/imaging.py and
+    functions/jpeg.py; raw rasters take the seeded fake path).
+    Rows-only: output is deterministic (seed-pinned), no SQL oracle
+    exists for pixel decoding. The array<float> feature column is
+    serialized to JSON for the driver's scalar-only canonicalizer."""
     from streaming_ecom_analytics_spark.functions import multimodal
 
     feats = multimodal.image_features(

@@ -115,8 +115,13 @@ def test_decode_image_sniffs_real_formats():
     grey = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
     out = multimodal.decode_image(imaging.encode_ppm(grey), 6, 5)
     assert np.array_equal(out, grey)
-    with pytest.raises(NotImplementedError, match="PNG/PPM"):
+    # JPEG now routes to the real baseline decoder (functions/jpeg.py);
+    # a truncated stream fails loudly rather than yielding pixels
+    with pytest.raises(ValueError, match="SOF"):
         multimodal.decode_image(b"\xff\xd8\xff JPEG bytes", 2, 2)
+    # WebP remains the honestly-stubbed boundary
+    with pytest.raises(NotImplementedError, match="WebP"):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBP", 2, 2)
 
 
 def test_image_features_over_real_codecs(spark):
