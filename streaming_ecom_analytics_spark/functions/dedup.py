@@ -364,13 +364,15 @@ def simhash_pairs(
 
 
 def _hash64(s: str) -> int:
-    """Deterministic 64-bit string hash from two salted crc32s —
-    process-stable (unlike Python's salted builtin hash) and C-speed
-    (unlike a per-character Python loop)."""
-    import zlib
+    """Deterministic 64-bit string hash = first 8 bytes of MD5 —
+    process-stable (unlike Python's salted builtin hash), C-speed
+    (hashlib), and ENGINE-PORTABLE: DuckDB reproduces it exactly as
+    ``CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)``, which is what
+    lets simhash and winnowing carry full value-level SQL oracles
+    instead of rows-only checks."""
+    import hashlib
 
-    b = s.encode()
-    return zlib.crc32(b) | (zlib.crc32(b, 0x9E3779B9) << 32)
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
 
 
 def dedup_against(

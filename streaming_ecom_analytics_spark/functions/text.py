@@ -203,8 +203,10 @@ def winnow_fingerprint(
     """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     rolling hash over k-grams of tokens, keep the min hash of each
     sliding window — a compact, position-robust signature for
-    plagiarism-style overlap detection. Pandas UDF (rows-only check:
-    polynomial rolling hashes are engine-specific)."""
+    plagiarism-style overlap detection. Pandas UDF; the md5-derived
+    gram hash (dedup._hash64) is engine-portable, so the exploded form
+    carries a full value-level DuckDB oracle (plans/extension_queries
+    _WINNOW_ORACLE)."""
 
     import numpy as np
 

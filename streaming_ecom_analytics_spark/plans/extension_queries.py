@@ -138,10 +138,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_dup_simhash", None)
+_SIMHASH_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+        unnest(CASE WHEN len(w) >= 3
+          THEN list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(list_slice(w, i, i + 2), ' '))
+          ELSE [array_to_string(w, ' ')] END) AS feat
+      FROM w
+    ),
+    bits AS (
+      SELECT doc_id, t.b,
+        CASE WHEN SUM(CASE WHEN (CAST(('0x' || substr(md5(feat), 1, 16)) AS UBIGINT)
+                                 >> t.b) & 1 = 1
+                     THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+      FROM g CROSS JOIN (SELECT unnest(range(64)) AS b) t
+      GROUP BY doc_id, t.b
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << b ELSE 0 END)
+             AS UBIGINT) AS usig
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.usig, b.usig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.usig, b.usig)) <= 3
+    """
+
+
+@register("near_dup_simhash", _SIMHASH_ORACLE)
 def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-distance near-dup pairs (engine-specific bits →
-    rows-only; semantics unit-tested on crafted fixtures)."""
+    """SimHash Hamming-distance near-dup pairs. Value-level oracle: the
+    md5-derived feature hash (dedup._hash64) is reproduced bit-exactly
+    in DuckDB, and the chunk-blocked join is pigeonhole-EXACT for
+    hamming <= n_chunks-1 = 7, so blocked Spark output == brute-force
+    SQL at max_hamming=3."""
     return dedup.simhash_pairs(catalog.documents(spark, sf_dir), max_hamming=3)
 
 
@@ -423,12 +460,57 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(catalog.documents(spark, sf_dir))
 
 
-@register("doc_fingerprint", None)
+_WINNOW_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+      FROM documents
+    ),
+    g AS (  -- 5-gram rolling hashes, signed-64 like the numpy kernel
+      SELECT doc_id, i - 1 AS gpos, greatest(len(w) - 4, 1) AS n_grams,
+        CAST(('0x' || substr(md5(array_to_string(list_slice(w, i, i + 4), ' ')), 1, 16))
+             AS UBIGINT) AS uh
+      FROM w, unnest(generate_series(1, greatest(len(w) - 4, 1))) t(i)
+    ),
+    keyed AS (  -- (signed hash, position) packed so MIN = leftmost argmin
+      SELECT doc_id, gpos, n_grams,
+        (CAST(uh AS HUGEINT)
+         - CASE WHEN uh >= CAST('9223372036854775808' AS UBIGINT)
+                THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END
+         + CAST('9223372036854775808' AS HUGEINT)) * 4294967296 + gpos AS key
+      FROM g
+    ),
+    mins AS (  -- window=4: min over [wstart, wstart+3]
+      SELECT doc_id, gpos AS wstart, n_grams,
+        MIN(key) OVER (PARTITION BY doc_id ORDER BY gpos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minkey
+      FROM keyed
+    ),
+    starts AS (
+      SELECT doc_id, wstart, minkey, minkey % 4294967296 AS j
+      FROM mins WHERE wstart < greatest(n_grams - 3, 1)
+    ),
+    kept AS (  -- winnowing rule: emit only when the argmin position moves
+      SELECT doc_id, wstart, minkey
+      FROM (SELECT *, LAG(j) OVER (PARTITION BY doc_id ORDER BY wstart) AS pj
+            FROM starts)
+      WHERE pj IS NULL OR j != pj
+    )
+    SELECT doc_id,
+      CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wstart) - 1
+           AS INTEGER) AS pos,
+      CAST(minkey // 4294967296 - CAST('9223372036854775808' AS HUGEINT)
+           AS BIGINT) AS fp_hash
+    FROM kept
+    """
+
+
+@register("doc_fingerprint", _WINNOW_ORACLE)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints in exploded (doc_id, pos,
-    fp_hash) form — scalar columns only, so rows-only canonicalization
-    (sort + hash) works. Hashes themselves are engine-specific → no SQL
-    oracle; overlap semantics are unit-tested."""
+    fp_hash) form. Value-level oracle: the md5-derived gram hash is
+    engine-portable, and the window-argmin + move-only-emit rule is a
+    windowed MIN over (hash, position) packed into one HUGEINT key —
+    leftmost tie-break matches numpy argmin."""
     return text.winnow_fingerprint_rows(catalog.documents(spark, sf_dir))
 
 
@@ -562,6 +644,27 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
         F.to_json(F.col("feature")).alias("feature_json"),
+    )
+
+
+@register("audio_features", None)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode → DSP features over mapInPandas (WAV/PCM decoded
+    for real in functions/audio.py; the fixture is the deterministic
+    synthesized tone table). Rows-only: FFT-based spectral features
+    have no SQL oracle; determinism is pinned by seed + rounding."""
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    feats = multimodal.audio_features(multimodal.synthesize_audio(spark, n=32))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms_mean", 6).alias("rms_mean"),
+        F.round("rms_max", 6).alias("rms_max"),
+        F.round("zcr_mean", 6).alias("zcr_mean"),
+        F.round("centroid_hz", 3).alias("centroid_hz"),
+        F.round("rolloff_hz", 3).alias("rolloff_hz"),
     )
 
 

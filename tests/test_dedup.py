@@ -44,8 +44,11 @@ def test_minhash_lsh_matches_bruteforce(docs):
 def test_simhash_exact_dup_distance_zero(docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
     assert sigs[1] == sigs[4]
-    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
-    ham_other = bin(sigs[1] ^ sigs[3]).count("1")
+    # signatures are stored signed-64; mask the xor back to 64 bits or
+    # bin() of a negative Python int would miscount the distance
+    mask = (1 << 64) - 1
+    ham_near = bin((sigs[1] ^ sigs[2]) & mask).count("1")
+    ham_other = bin((sigs[1] ^ sigs[3]) & mask).count("1")
     assert ham_near < ham_other
 
 
