@@ -173,6 +173,79 @@ def image_features(
     return pruned.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms_mean", T.DoubleType()),
+        T.StructField("rms_max", T.DoubleType()),
+        T.StructField("zcr_mean", T.DoubleType()),
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("rolloff_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, *, frame: int = 1024, hop: int = 512) -> DataFrame:
+    """WAV decode → cheap-DSP descriptor set (RMS / ZCR / spectral
+    centroid / rolloff) over mapInPandas — the audio twin of
+    ``image_features``. Real decode (functions/audio.py); compressed
+    codecs would raise, so filter on codec='wav' upstream when mixing.
+    """
+    from streaming_ecom_analytics_spark.functions import audio as audiolib
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                samples, rate = audiolib.decode_wav(bytes(row["content"]))
+                fv = audiolib.audio_feature_vector(samples, rate, frame=frame, hop=hop)
+                out.append(
+                    (
+                        row["media_id"],
+                        int(rate),
+                        fv["duration_s"],
+                        fv["rms_mean"],
+                        fv["rms_max"],
+                        fv["zcr_mean"],
+                        fv["centroid_hz"],
+                        fv["rolloff_hz"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields],
+            )
+
+    pruned = media.filter(F.col("media_type") == "audio").select("media_id", "content")
+    return pruned.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def synthesize_audio(spark, n: int = 32, *, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic audio table matching MEDIA_SCHEMA: sine
+    tones at varied frequencies/durations, PCM16 WAV-encoded through
+    the real encoder."""
+    from streaming_ecom_analytics_spark.functions import audio as audiolib
+
+    rows = []
+    for i in range(n):
+        freq = 110.0 * (1 + i % 8)
+        seconds = 0.25 + (i % 4) * 0.25
+        sig = audiolib.synth_tone(freq=freq, seconds=seconds, rate=8000, seed=seed + i)
+        content = audiolib.encode_wav(sig, 8000)
+        rows.append(
+            (
+                i,
+                "audio",
+                "wav",
+                bytearray(content),
+                (None, None, int(seconds * 1000), len(content)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, *, every_ms: int = 1000
 ) -> DataFrame:
