@@ -291,3 +291,52 @@ def weighted_sample(
         .where(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    *,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the multinomial
+    alpha-sampling rule of multilingual/multi-domain pretraining,
+    e.g. mC4/XLM-R): sample domain d with probability proportional to
+    p_d^alpha, where p_d is the domain's token share. alpha < 1
+    up-weights small domains; alpha = 1 is natural sampling.
+
+    Output per domain: n_docs, n_tokens, token_share, weight (the
+    normalized sampling probability), boost (weight / natural share —
+    > 1 means over-sampled vs natural).
+
+    Scale shape: one corpus-wide agg to domain grain, then a broadcast
+    scalar join for the normalizers — domain cardinality is tiny, so
+    the post-agg crossJoin is O(#domains), never a data-volume join.
+    """
+    n_tokens = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+    )
+    shared = per.crossJoin(F.broadcast(totals)).withColumn(
+        "token_share", F.col("n_tokens") / F.col("tot_tokens")
+    )
+    powed = shared.withColumn("w_raw", F.pow(F.col("token_share"), F.lit(alpha)))
+    norm = powed.agg(F.sum("w_raw").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round("token_share", 6).alias("token_share"),
+            F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+            F.round((F.col("w_raw") / F.col("z")) / F.col("token_share"), 6).alias(
+                "boost"
+            ),
+        )
+    )

@@ -581,3 +581,97 @@ def bm25_rank(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def ngram_lm_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    CCNet-style quality signal: train add-k-smoothed bigram counts on
+    the corpus itself, score each doc by mean log P(w_i | w_{i-1}).
+    Low scores = repetitive-boilerplate or out-of-distribution docs.
+
+    Output: (doc_id, n_bigrams, lm_score) — lm_score NULL for docs
+    with < 2 tokens.
+
+    Scale shape: counts tables are vocab-sized (<< corpus); the
+    score join shuffles doc-bigrams against bigram counts on the
+    (w1, w2) key — at 100 TB, dictionary-encode tokens to ints first
+    (trade the string shuffle key for a join against the vocab
+    table); kept as strings here for clarity and SQL-oracle parity.
+    All expressions are built-ins — no Python in the hot path.
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    # adjacent pairs via zipped shifted slices (empty when < 2 tokens —
+    # avoids sequence(0, -1), which Spark would expand DESCENDING)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(t, 1, greatest(size(t) - 1, 0)),"
+                "           slice(t, 2, greatest(size(t) - 1, 0)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    uni = base.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c1")
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))  # scalar, broadcast
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    a = float(smoothing)
+    logp = F.log(
+        (F.col("c2") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("v"))
+    )
+    scored = (
+        bg.join(bgc, on=["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.avg(logp).alias("lm_score"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score",
+        )
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+) -> DataFrame:
+    """Adjacent-character-pair frequencies over the corpus — the
+    statistic behind a BPE tokenizer's first merge choice (Sennrich
+    2016): count every within-word character bigram, rank by count.
+    One Spark round == one BPE training iteration's count step; a
+    trainer loops this with a merge applied between rounds.
+
+    Output: top-K (pair, pair_count), deterministic tiebreak
+    (count desc, pair asc). Plan: explode → two-phase count-agg →
+    TakeOrderedAndProject; never a global sort of the distribution.
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    words = docs.select(F.explode(toks).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top)
+    )

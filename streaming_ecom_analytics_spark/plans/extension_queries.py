@@ -2,10 +2,11 @@
 analysis over the documents/embeddings tables.
 
 Oracle-checkable where cross-engine determinism holds (exact hashes,
-integer-ratio Jaccard, fixed-fold-order double dot products — verified
-bit-exact against DuckDB); rows-only where the operator is inherently
-engine-specific (MinHash signatures themselves, SimHash, winnowing,
-LSH-bucketed approximations).
+integer-ratio Jaccard, fixed-fold-order double dot products, and the
+md5-derived simhash/winnowing signatures — all verified bit-exact
+against DuckDB); rows-only where the operator is inherently
+engine-specific (MinHash signatures themselves, LSH-bucketed
+approximations, FFT-based audio features, pixel decoding).
 
 The LSH dedup query shares its oracle with the brute-force one: LSH at
 64 perms / 16 bands has P[miss | j≥0.8] ≈ 4e-8 and candidates are
@@ -1082,3 +1083,109 @@ def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_terms=("spark", "join", "window"),
         top_k=10,
     )
+
+
+# ---- Corpus statistics for tokenizer training & data mixing ----
+
+_LM_SCORE_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) s(i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT b.doc_id, ln((bc.c2 + 1.0) / (u.c1 + v.v)) AS lp
+      FROM bg b
+      JOIN bgc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN uni u ON u.w = b.w1
+      CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS m
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           ROUND(p.m, 6) AS lm_score
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+
+
+@register("lm_doc_scores", _LM_SCORE_ORACLE)
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per doc (CCNet-style quality
+    signal). Value-level oracle: add-1-smoothed counts are integers,
+    and the mean-log-prob rounds to 6 dp on both engines."""
+    scores = text.ngram_lm_scores(catalog.documents(spark, sf_dir))
+    return scores.select(
+        "doc_id", "n_bigrams", F.round("lm_score", 6).alias("lm_score")
+    )
+
+
+_BPE_PAIRS_ORACLE = r"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, length(w) - 1),
+               i -> substr(w, i, 2)
+             )) AS pair
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC
+    LIMIT 20
+    """
+
+
+@register("bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-word character-pair counts — the count step of a
+    BPE tokenizer-training iteration. Exact integer oracle with a
+    deterministic cut line."""
+    return text.bpe_pair_counts(catalog.documents(spark, sf_dir), top=20)
+
+
+_MIXTURE_ORACLE = r"""
+    WITH per AS (
+      SELECT source AS domain, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens FROM per),
+    powed AS (
+      SELECT domain, n_docs, n_tokens,
+             n_tokens / tot_tokens AS token_share,
+             POW(n_tokens / tot_tokens, 0.7) AS w_raw
+      FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(w_raw) AS z FROM powed)
+    SELECT domain, n_docs, n_tokens,
+           ROUND(token_share, 6) AS token_share,
+           ROUND(w_raw / z, 6) AS weight,
+           ROUND((w_raw / z) / token_share, 6) AS boost
+    FROM powed CROSS JOIN z
+    """
+
+
+@register("domain_mixture_weights", _MIXTURE_ORACLE)
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.7) domain sampling weights over the
+    documents table's source domains — the data-mixing policy op."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    return curate.domain_mixture_weights(catalog.documents(spark, sf_dir))

@@ -182,3 +182,49 @@ def test_bm25_idf_downweights_ubiquitous_terms(spark):
     out = {r["doc_id"]: r["score"] for r in text.bm25_rank(docs, query_terms=("common", "rare"), top_k=4).collect()}
     # doc 1 holds the rare term too -> strictly best
     assert out[1] > max(v for k, v in out.items() if k != 1)
+
+
+def test_ngram_lm_scores_semantics(spark):
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),   # exact repeat: high-prob bigrams
+        (3, "zq xv qj wk vn bb"),        # all-unique bigrams: low prob
+        (4, "one"),                      # < 2 tokens: no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textops.ngram_lm_scores(docs).collect()}
+    assert out[4].n_bigrams == 0 and out[4].lm_score is None
+    assert out[1].n_bigrams == 5
+    # repeated doc's bigrams were seen twice -> higher mean log-prob
+    assert out[1].lm_score > out[3].lm_score
+    assert out[1].lm_score == out[2].lm_score
+
+
+def test_bpe_pair_counts_ranking(spark):
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "abab"), (3, "xy")],
+        "doc_id long, text string",
+    )
+    out = textops.bpe_pair_counts(docs, top=3).collect()
+    # 'aa' appears 3 per 'aaaa' word x2 = 6; 'ab' 2 + 'ba' 1; 'xy' 1
+    assert (out[0].pair, out[0].pair_count) == ("aa", 6)
+    assert out[1].pair == "ab" and out[1].pair_count == 2
+    # deterministic tiebreak at count 1: 'ba' < 'xy'
+    assert out[2].pair == "ba"
+
+
+def test_domain_mixture_weights_boosts_small_domains(spark):
+    from streaming_ecom_analytics_spark.functions import curate
+
+    rows = [(i, "w " * 99 + "w", "big") for i in range(9)] + [(100, "w w", "small")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in curate.domain_mixture_weights(docs).collect()}
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-6
+    # alpha < 1 up-weights the small domain relative to natural share
+    assert out["small"].boost > 1.0 > out["big"].boost
+    assert out["small"].weight > out["small"].token_share
+    assert out["big"].n_tokens == 900 and out["small"].n_tokens == 2
