@@ -353,5 +353,6 @@ from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401
     extension_queries,
     relational_queries,
     streaming_queries,
+    tpch_deep,
     warehouse_queries,
 )

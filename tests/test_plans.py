@@ -378,3 +378,54 @@ def test_bm25_shuffles_postings_not_vocabulary(spark):
     assert "TakeOrderedAndProject" in plan
     # the isin filter applies on the exploded words, pre-aggregation
     assert "term#" in plan and " IN (spark,join,window)" in plan
+
+
+# ---- TPC-H deep-cut shapes (plans/tpch_deep.py) ----
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    """order_priority_check: the EXISTS is one semi-join (no distinct,
+    no duplicate-order inflation) with the date gate pushed to scan."""
+    plan = _plan(spark, "order_priority_check")
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "o_orderdate" in pushed
+
+
+def test_q13_left_outer_preserves_zero_order_customers(spark):
+    """customer_order_distribution: outer join (zeros must survive)
+    and two separate hash aggregates (customer grain, then count
+    grain)."""
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggregates x partial/final
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "part_supplier_diversity")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_and_anti_on_same_fact(spark):
+    """sole_late_supplier_blame: the EXISTS/NOT-EXISTS pair compiles
+    to one semi plus one anti join — never a correlated re-execution
+    per row."""
+    plan = _plan(spark, "sole_late_supplier_blame")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark):
+    """min_cost_supplier: per-part minimum via one Window over the
+    single unit-price aggregate — lineitem is scanned once."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") <= 4  # lineitem once + 3 dims
+
+
+def test_q15_scalar_max_is_broadcast_not_sort(spark):
+    """top_supplier_revenue: the max-revenue gate is a broadcast join
+    against a one-row aggregate; no global sort of supplier revenues."""
+    plan = _plan(spark, "top_supplier_revenue")
+    assert "BroadcastHashJoin" in plan
