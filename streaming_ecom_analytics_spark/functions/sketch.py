@@ -275,3 +275,115 @@ def bloom_semi_join(
     # the small side (hence `confirmed`) may exceed broadcast size —
     # only the bounded bit table must broadcast. AQE picks the strategy.
     return big.join(confirmed, on=on, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the deterministic counter-based frequent-
+# items summary (Misra & Gries 1982), merged per Agarwal et al. 2012
+# ("Mergeable Summaries"): a size-k summary whose lower-bound estimates
+# satisfy  exact - n/(k+1) <= est <= exact  for EVERY item, and which
+# therefore contains every item with frequency > n/(k+1).
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_summary(
+    df: DataFrame, key_col: str, *, capacity: int = 8
+) -> DataFrame:
+    """Distributed Misra-Gries: (item, est) lower-bound frequency
+    summary with at most ``capacity`` rows.
+
+    Two stages, both vectorized:
+    1. per-partition summaries in one ``mapInPandas`` pass — a
+       partition's MG summary is its exact value_counts with the
+       (capacity+1)-th largest count subtracted from every counter
+       (the merge rule applied to the exact histogram, which is itself
+       a valid summary); ≤ capacity rows leave each partition, so the
+       shuffle is O(partitions × capacity) regardless of data volume;
+    2. merge: sum matching counters, then subtract the (capacity+1)-th
+       largest combined count and keep positives (Agarwal et al.'s
+       MERGE — the step that keeps total error ≤ n/(capacity+1)).
+
+    The final threshold rank runs on ≤ partitions×capacity rows — a
+    sketch-sized frame, never the data.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+
+    def partition_mg(batches):
+        acc: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            for k, v in vc.items():
+                acc[k] = acc.get(k, 0) + int(v)
+        s = pd.Series(acc, dtype="int64").sort_values(ascending=False)
+        if len(s) > cap:
+            s = (s - int(s.iloc[cap])).head(cap)
+            s = s[s > 0]
+        yield pd.DataFrame({"item": s.index.astype(str), "part_est": s.values})
+
+    parts = df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        partition_mg, schema="item string, part_est long"
+    )
+    summed = parts.groupBy("item").agg(F.sum("part_est").alias("c"))
+    from pyspark.sql.window import Window
+
+    # deterministic rank over a sketch-sized frame (≤ partitions*capacity
+    # rows): single-partition window is bounded by construction
+    w = Window.orderBy(F.desc("c"), F.asc("item"))
+    ranked = summed.withColumn("rnk", F.row_number().over(w))
+    thr = ranked.filter(F.col("rnk") == cap + 1).select(
+        F.col("c").alias("thr")
+    )
+    return (
+        ranked.crossJoin(
+            F.broadcast(
+                thr.groupBy().agg(F.coalesce(F.max("thr"), F.lit(0)).alias("thr"))
+            )
+        )
+        .withColumn("est", F.col("c") - F.col("thr"))
+        .filter(F.col("est") > 0)
+        .select("item", "est")
+    )
+
+
+def misra_gries_check(
+    df: DataFrame, key_col: str, *, capacity: int = 8, top: int = 5
+) -> DataFrame:
+    """The MG theorems as checkable booleans over the exact top-K items
+    (the CMS/HLL bounded-error oracle pattern): for error budget
+    E = n/(capacity+1),
+
+    - ``present_ok``: freq > E  ⇒  the item survives in the summary;
+    - ``bound_ok``:   exact - E <= est <= exact.
+
+    Both are guaranteed TRUE by Misra-Gries for ANY input, so a SQL
+    oracle can emit the exact counts with constant TRUEs — any merge
+    or decrement bug flips a boolean."""
+    sketch = misra_gries_summary(df, key_col, capacity=capacity)
+    exact = (
+        df.select(F.col(key_col).cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("item"))
+        .limit(top)
+    )
+    n = df.groupBy().agg(F.count("*").cast("double").alias("n"))
+    err = F.col("n") / (capacity + 1)
+    est = F.coalesce(F.col("est"), F.lit(0)).cast("double")
+    return (
+        exact.join(sketch, on="item", how="left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "exact_count",
+            ((F.col("exact_count") <= err) | F.col("est").isNotNull()).alias(
+                "present_ok"
+            ),
+            (
+                (F.col("exact_count") - est <= err)
+                & (est <= F.col("exact_count"))
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("item"))
+    )

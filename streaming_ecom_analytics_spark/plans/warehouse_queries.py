@@ -936,3 +936,119 @@ def q_purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return analytics.negative_samples(pos, user_col="user_id", item_col="item", n_neg=3)
+
+
+_MG_ORACLE = """
+    SELECT event_type AS item, COUNT(*) AS exact_count,
+           TRUE AS present_ok, TRUE AS bound_ok
+    FROM events GROUP BY event_type
+    ORDER BY exact_count DESC, item ASC
+    LIMIT 5
+"""
+
+
+@register("heavy_hitters_mg", _MG_ORACLE)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent event types at capacity 3 < cardinality 5,
+    so evictions and the mergeable-summary decrement are genuinely
+    exercised. MG's theorems (every freq > n/(k+1) item survives;
+    estimates within [exact - n/(k+1), exact]) hold for ANY input, so
+    the oracle emits the exact counts with constant TRUEs — a merge or
+    decrement bug flips a boolean (the CMS/HLL bounded-error oracle
+    pattern)."""
+    return sketch.misra_gries_check(
+        catalog.events(spark, sf_dir), "event_type", capacity=3, top=5
+    )
+
+
+_LINKAGE_ORACLE = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND length(a.c_name) = length(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register("customer_name_linkage", _LINKAGE_ORACLE)
+def q_customer_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: same-nation customers whose
+    names are within edit distance 1. Blocked on (nation, name length)
+    so the self-join compares within buckets, never all-pairs; the
+    edit distance itself is JVM-side levenshtein (bit-identical to
+    DuckDB's on this ASCII domain)."""
+    from streaming_ecom_analytics_spark.functions import dedup
+
+    return dedup.fuzzy_link_pairs(
+        catalog.load_table(spark, "customer", sf_dir),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=("c_nationkey",),
+        max_distance=1,
+    ).select("id_a", "id_b", "name_a", "name_b", "distance")
+
+
+_APPROX_PCTL_ORACLE = """
+    SELECT event_type, q, TRUE AS rank_ok
+    FROM (SELECT DISTINCT event_type FROM events)
+    CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    ORDER BY event_type, q
+"""
+
+
+@register("approx_percentile_bounds", _APPROX_PCTL_ORACLE)
+def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna) with its rank guarantee as
+    the checkable contract: at accuracy a, the returned value's true
+    rank must lie within n/a of the target rank q*n. The query
+    re-ranks the approximate answers against the raw data (one extra
+    aggregate over a 15-row broadcast probe) and emits the boolean;
+    the oracle pins the (event_type, q) grid with constant TRUE —
+    the exact approximate VALUES are engine-internal, their guarantee
+    is not."""
+    events = catalog.events(spark, sf_dir).select("event_type", "value")
+    accuracy = 1000
+    qs = [0.5, 0.9, 0.99]
+    approx = (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", qs, accuracy).alias("apx"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("apx").alias("v")
+                )
+            ).alias("z"),
+        )
+        .select("event_type", "n", F.col("z.q").alias("q"), F.col("z.v").alias("v"))
+    )
+    ranked = (
+        events.join(F.broadcast(approx), on="event_type")
+        .groupBy("event_type", "q", "n", "v")
+        .agg(
+            F.count(F.when(F.col("value") <= F.col("v"), 1)).alias("rank_le"),
+            F.count(F.when(F.col("value") < F.col("v"), 1)).alias("rank_lt"),
+        )
+    )
+    # Spark's documented contract: floor((p-err)*N) <= rank(x) <=
+    # ceil((p+err)*N), err = 1/accuracy. v occupies ranks
+    # (rank_lt, rank_le]; the contract holds if that span intersects
+    # the guaranteed interval.
+    eps = 1.0 / accuracy
+    lo = F.floor((F.col("q") - eps) * F.col("n").cast("double"))
+    hi = F.ceil((F.col("q") + eps) * F.col("n").cast("double"))
+    return ranked.select(
+        "event_type",
+        "q",
+        (
+            (F.col("rank_le") >= lo) & (F.col("rank_lt") <= hi)
+        ).alias("rank_ok"),
+    ).orderBy("event_type", "q")

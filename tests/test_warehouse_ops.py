@@ -604,3 +604,48 @@ def test_negative_samples_caps_per_user(spark):
         per_user.setdefault(r["user_id"], []).append(r["neg_rank"])
     assert per_user.get("u1") is None  # u1 bought everything
     assert sorted(per_user["u2"]) == [1, 2, 3]
+
+
+# ---- Misra-Gries heavy hitters ----
+
+
+def test_misra_gries_adversarial_bounds(spark):
+    """Skewed + uniform mix at capacity far below cardinality: every
+    estimate must stay within [exact - n/(k+1), exact], and every item
+    with freq > n/(k+1) must survive."""
+    from streaming_ecom_analytics_spark.functions import sketch as sk
+
+    rows = (
+        [("hot1",)] * 500 + [("hot2",)] * 300
+        + [(f"cold{i}",) for i in range(200) for _ in range(3)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    n = len(rows)
+    cap = 4
+    est = {r.item: r.est for r in sk.misra_gries_summary(df, "k", capacity=cap).collect()}
+    assert len(est) <= cap
+    exact = {"hot1": 500, "hot2": 300, **{f"cold{i}": 3 for i in range(200)}}
+    budget = n / (cap + 1)
+    for item, e in est.items():
+        assert e <= exact[item], (item, e)
+        assert exact[item] - e <= budget, (item, e)
+    for item, c in exact.items():
+        if c > budget:
+            assert item in est, f"guaranteed heavy hitter {item} missing"
+    checks = sk.misra_gries_check(df, "k", capacity=cap, top=3).collect()
+    assert all(r.present_ok and r.bound_ok for r in checks)
+    assert [r.item for r in checks][:2] == ["hot1", "hot2"]
+
+
+def test_misra_gries_sketch_is_small_and_plan_bounded(spark):
+    from streaming_ecom_analytics_spark.functions import sketch as sk
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).cast("string").alias("k")
+    )
+    out = sk.misra_gries_summary(df, "k", capacity=10)
+    assert out.count() <= 10
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-volume stage is the mapInPandas; everything after runs
+    # on sketch-sized rows
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
