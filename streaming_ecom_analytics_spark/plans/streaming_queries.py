@@ -313,3 +313,35 @@ def q_click_purchase_attribution_pairs(spark: SparkSession, sf_dir: str) -> Data
     return joins.attribute_purchases_to_clicks(
         catalog.events(spark, sf_dir), within="30 minutes", watermark=None
     )
+
+
+@register(
+    "click_conversion_outcomes",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           p.event_id IS NOT NULL AS converted
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def q_click_conversion_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream join
+    (streaming/joins.py::clicks_with_conversion_outcome): every click
+    with its conversion outcome, unconverted clicks surfacing as NULL
+    purchase columns. The identical plan runs watermarked on streaming
+    input, where NULL rows flush once the watermark closes each join
+    window — asserted in tests/test_streaming.py."""
+    from streaming_ecom_analytics_spark.streaming import joins
+
+    return joins.clicks_with_conversion_outcome(
+        catalog.events(spark, sf_dir), within="30 minutes", watermark=None
+    )

@@ -88,3 +88,49 @@ def _side(
     if prefix == "purchase":
         cols.append(F.col("value").alias("purchase_value"))
     return side.select(*cols)
+
+
+def clicks_with_conversion_outcome(
+    events: DataFrame,
+    *,
+    within: str = "30 minutes",
+    watermark: str | None = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    click_type: str = "click",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Every click with its purchase-within-``within`` outcome — the
+    LEFT OUTER stream-stream join: matched clicks carry the purchase
+    columns, unmatched ones surface with NULLs once the watermark
+    passes the end of their join window (Spark can only then prove no
+    match will arrive; a streaming anti-join is not supported natively,
+    so outer-join-then-null-filter IS the streaming no-conversion
+    pattern). Works identically on a batch frame, where NULLs appear
+    immediately.
+
+    Output: (user_id, click_id, click_ts, purchase_id, purchase_ts,
+    purchase_value, converted).
+    """
+    clicks = _side(events, click_type, watermark, ts_col, user_col, type_col, "click")
+    purchases = _side(
+        events, purchase_type, watermark, ts_col, user_col, type_col, "purchase"
+    )
+    cond = (
+        (clicks["__u"] == purchases["__u"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return clicks.join(purchases, on=cond, how="left_outer").select(
+        clicks["__u"].alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )

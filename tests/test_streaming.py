@@ -243,3 +243,67 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     # watermark allows; with this fixture nothing qualifying is late,
     # so the sets must be equal and non-empty
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """user 1's view converts (purchase 10 min later); user 2's view
+    never converts — its NULL row may only be emitted once the
+    watermark (driven by the far-future batch-2 event) passes the end
+    of its join window."""
+    from streaming_ecom_analytics_spark.streaming import joins
+
+    batches = [
+        [
+            (1, _t(0), 1, "view", 1.0, "{}"),
+            (2, _t(1), 2, "view", 1.0, "{}"),
+            (3, _t(10), 1, "purchase", 30.0, "{}"),
+        ],
+        # watermark pushers: far beyond window end + delay, and they
+        # must be click/purchase-typed — anything else is filtered out
+        # BEFORE the withWatermark node and would never advance it. TWO
+        # trailing batches: the watermark computed from batch N only
+        # evicts outer-join state during batch N+1, so a single
+        # trailing batch would terminate the availableNow query before
+        # the NULL row flushes.
+        [
+            (4, dt.datetime(2024, 1, 2, 10, 0), 3, "view", 0.0, "{}"),
+            (5, dt.datetime(2024, 1, 2, 10, 0), 3, "purchase", 0.0, "{}"),
+        ],
+        [
+            (6, dt.datetime(2024, 1, 3, 10, 0), 3, "view", 0.0, "{}"),
+            (7, dt.datetime(2024, 1, 3, 10, 0), 3, "purchase", 0.0, "{}"),
+        ],
+    ]
+    d = tmp_path / "outer_events"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch_{i}"), mode="overwrite"
+        )
+    stream = _stream(spark, str(d))
+    out = joins.clicks_with_conversion_outcome(
+        stream, within="30 minutes", watermark="10 minutes", click_type="view"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_outer_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.click_id: (r.converted, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_outer_out").collect()
+    }
+    assert got[1] == (True, 3)
+    assert got[2] == (False, None)  # emitted ONLY because watermark advanced
+    # batch twin agrees on the settled user (pusher clicks at the tail
+    # are still in streaming state at termination — batch sees them all)
+    batch = spark.read.parquet(str(d) + "/*")
+    want = {
+        r.click_id: (r.converted, r.purchase_id)
+        for r in joins.clicks_with_conversion_outcome(
+            batch, within="30 minutes", watermark=None, click_type="view"
+        ).collect()
+    }
+    assert {k: got[k] for k in (1, 2)} == {k: want[k] for k in (1, 2)}
