@@ -9,15 +9,17 @@ Design for 100 TB of media:
 - Decode / resize / frame-sample run in ``mapInPandas``: one Python
   worker per partition, Arrow batches in, so the expensive step scales
   with executors and keeps the JVM row path untouched.
-- PNG, baseline JPEG, and binary PPM/PGM decode for REAL via the
-  pure-numpy codecs in ``functions/imaging.py`` and
+- PNG, baseline JPEG, and binary PPM/PGM images decode for REAL via
+  the pure-numpy codecs in ``functions/imaging.py`` and
   ``functions/jpeg.py`` (zlib is stdlib; JPEG Huffman+IDCT is
-  implemented from the T.81 spec). Formats that still need an
-  entropy-codec library (WebP/video — PIL/ffmpeg are NOT in this
-  container) raise NotImplementedError unless ``fake=True``, which
-  substitutes a deterministic synthetic decode (seeded by content
-  hash) so the full pipeline — schema, partitioning, UDF signatures,
-  batch shapes — stays testable for those too.
+  implemented from the T.81 spec); WAV/PCM audio via
+  ``functions/audio.py``; uncompressed y4m video via
+  ``functions/video.py``. Formats that still need an entropy-codec
+  library (WebP/AVIF images, MP3/AAC audio, H.264/VP9/AV1 video —
+  PIL/ffmpeg are NOT in this container) raise NotImplementedError
+  unless ``fake=True``, which substitutes a deterministic synthetic
+  decode (seeded by content hash) so the full pipeline — schema,
+  partitioning, UDF signatures, batch shapes — stays testable too.
 """
 
 from __future__ import annotations
@@ -267,3 +269,77 @@ def frame_sample_plan(
             ).alias("frame_ts_ms"),
         )
     )
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("luma_std", T.DoubleType()),
+        T.StructField("motion_score", T.DoubleType()),
+    ]
+)
+
+
+def video_features(media: DataFrame, *, sample_every: int = 1) -> DataFrame:
+    """y4m container parse → frame sampling → luma/motion triage
+    features over mapInPandas — the video twin of image_features/
+    audio_features, with the decode REAL for uncompressed video
+    (functions/video.py); compressed codecs raise upstream."""
+    from streaming_ecom_analytics_spark.functions import video as videolib
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                frames, fps = videolib.decode_y4m(bytes(row["content"]))
+                fv = videolib.video_feature_vector(
+                    frames, fps, sample_every=sample_every
+                )
+                out.append(
+                    (
+                        row["media_id"],
+                        int(fv["n_frames"]),
+                        fv["duration_s"],
+                        fv["luma_mean"],
+                        fv["luma_std"],
+                        fv["motion_score"],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+            )
+
+    pruned = media.filter(F.col("media_type") == "video").select("media_id", "content")
+    return pruned.mapInPandas(extract, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def synthesize_video(spark, n: int = 16, *, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic video table matching MEDIA_SCHEMA:
+    moving-gradient y4m clips (static for every fourth row, so the
+    motion feature has both regimes to separate)."""
+    from streaming_ecom_analytics_spark.functions import video as videolib
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + 8 * (i % 3), 16 + 8 * ((i + 1) % 3)
+        n_frames = 4 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        static = i % 4 == 0
+        frames = [
+            ((yy * 3 + xx * 2 + (0 if static else t * 17)) % 256).astype(np.uint8)
+            for t in range(n_frames)
+        ]
+        content = videolib.encode_y4m(frames, fps=10)
+        rows.append(
+            (
+                i,
+                "video",
+                "y4m",
+                bytearray(content),
+                (w, h, int(n_frames * 100), len(content)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

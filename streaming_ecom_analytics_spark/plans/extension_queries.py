@@ -1189,3 +1189,23 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.functions import curate
 
     return curate.domain_mixture_weights(catalog.documents(spark, sf_dir))
+
+
+@register("video_features", None)
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container parse → frame-level triage features over
+    mapInPandas (y4m decoded for REAL in functions/video.py — the
+    uncompressed interchange format; compressed codecs are the
+    documented boundary). Rows-only: deterministic seed-pinned
+    fixture, no SQL oracle for pixel payloads."""
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    feats = multimodal.video_features(multimodal.synthesize_video(spark, n=16))
+    return feats.select(
+        "media_id",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("luma_mean", 6).alias("luma_mean"),
+        F.round("luma_std", 6).alias("luma_std"),
+        F.round("motion_score", 6).alias("motion_score"),
+    )

@@ -40,3 +40,32 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_video_features_pipeline(spark):
+    from streaming_ecom_analytics_spark.functions import multimodal as mm
+
+    media = mm.synthesize_video(spark, n=8)
+    out1 = {r.media_id: r for r in mm.video_features(media).collect()}
+    out2 = {r.media_id: r for r in mm.video_features(media).collect()}
+    assert len(out1) == 8
+    for mid, r in out1.items():
+        assert r == out2[mid]  # deterministic
+        meta = {m.media_id: m.meta for m in media.collect()}[mid]
+        assert r.n_frames == meta.duration_ms // 100
+    # static clips (every 4th) have zero motion; moving ones don't
+    assert out1[0].motion_score == 0.0 and out1[4].motion_score == 0.0
+    assert out1[1].motion_score > 1.0
+
+
+def test_y4m_rejects_compressed_and_truncated():
+    import pytest as _pytest
+
+    from streaming_ecom_analytics_spark.functions import video
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        video.decode_y4m(b"\x00\x00\x01\xba mpeg-ps")
+    frames = [__import__("numpy").zeros((8, 8), "uint8")]
+    enc = video.encode_y4m(frames)
+    with _pytest.raises(ValueError, match="truncated"):
+        video.decode_y4m(enc[: len(enc) - 5])
