@@ -1052,3 +1052,30 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank_le") >= lo) & (F.col("rank_lt") <= hi)
         ).alias("rank_ok"),
     ).orderBy("event_type", "q")
+
+
+@register(
+    "event_value_deciles",
+    """
+    SELECT event_id, event_type, value,
+           CAST(NTILE(10) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS INTEGER) AS decile
+    FROM events
+    """,
+)
+def q_event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (the feature-engineering bucketizer):
+    per-type value deciles via NTILE with a deterministic (value,
+    event_id) tiebreak. Partitioned by event_type, so the sort is
+    per-type and parallel — at scale, swap NTILE for precomputed
+    approx-percentile boundaries joined broadcast (documented in
+    SCALE.md) when a single type's partition outgrows one task."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return catalog.events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+    )
