@@ -717,3 +717,59 @@ def negative_samples(
         .where(F.col("__rn") <= n_neg)
         .select(user_col, item_col, (F.col("__rn")).cast("long").alias("neg_rank"))
     )
+
+
+def label_propagation_min(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 6,
+) -> DataFrame:
+    """Synchronous min-label propagation over an edge list: every node
+    starts labeled with its own id; each round, a node's label becomes
+    the min of its own and its neighbors' labels. After T rounds each
+    label is exactly ``min(node id within T hops)`` — a deterministic,
+    replayable community signal (and, run to convergence, connected
+    components; the large-star/small-star operator in functions/dedup
+    is the O(log n) path for full components — this one's fixed-round
+    contract is what makes a bit-exact SQL replay possible).
+
+    Undirected input should list both directions. Per round: one join
+    (labels onto edges) + one min-aggregate per destination + one
+    eager localCheckpoint — same constant-size-plan discipline as
+    :func:`pagerank` (lineage doubles per round otherwise).
+
+    Output: (node, label) — label = min node id in the T-hop
+    neighborhood.
+    """
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    nodes = persist_tracked(
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias(src_col), F.col("label").alias("src_label")
+                ),
+                on=src_col,
+            )
+            .groupBy(F.col(dst_col).alias("node"))
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

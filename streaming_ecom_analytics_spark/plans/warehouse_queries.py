@@ -1079,3 +1079,61 @@ def q_event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+def _label_prop_oracle(n_iter: int = 6) -> str:
+    """Unrolled fixed-iteration min-label propagation in ANSI SQL —
+    one CTE per round, exactly the Spark rounds (min of own + neighbor
+    labels), over the same co-purchase edge construction as PageRank."""
+    base = """
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT item_a AS src, item_b AS dst FROM pairs
+      UNION ALL
+      SELECT item_b AS src, item_a AS dst FROM pairs
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+    l{i} AS (
+      SELECT p.node,
+             LEAST(p.label, COALESCE(nm.nbr_label, p.label)) AS label
+      FROM l{i - 1} p LEFT JOIN (
+        SELECT e.dst AS node, MIN(r.label) AS nbr_label
+        FROM edges e JOIN l{i - 1} r ON r.node = e.src
+        GROUP BY e.dst
+      ) nm ON nm.node = p.node
+    )""")
+    return base + "".join(steps) + f"\n    SELECT node, label FROM l{n_iter}"
+
+
+@register("item_communities", _label_prop_oracle())
+def q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation communities over the co-purchase item
+    graph — 6 synchronous rounds, so each label is exactly the min
+    item id within 6 hops (deterministic for any input). Oracle: the
+    identical rounds unrolled as one SQL statement, one CTE per round,
+    same edge construction as item_pagerank."""
+    pairs = analytics.item_cooccurrence(
+        catalog.events(spark, sf_dir), min_support=2
+    ).select("item_a", "item_b")
+    edges = pairs.selectExpr("item_a AS src", "item_b AS dst").union(
+        pairs.selectExpr("item_b AS src", "item_a AS dst")
+    )
+    return analytics.label_propagation_min(edges, n_iter=6)

@@ -649,3 +649,25 @@ def test_misra_gries_sketch_is_small_and_plan_bounded(spark):
     # the data-volume stage is the mapInPandas; everything after runs
     # on sketch-sized rows
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_label_propagation_converges_to_components(spark):
+    """Two disjoint chains: enough rounds → every node carries its
+    component's min id; fewer rounds → only the T-hop horizon."""
+    from streaming_ecom_analytics_spark.operators import analytics
+
+    chain = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    full = {
+        r.node: r.label
+        for r in analytics.label_propagation_min(edges, n_iter=4).collect()
+    }
+    assert full == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    # 1 round: node 4 only sees node 3's initial label
+    one = {
+        r.node: r.label
+        for r in analytics.label_propagation_min(edges, n_iter=1).collect()
+    }
+    assert one[4] == 3 and one[2] == 1
