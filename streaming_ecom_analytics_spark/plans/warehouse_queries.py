@@ -1137,3 +1137,45 @@ def q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("item_b AS src", "item_a AS dst")
     )
     return analytics.label_propagation_min(edges, n_iter=6)
+
+
+_JSON_PROFILE_ORACLE = r"""
+    WITH kv AS (
+      SELECT k AS key, json_extract_string(props, '$.' || k) AS value
+      FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    )
+    SELECT key,
+           COUNT(*) AS n_present,
+           COUNT(DISTINCT value) AS n_distinct,
+           COUNT(TRY_CAST(value AS DOUBLE)) AS n_numeric,
+           MIN(TRY_CAST(value AS DOUBLE)) AS min_num,
+           MAX(TRY_CAST(value AS DOUBLE)) AS max_num
+    FROM kv GROUP BY key ORDER BY key
+"""
+
+
+@register("props_schema_profile", _JSON_PROFILE_ORACLE)
+def q_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiling of the JSON props column: per
+    key, presence count, distinct values, and numeric range — the
+    discovery pass a pipeline runs before promoting JSON keys to
+    typed columns. Spark parses each document ONCE into
+    map<string,string> and explodes (no per-key re-parse, no dynamic
+    get_json_object paths); scalar values compare unquoted on both
+    engines (nested objects would need a JSON-typed profile — out of
+    contract here, props is flat by schema)."""
+    kv = catalog.events(spark, sf_dir).select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "value")
+    )
+    num = F.expr("try_cast(value AS double)")
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.countDistinct("value").alias("n_distinct"),
+            F.count(num).alias("n_numeric"),
+            F.min(num).alias("min_num"),
+            F.max(num).alias("max_num"),
+        )
+        .orderBy("key")
+    )
