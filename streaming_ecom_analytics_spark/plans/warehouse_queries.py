@@ -968,7 +968,6 @@ _LINKAGE_ORACLE = """
     FROM customer a
     JOIN customer b
       ON a.c_nationkey = b.c_nationkey
-     AND length(a.c_name) = length(b.c_name)
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
@@ -977,10 +976,11 @@ _LINKAGE_ORACLE = """
 @register("customer_name_linkage", _LINKAGE_ORACLE)
 def q_customer_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs: same-nation customers whose
-    names are within edit distance 1. Blocked on (nation, name length)
-    so the self-join compares within buckets, never all-pairs; the
-    edit distance itself is JVM-side levenshtein (bit-identical to
-    DuckDB's on this ASCII domain)."""
+    names are within edit distance 1 (substitution or indel).
+    Candidates come from deletion-neighborhood blocking (FastSS), so
+    the self-join never goes quadratic even though every name shares
+    the Customer# prefix; the oracle is the unblocked brute force —
+    blocking must not change the result."""
     from streaming_ecom_analytics_spark.functions import dedup
 
     return dedup.fuzzy_link_pairs(

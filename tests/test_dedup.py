@@ -159,3 +159,27 @@ def test_dup_clusters_no_pairs_all_singletons(spark, docs):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup.dup_clusters(docs, pairs).collect()}
     assert out == {i: (i, True) for i in (1, 2, 3, 4)}
+
+
+def test_fuzzy_link_pairs_deletion_blocking(spark):
+    rows = [
+        (1, "alpha", "x"),
+        (2, "alphb", "x"),   # substitution, dist 1
+        (3, "alpha9", "x"),  # insertion, dist 1 (different length!)
+        (4, "alpha", "y"),   # same name, other block: never compared
+        (5, "omega", "x"),   # dist > 1 from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in dedup.fuzzy_link_pairs(
+            df, id_col="id", name_col="name", block_cols=("blk",)
+        ).collect()
+    }
+    # (2,3) 'alphb'->'alpha9' is distance 2 and must be filtered out;
+    # (1,4) share a name but live in different blocks
+    assert pairs == {(1, 2): 1, (1, 3): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="max_distance=1"):
+        dedup.fuzzy_link_pairs(df, id_col="id", name_col="name", max_distance=2)
