@@ -9,7 +9,9 @@ difference between one job and three.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -87,4 +89,47 @@ def profile_table(
         "n_distinct",
         "min_val",
         "max_val",
+    )
+
+
+def expectations_report(
+    df: DataFrame,
+    checks: dict[str, Column],
+    *,
+    unique_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Declarative data-contract report (the dbt-tests / expectations
+    pattern): each check is a boolean Column that must hold per row;
+    ``unique_cols`` adds uniqueness contracts. ONE aggregation pass
+    computes every violation count (conditional counts ride the same
+    hash aggregate; uniqueness rides countDistinct), then the single
+    result row unpivots to one row per expectation — the report is
+    O(checks), the scan is O(data), once.
+
+    Output: (expectation, n_rows, n_violations, passed).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = []
+    for name, cond in checks.items():
+        aggs.append(F.count(F.when(~cond, 1)).alias(f"__v_{name}"))
+        names.append(name)
+    for col in unique_cols:
+        aggs.append(
+            (F.count(col) - F.countDistinct(col)).alias(f"__v_{col}_unique")
+        )
+        names.append(f"{col}_unique")
+    one = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', __v_{n}" for n in names)
+    return (
+        one.selectExpr(
+            "__n",
+            f"stack({len(names)}, {stack}) AS (expectation, n_violations)",
+        )
+        .select(
+            "expectation",
+            F.col("__n").alias("n_rows"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("expectation")
     )

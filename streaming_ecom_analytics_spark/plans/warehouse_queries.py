@@ -1179,3 +1179,117 @@ def q_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+_TRANSITION_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    ORDER BY from_type, to_type
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition matrix: per-user event sequences
+    (ts, event_id tiebreak) → lead() pairs → global (from, to) counts
+    and row-normalized probabilities. One per-user window (bounded by
+    a user's own history) + one 25-cell aggregate — the partition-by-
+    entity discipline that keeps sequence analytics linear at scale.
+    Probability is an integer ratio divided once in double —
+    bit-equal across engines."""
+    from pyspark.sql.window import Window
+
+    seq = catalog.events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    )
+    cnt = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(w), 6
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+_EXPECTATIONS_ORACLE = """
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+        COUNT(CASE WHEN NOT (event_type IN
+              ('signup', 'click', 'error', 'view', 'purchase')) THEN 1 END)
+          AS v_event_type_in_domain,
+        COUNT(CASE WHEN NOT (event_id IS NOT NULL) THEN 1 END)
+          AS v_event_id_not_null,
+        COUNT(CASE WHEN NOT (ts >= TIMESTAMP '1990-01-01'
+                         AND ts < TIMESTAMP '2030-01-01') THEN 1 END)
+          AS v_ts_in_sane_range,
+        COUNT(CASE WHEN NOT (event_type <> 'purchase' OR value >= 0) THEN 1 END)
+          AS v_purchase_value_non_negative,
+        COUNT(CASE WHEN NOT (user_id > 0) THEN 1 END) AS v_user_id_positive,
+        COUNT(event_id) - COUNT(DISTINCT event_id) AS v_event_id_unique
+      FROM events
+    ),
+    rows_out AS (
+      SELECT 'event_id_not_null' AS expectation, n_rows,
+             v_event_id_not_null AS n_violations FROM agg
+      UNION ALL SELECT 'event_id_unique', n_rows, v_event_id_unique FROM agg
+      UNION ALL SELECT 'event_type_in_domain', n_rows,
+                       v_event_type_in_domain FROM agg
+      UNION ALL SELECT 'purchase_value_non_negative', n_rows,
+                       v_purchase_value_non_negative FROM agg
+      UNION ALL SELECT 'ts_in_sane_range', n_rows, v_ts_in_sane_range FROM agg
+      UNION ALL SELECT 'user_id_positive', n_rows, v_user_id_positive FROM agg
+    )
+    SELECT expectation, n_rows, n_violations, n_violations = 0 AS passed
+    FROM rows_out ORDER BY expectation
+"""
+
+
+@register("events_expectations", _EXPECTATIONS_ORACLE)
+def q_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract report over the events table — six
+    expectations (domain membership, non-null, sane time range,
+    purchase-value sign, positive user ids, event-id uniqueness)
+    computed in ONE aggregation pass and unpivoted to a row each
+    (validation.expectations_report)."""
+    events = catalog.events(spark, sf_dir)
+    checks = {
+        "event_id_not_null": F.col("event_id").isNotNull(),
+        "event_type_in_domain": F.col("event_type").isin(
+            "signup", "click", "error", "view", "purchase"
+        ),
+        "ts_in_sane_range": (
+            (F.col("ts") >= F.lit("1990-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2030-01-01").cast("timestamp"))
+        ),
+        "purchase_value_non_negative": (
+            (F.col("event_type") != "purchase") | (F.col("value") >= 0)
+        ),
+        "user_id_positive": F.col("user_id") > 0,
+    }
+    return validation.expectations_report(
+        events, checks, unique_cols=["event_id"]
+    )

@@ -671,3 +671,30 @@ def test_label_propagation_converges_to_components(spark):
         for r in analytics.label_propagation_min(edges, n_iter=1).collect()
     }
     assert one[4] == 3 and one[2] == 1
+
+
+def test_expectations_report_counts_violations(spark):
+    from streaming_ecom_analytics_spark.operators import validation
+
+    rows = [(1, "a", 5.0), (2, "a", -1.0), (2, "zz", 3.0), (None, "a", 0.0)]
+    df = spark.createDataFrame(rows, "id long, kind string, v double")
+    out = {
+        r.expectation: (r.n_violations, r.passed)
+        for r in validation.expectations_report(
+            df,
+            {
+                "id_not_null": F.col("id").isNotNull(),
+                "kind_in_domain": F.col("kind").isin("a", "b"),
+                "v_non_negative": F.col("v") >= 0,
+            },
+            unique_cols=["id"],
+        ).collect()
+    }
+    assert out["id_not_null"] == (1, False)
+    assert out["kind_in_domain"] == (1, False)
+    assert out["v_non_negative"] == (1, False)
+    assert out["id_unique"] == (1, False)  # id=2 twice (nulls don't count)
+    clean = validation.expectations_report(
+        df.filter("id = 1"), {"v_non_negative": F.col("v") >= 0}, unique_cols=["id"]
+    ).collect()
+    assert all(r.passed for r in clean)
