@@ -1293,3 +1293,92 @@ def q_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validation.expectations_report(
         events, checks, unique_cols=["event_id"]
     )
+
+
+_WINSORIZE_ORACLE = """
+    WITH b AS (
+      SELECT event_type,
+             quantile_disc(value, 0.01) AS p01,
+             quantile_disc(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, b.p01), b.p99) AS value_winsorized,
+           CAST(e.value < b.p01 OR e.value > b.p99 AS BOOLEAN) AS was_clipped
+    FROM events e JOIN b USING (event_type)
+"""
+
+
+@register("winsorized_event_values", _WINSORIZE_ORACLE)
+def q_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier capping at the per-type p01/p99): the
+    standard robust-feature transform. Exact DISCRETE percentiles
+    (actual data values — percentile_disc on both engines, so no
+    interpolation-formula drift), computed once per type and broadcast
+    back onto the events. At 100 TB the boundary table stays
+    |event_type| rows — the join is always broadcast."""
+    events = catalog.events(spark, sf_dir)
+    b = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").alias("p01"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+    )
+    return events.join(F.broadcast(b), on="event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "value_winsorized"
+        ),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "was_clipped"
+        ),
+    )
+
+
+_TARGET_ENC_ORACLE = """
+    WITH e AS (
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS cat,
+             value
+      FROM events
+    ),
+    g AS (
+      SELECT cat, COUNT(*) AS n_cat,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_cat
+      FROM e GROUP BY cat
+    )
+    SELECT e.event_id, e.cat, e.value,
+           CASE WHEN g.n_cat > 1
+                THEN (g.sum_cat - e.value) / (g.n_cat - 1) END
+             AS target_enc_loo
+    FROM e JOIN g USING (cat)
+"""
+
+
+@register("target_encoded_categories", _TARGET_ENC_ORACLE)
+def q_target_encoded_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the props category against the
+    value target — the leakage-safe mean encoding: each row's code is
+    the category mean EXCLUDING itself, (sum - value) / (n - 1), NULL
+    for singletons. One aggregate to category grain + a broadcast
+    join back. The code is emitted UNROUNDED: every input double and
+    the exact-decimal sum are bit-identical on both engines, so the
+    quotient is too — while ROUND-on-double is the one step whose
+    half-way tie rule differs between engines (see tpch_deep)."""
+    e = catalog.events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("cat"),
+        "value",
+    )
+    g = e.groupBy("cat").agg(
+        F.count("*").alias("n_cat"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_cat"),
+    )
+    return e.join(F.broadcast(g), on="cat").select(
+        "event_id",
+        "cat",
+        "value",
+        F.when(
+            F.col("n_cat") > 1,
+            (F.col("sum_cat") - F.col("value")) / (F.col("n_cat") - 1),
+        ).alias("target_enc_loo"),
+    )
