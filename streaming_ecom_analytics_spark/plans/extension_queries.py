@@ -1209,3 +1209,42 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("luma_std", 6).alias("luma_std"),
         F.round("motion_score", 6).alias("motion_score"),
     )
+
+
+_DUP_RATE_ORACLE = """
+    WITH h AS (
+      SELECT source, md5(text) AS content_hash, COUNT(*) AS n
+      FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate
+    FROM h GROUP BY source ORDER BY source
+"""
+
+
+@register("domain_dup_rates", _DUP_RATE_ORACLE)
+def q_domain_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health scorecard: exact-duplicate rate per source domain
+    (the number a curation run reports before/after dedup). One
+    (domain, hash) aggregate — the 16-byte hash is the shuffle key,
+    never the text — then a domain-grain rollup."""
+    h = (
+        catalog.documents(spark, sf_dir)
+        .groupBy("source", F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count("*").alias("n_unique"),
+            (F.sum("n") - F.count("*")).alias("n_dup_docs"),
+            F.round(
+                (F.sum("n") - F.count("*")).cast("double") / F.sum("n"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
