@@ -16,8 +16,11 @@ are implemented for real:
 - **JPEG** (baseline sequential, ITU-T T.81) lives in the sibling
   ``functions/jpeg.py`` — full Huffman + IDCT decode and an Annex-K
   encoder, pure numpy.
+- **GIF** (87a/89a incl. LZW, interlace, animation) lives in
+  ``functions/gif.py``.
+- **BMP** (BI_RGB 8/24/32-bit, both row orders) below.
 
-WebP/video stay stubbed (VP8/AV1 entropy decoders are out of scope);
+WebP/AVIF stay stubbed (VP8/AV1 entropy decoders are out of scope);
 ``multimodal.decode_image`` sniffs magic bytes and routes here first.
 """
 
@@ -35,11 +38,16 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_format(content: bytes) -> str | None:
-    """'png' | 'jpeg' | 'ppm' | 'pgm' | None from magic bytes."""
+    """'png' | 'jpeg' | 'gif' | 'bmp' | 'ppm' | 'pgm' | None from
+    magic bytes."""
     if content[:8] == PNG_MAGIC:
         return "png"
     if content[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if content[:2] == b"BM":
+        return "bmp"
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"P5":
@@ -219,3 +227,68 @@ def to_luma(img: np.ndarray) -> np.ndarray:
         return img.astype(np.float64)
     rgb = img[:, :, :3].astype(np.float64)
     return rgb @ np.array([0.299, 0.587, 0.114])
+
+
+# ---- BMP (Windows DIB, BI_RGB uncompressed) ----
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """BMP → uint8 (H, W) for 8-bit palettized-greyscale or (H, W, 3)
+    RGB. Supports BITMAPINFOHEADER (and longer V4/V5 headers), 8/24/32
+    bpp, BI_RGB only, bottom-up and top-down row orders, 4-byte row
+    padding. RLE compression raises ValueError."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM)")
+    (data_off,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression} (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h = abs(h_raw)
+    top_down = h_raw < 0
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    rows = np.frombuffer(content, np.uint8, row_bytes * h, data_off).reshape(
+        h, row_bytes
+    )
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        (colors_used,) = struct.unpack_from("<I", content, 46)
+        n_pal = colors_used or 256
+        pal = np.frombuffer(content, np.uint8, n_pal * 4, 14 + hdr_size).reshape(
+            n_pal, 4
+        )[:, :3][:, ::-1]  # BGRA -> RGB
+        idx = rows[:, :w]
+        rgb = pal[idx]
+        # collapse to greyscale plane when the palette is grey (the
+        # common 8-bit case); keep RGB otherwise
+        if np.all(rgb[..., 0] == rgb[..., 1]) and np.all(rgb[..., 1] == rgb[..., 2]):
+            return np.ascontiguousarray(rgb[..., 0])
+        return np.ascontiguousarray(rgb)
+    ch = bpp // 8
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (H, W) or (H, W, 3) → 24-bit bottom-up BI_RGB BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data

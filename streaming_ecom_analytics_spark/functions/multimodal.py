@@ -67,25 +67,32 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def synthesize_media(spark, n: int = 64, *, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA —
     fixture generator for tests and pipeline dry-runs. Rows rotate
-    through REAL PNG / PGM / baseline-JPEG encodings (exercising all
-    three actual codecs); every fourth row is a raw raster for the
-    fake-decode path."""
-    from streaming_ecom_analytics_spark.functions import imaging, jpeg
+    through REAL PNG / PGM / baseline-JPEG / GIF / BMP encodings
+    (exercising all five actual codecs); every sixth row is a raw
+    raster for the fake-decode path."""
+    from streaming_ecom_analytics_spark.functions import gif, imaging, jpeg
 
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-        if i % 4 == 0:
+        if i % 6 == 0:
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             content, codec = imaging.encode_png(np.asarray(img)), "png"
-        elif i % 4 == 1:
+        elif i % 6 == 1:
             img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
             content, codec = imaging.encode_ppm(np.asarray(img)), "pgm"
-        elif i % 4 == 2:
+        elif i % 6 == 2:
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            content = jpeg.encode_jpeg(np.asarray(img), subsample=i % 8 == 2)
+            content = jpeg.encode_jpeg(np.asarray(img), subsample=i % 12 == 2)
             codec = "jpeg"
+        elif i % 6 == 3:
+            pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+            img = pal[rng.integers(0, 16, size=(h, w))]
+            content, codec = gif.encode_gif(np.asarray(img)), "gif"
+        elif i % 6 == 4:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            content, codec = imaging.encode_bmp(np.asarray(img)), "bmp"
         else:
             content = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
             codec = "fake-raw"
@@ -121,6 +128,12 @@ def decode_image(content: bytes, width: int, height: int, *, fake: bool = False)
         return imaging.decode_png(bytes(content))
     if fmt == "jpeg":
         return jpeg.decode_jpeg(bytes(content))
+    if fmt == "gif":
+        from streaming_ecom_analytics_spark.functions import gif
+
+        return gif.decode_gif(bytes(content))[0]  # first frame
+    if fmt == "bmp":
+        return imaging.decode_bmp(bytes(content))
     if fmt in ("ppm", "pgm"):
         return imaging.decode_ppm(bytes(content))
     if not fake:

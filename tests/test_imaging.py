@@ -136,3 +136,43 @@ def test_image_features_over_real_codecs(spark):
     # determinism across runs
     out2 = multimodal.image_features(media, target_dim=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_gif_roundtrip_and_features():
+    rng = np.random.default_rng(9)
+    pal = np.unique(rng.integers(0, 256, (40, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.integers(0, len(pal), (21, 33))]
+    from streaming_ecom_analytics_spark.functions import gif
+
+    enc = gif.encode_gif(img)
+    assert imaging.sniff_format(enc) == "gif"
+    assert np.array_equal(gif.decode_gif(enc)[0], img)  # lossless
+    assert np.array_equal(multimodal.decode_image(enc, 33, 21), img)
+    with pytest.raises(ValueError, match="256 unique"):
+        gif.encode_gif(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+
+
+def test_bmp_roundtrip_and_row_orders():
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (13, 14, 3), dtype=np.uint8)
+    enc = imaging.encode_bmp(img)
+    assert imaging.sniff_format(enc) == "bmp"
+    assert np.array_equal(imaging.decode_bmp(enc), img)
+    assert np.array_equal(multimodal.decode_image(enc, 14, 13), img)
+    # hand-build a TOP-DOWN 32bpp variant and check row order handling
+    import struct
+
+    h, w = img.shape[:2]
+    bgra = np.dstack([img[:, :, ::-1], np.zeros((h, w, 1), np.uint8)])
+    row_bytes = w * 4
+    data = bgra.reshape(h, row_bytes).tobytes()
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(data), 0, 0, 0, 0)
+    )
+    assert np.array_equal(imaging.decode_bmp(hdr + data), img)
+    with pytest.raises(ValueError, match="compression"):
+        bad = bytearray(enc)
+        struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+        imaging.decode_bmp(bytes(bad))
