@@ -345,3 +345,54 @@ def q_click_conversion_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.clicks_with_conversion_outcome(
         catalog.events(spark, sf_dir), within="30 minutes", watermark=None
     )
+
+
+_TTC_ORACLE = """
+    WITH pairs AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             MIN(date_diff('second', c.ts, p.ts)) AS secs_to_convert
+      FROM events c
+      JOIN events p
+        ON p.user_id = c.user_id AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click'
+      GROUP BY c.user_id, c.event_id
+    )
+    SELECT COUNT(*) AS n_converted_clicks,
+           CAST(quantile_disc(secs_to_convert, 0.50) AS BIGINT) AS p50_secs,
+           CAST(quantile_disc(secs_to_convert, 0.90) AS BIGINT) AS p90_secs,
+           CAST(MIN(secs_to_convert) AS BIGINT) AS min_secs,
+           CAST(MAX(secs_to_convert) AS BIGINT) AS max_secs
+    FROM pairs
+"""
+
+
+@register("time_to_convert_stats", _TTC_ORACLE)
+def q_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase latency distribution: each converted click's
+    FASTEST following purchase within the attribution window, then
+    exact discrete percentiles over the deltas — the product-analytics
+    readout on top of the attribution join. Reuses the stream-join
+    pair shape in batch form; the delta aggregate is click-grain, the
+    percentile aggregate is a single small pass."""
+    from streaming_ecom_analytics_spark.streaming import joins
+
+    pairs = joins.attribute_purchases_to_clicks(
+        catalog.events(spark, sf_dir), within="30 minutes", watermark=None
+    )
+    per_click = pairs.groupBy("user_id", "click_id").agg(
+        F.min(
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("secs_to_convert")
+    )
+    return per_click.agg(
+        F.count("*").alias("n_converted_clicks"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY secs_to_convert)"
+        ).cast("long").alias("p50_secs"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY secs_to_convert)"
+        ).cast("long").alias("p90_secs"),
+        F.min("secs_to_convert").alias("min_secs"),
+        F.max("secs_to_convert").alias("max_secs"),
+    )
