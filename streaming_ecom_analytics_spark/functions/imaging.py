@@ -20,7 +20,10 @@ are implemented for real:
   ``functions/gif.py``.
 - **BMP** (BI_RGB 8/24/32-bit, both row orders) below.
 
-WebP/AVIF stay stubbed (VP8/AV1 entropy decoders are out of scope);
+WebP and AVIF stay stubbed — lossy WebP needs VP8's boolean
+arithmetic decoder and AVIF needs AV1; lossless WebP (VP8L) is
+prefix-coded but still a full transform+LZ77+color-cache pipeline —
+all deliberately out of scope rather than half-implemented.
 ``multimodal.decode_image`` sniffs magic bytes and routes here first.
 """
 

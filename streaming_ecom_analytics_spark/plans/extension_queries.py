@@ -1248,3 +1248,58 @@ def q_domain_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_EMB_QA_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    per AS (
+      SELECT vec_id, label, len(e) AS dim,
+             sqrt(list_dot_product(e, e)) AS l2,
+             len(list_filter(e, x -> x IS NULL)) AS n_nulls
+      FROM v
+    )
+    SELECT COUNT(*) AS n_vectors,
+           COUNT(DISTINCT dim) AS n_distinct_dims,
+           MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+           COUNT(CASE WHEN l2 = 0 THEN 1 END) AS n_zero_vectors,
+           COUNT(CASE WHEN n_nulls > 0 THEN 1 END) AS n_with_nulls,
+           ROUND(MIN(l2), 6) AS min_l2, ROUND(MAX(l2), 6) AS max_l2,
+           COUNT(DISTINCT label) AS n_labels
+    FROM per
+"""
+
+
+@register("embedding_qa_report", _EMB_QA_ORACLE)
+def q_embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column QA scorecard — the contract check an embedding
+    pipeline runs before indexing: dimension consistency, zero-norm
+    and null-element counts, L2 range, label cardinality. One pass;
+    the per-vector norm is the same fixed-fold aggregate both engines
+    compute, rounded only at the scalar edge."""
+    v = catalog.embeddings(spark, sf_dir)
+    per = v.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("l2"),
+        F.size(F.filter("embedding", lambda x: x.isNull())).alias("n_nulls"),
+    )
+    return per.agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("dim").alias("n_distinct_dims"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.count(F.when(F.col("l2") == 0, 1)).alias("n_zero_vectors"),
+        F.count(F.when(F.col("n_nulls") > 0, 1)).alias("n_with_nulls"),
+        F.round(F.min("l2"), 6).alias("min_l2"),
+        F.round(F.max("l2"), 6).alias("max_l2"),
+        F.countDistinct("label").alias("n_labels"),
+    )
