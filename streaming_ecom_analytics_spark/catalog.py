@@ -91,6 +91,81 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+# ---------------------------------------------------------------------------
+# Size-gated broadcast hints.
+#
+# A forced F.broadcast() on an SF-scaled table (customer/part/supplier)
+# is correct at test scale and an executor OOM at 100x: the hint
+# *overrides* AQE's runtime size check instead of informing it. The
+# rule here: constant-cardinality dims (nation: 25 rows, region: 5 rows
+# at every SF) are always hinted; SF-scaled dims are hinted only when
+# their on-disk parquet footprint, decompressed conservatively, fits the
+# session's autoBroadcastJoinThreshold. Above that the frame is returned
+# un-hinted and AQE picks broadcast-vs-shuffle at runtime from actual
+# post-filter sizes (spark.sql.adaptive.autoBroadcastJoinThreshold).
+# The footprint check is a driver-side os.stat — no Spark job.
+# ---------------------------------------------------------------------------
+
+_CONSTANT_DIMS = frozenset({"nation", "region"})
+
+# Snappy parquet decompresses to roughly 2-4x as in-memory rows; be
+# conservative so a hinted table always genuinely fits on executors.
+_DISK_TO_MEMORY = 4
+
+
+def _table_disk_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62  # unknown size: never hint
+
+
+def _parse_byte_conf(value: str) -> int:
+    """Parse Spark byte-size conf strings: '10485760', '10485760b', '10m', '10MB'."""
+    v = value.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40}
+    for suffix in sorted(units, key=len, reverse=True):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * units[suffix])
+    return int(v)
+
+
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    except Exception:
+        raw = None
+    if raw is None:
+        return 10 << 20
+    threshold = _parse_byte_conf(raw)
+    return threshold if threshold > 0 else 0  # -1 disables broadcast
+
+
+def dim_hint(
+    spark: SparkSession, df: DataFrame, name: str, sf_dir: str | None = None
+) -> DataFrame:
+    """Apply a broadcast hint to ``df`` (a frame derived from table
+    ``name``) only when provably safe; otherwise defer to AQE."""
+    if name in _CONSTANT_DIMS:
+        return F.broadcast(df)
+    path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
+    if _table_disk_bytes(path) * _DISK_TO_MEMORY <= broadcast_threshold_bytes(spark):
+        return F.broadcast(df)
+    return df
+
+
+def load_dim(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load a dimension table with a size-gated broadcast hint."""
+    return dim_hint(spark, load_table(spark, name, sf_dir), name, sf_dir)
+
+
 def events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     return load_table(spark, "events", sf_dir)
 

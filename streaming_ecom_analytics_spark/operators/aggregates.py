@@ -110,15 +110,20 @@ def abandoned_cart_users(
     left_anti is the correct and safer realization, and Catalyst itself
     rewrites NOT IN to a null-aware anti join anyway.
 
-    Scale: the distinct purchaser set is tiny next to the fact table →
-    broadcast anti-join, no shuffle of the cart side beyond its groupBy.
+    Scale: the distinct purchaser set is small next to the fact table
+    but grows with the user base, so it is deliberately NOT hinted —
+    AQE broadcasts it at runtime when it actually fits the threshold,
+    and falls back to a user_id-hashed shuffle anti-join (which the
+    downstream groupBy on user_id then reuses) when it doesn't. A
+    forced hint here would OOM executors once the purchaser set reaches
+    GB scale.
     """
     carts = events.filter(F.col(type_col) == cart_type)
     purchasers = (
         events.filter(F.col(type_col) == purchase_type).select(F.col(user_col)).distinct()
     )
     return (
-        carts.join(F.broadcast(purchasers), on=user_col, how="left_anti")
+        carts.join(purchasers, on=user_col, how="left_anti")
         .groupBy(F.col(user_col).alias("user_id"))
         .agg(F.count("*").alias("cart_events"))
         .orderBy(F.desc("cart_events"), F.asc("user_id"))

@@ -12,8 +12,11 @@ divided in double (IEEE division is engine-identical); top-K queries
 carry a full tiebreak.
 
 Scale notes per query are in the docstrings; the common themes:
-- dimension tables (region/nation/part/supplier/customer at fact scale)
-  are broadcast — replicated hash joins, no shuffle of the fact side;
+- dimension tables are broadcast via ``catalog.dim_hint`` — constant
+  dims (nation/region) always, SF-scaled dims (customer/part/supplier)
+  only when their on-disk footprint fits the broadcast threshold;
+  above that AQE picks the strategy from runtime sizes, so no forced
+  hint can OOM an executor at 100x SF;
 - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
   Catalyst reuses the partitioning for the downstream groupBy when keys
   align; AQE coalesces the post-shuffle partitions;
@@ -104,15 +107,15 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshuffles for them. At 100 TB the same shape holds — customer is
     ~1% of lineitem and nation is 25 rows.
     """
-    c = catalog.load_table(spark, "customer", sf_dir)
+    c = catalog.load_dim(spark, "customer", sf_dir)
     o = catalog.load_table(spark, "orders", sf_dir)
     li = catalog.load_table(spark, "lineitem", sf_dir)
-    n = catalog.load_table(spark, "nation", sf_dir)
+    n = catalog.load_dim(spark, "nation", sf_dir)
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -134,13 +137,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + grouped sum + global top-K (TakeOrderedAndProject)."""
-    c = catalog.load_table(spark, "customer", sf_dir)
+    c = catalog.load_dim(spark, "customer", sf_dir)
     o = catalog.load_table(spark, "orders", sf_dir)
     li = catalog.load_table(spark, "lineitem", sf_dir)
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_name").alias("customer"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("customer"))
@@ -170,10 +173,10 @@ def q_top_selling_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same top-K-revenue-by-brand semantics at fact-table scale.
     """
     li = catalog.load_table(spark, "lineitem", sf_dir)
-    p = catalog.load_table(spark, "part", sf_dir)
+    p = catalog.load_dim(spark, "part", sf_dir)
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("brand"))
@@ -685,17 +688,23 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = catalog.load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderdate"
     )
-    supp = catalog.load_table(spark, "supplier", sf_dir).select(
-        "s_suppkey", "s_nationkey"
+    supp = catalog.dim_hint(
+        spark,
+        catalog.load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey"),
+        "supplier",
+        sf_dir,
     )
-    nation = catalog.load_table(spark, "nation", sf_dir).select(
-        "n_nationkey", "n_name"
+    nation = catalog.dim_hint(
+        spark,
+        catalog.load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name"),
+        "nation",
+        sf_dir,
     )
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     per = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.year("o_orderdate").cast("long").alias("order_year"),
             F.col("n_name").alias("nation"),
@@ -748,8 +757,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is orders⋈lineitem on orderkey. Top-10 runs as
     TakeOrderedAndProject — no global sort materializes.
     """
-    c = catalog.load_table(spark, "customer", sf_dir).filter(
-        F.col("c_mktsegment") == "BUILDING"
+    c = catalog.dim_hint(
+        spark,
+        catalog.load_table(spark, "customer", sf_dir).filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ),
+        "customer",
+        sf_dir,
     )
     cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp")
     o = catalog.load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
@@ -759,7 +773,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("l_orderkey").alias("order_key"),
             F.col("o_orderdate").alias("order_date"),
@@ -801,8 +815,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     r = catalog.load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
     n = catalog.load_table(spark, "nation", sf_dir)
-    c = catalog.load_table(spark, "customer", sf_dir)
-    s = catalog.load_table(spark, "supplier", sf_dir)
+    c = catalog.load_dim(spark, "customer", sf_dir)
+    s = catalog.load_dim(spark, "supplier", sf_dir)
     o = catalog.load_table(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -811,13 +825,15 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
+            # nation x region is constant-size (25 x 5 rows at every SF)
+            # so the unconditional hint here is correct and stays.
             F.broadcast(n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -875,7 +891,7 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue percentage for one month —
     conditional aggregation over a broadcast part join, single row."""
-    p = catalog.load_table(spark, "part", sf_dir)
+    p = catalog.load_dim(spark, "part", sf_dir)
     li = catalog.load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -883,7 +899,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     zero = F.lit(0).cast(_DEC)
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -924,9 +940,14 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compare is exact (DECIMAL sum vs quantity*count*5), so
     boundary rows never flip between engines or partitionings.
     """
-    p = catalog.load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    p = catalog.dim_hint(
+        spark,
+        catalog.load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3"),
+        "part",
+        sf_dir,
+    )
     li = catalog.load_table(spark, "lineitem", sf_dir)
-    items = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+    items = li.join(p, F.col("p_partkey") == F.col("l_partkey")).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     w = Window.partitionBy("l_partkey")
@@ -960,12 +981,12 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, with their customers — grouped HAVING over the
     orders⋈lineitem shuffle, customer broadcast, top-20 as
     TakeOrderedAndProject."""
-    c = catalog.load_table(spark, "customer", sf_dir)
+    c = catalog.load_dim(spark, "customer", sf_dir)
     o = catalog.load_table(spark, "orders", sf_dir)
     li = catalog.load_table(spark, "lineitem", sf_dir)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_name").alias("customer"),
             F.col("o_orderkey").alias("order_key"),
@@ -1006,7 +1027,7 @@ def q_brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals: the brand IN-list prunes part before broadcast and the
     overall quantity envelope (1..30) pushes into the lineitem scan.
     """
-    p = catalog.load_table(spark, "part", sf_dir)
+    p = catalog.load_dim(spark, "part", sf_dir)
     li = catalog.load_table(spark, "lineitem", sf_dir)
     qty = F.col("l_quantity")
     brackets = (
@@ -1016,7 +1037,7 @@ def q_brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(brackets)
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )

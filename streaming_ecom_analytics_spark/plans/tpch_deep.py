@@ -38,6 +38,13 @@ def _t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return catalog.load_table(spark, name, sf_dir)
 
 
+def _dim(spark: SparkSession, df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Size-gated broadcast hint (catalog.dim_hint): constant dims
+    always hinted, SF-scaled dims only while they fit the broadcast
+    threshold — above that AQE decides from runtime sizes."""
+    return catalog.dim_hint(spark, df, name, sf_dir)
+
+
 _DISC_PRICE_SQL = (
     "CAST(l.l_extendedprice AS DECIMAL(18,2))"
     " * (1 - CAST(l.l_discount AS DECIMAL(18,2)))"
@@ -123,8 +130,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     o = _t(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    s = _t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
-    c = _t(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = _dim(spark, _t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey"), "supplier", sf_dir)
+    c = _dim(spark, _t(spark, "customer", sf_dir).select("c_custkey", "c_nationkey"), "customer", sf_dir)
     n = _t(spark, "nation", sf_dir).select("n_nationkey", "n_name")
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
@@ -134,9 +141,9 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
         .groupBy(
@@ -182,8 +189,8 @@ def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic keeps the oracle bit-stable."""
     li = _t(spark, "lineitem", sf_dir)
     o = _t(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
-    p = _t(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
-    s = _t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    p = _dim(spark, _t(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%")), "part", sf_dir)
+    s = _dim(spark, _t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey"), "supplier", sf_dir)
     n = _t(spark, "nation", sf_dir).select("n_nationkey", "n_name")
     # per-unit cost scale 0.1 as an EXACT decimal multiply — a decimal
     # division (or a double 0.1 literal) would round engine-specifically
@@ -191,9 +198,9 @@ def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * _dec("l_quantity") * F.lit("0.1").cast("decimal(2,1)")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -230,7 +237,7 @@ def q_returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     """TPC-H Q10 shape: customers who returned the most revenue in one
     quarter. Return-flag and date predicates push into the scans;
     top-20 is TakeOrderedAndProject with a deterministic tiebreak."""
-    c = _t(spark, "customer", sf_dir)
+    c = _dim(spark, _t(spark, "customer", sf_dir), "customer", sf_dir)
     o = _t(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -240,7 +247,7 @@ def q_returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -287,11 +294,11 @@ def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates as part count grows). The Spark rewrite aggregates
     once, broadcasts the one-row total, and filters."""
     li = _t(spark, "lineitem", sf_dir)
-    s = _t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    s = _dim(spark, _t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey"), "supplier", sf_dir)
     n = _t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     vals = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(revenue).alias("value_dec"))  # exact decimal, full scale
@@ -437,7 +444,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    s = _t(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    s = _dim(spark, _t(spark, "supplier", sf_dir).select("s_suppkey", "s_name"), "supplier", sf_dir)
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.sum(revenue).alias("total_dec")  # exact decimal, full scale
@@ -445,7 +452,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_dec").alias("m"))
     return (
         rev.join(F.broadcast(mx), F.col("total_dec") == F.col("m"))
-        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
@@ -484,17 +491,25 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null, so no null-aware penalty); lineitem stands in for the
     absent partsupp as the part↔supplier relation."""
     li = _t(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
-    p = _t(spark, "part", sf_dir).filter(
-        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    p = _dim(
+        spark,
+        _t(spark, "part", sf_dir).filter(
+            (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        ),
+        "part",
+        sf_dir,
     )
-    bad = (
+    bad = _dim(
+        spark,
         _t(spark, "supplier", sf_dir)
         .filter(F.col("s_acctbal") < 1000)
-        .select("s_suppkey")
+        .select("s_suppkey"),
+        "supplier",
+        sf_dir,
     )
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -546,7 +561,7 @@ def q_sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderstatus"
     )
     li = _t(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
-    s = _t(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    s = _dim(spark, _t(spark, "supplier", sf_dir).select("s_suppkey", "s_name"), "supplier", sf_dir)
     late1 = (
         li.join(o.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
@@ -576,7 +591,7 @@ def q_sole_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        blamed.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("supplier"))
@@ -677,10 +692,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     li = _t(spark, "lineitem", sf_dir)
-    p = _t(spark, "part", sf_dir).filter(
-        (F.col("p_type") == "LARGE") & (F.col("p_size") < 25)
+    p = _dim(
+        spark,
+        _t(spark, "part", sf_dir).filter(
+            (F.col("p_type") == "LARGE") & (F.col("p_size") < 25)
+        ),
+        "part",
+        sf_dir,
     )
-    s = _t(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey")
+    s = _dim(spark, _t(spark, "supplier", sf_dir).select("s_suppkey", "s_name", "s_nationkey"), "supplier", sf_dir)
     n = _t(spark, "nation", sf_dir).select("n_nationkey", "n_name")
     unit = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
@@ -689,8 +709,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unit.withColumn("best_price", F.min("unit_price").over(w))
         .filter(F.col("unit_price") == F.col("best_price"))
-        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("partkey") == F.col("p_partkey"))
+        .join(s, F.col("suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "partkey",
