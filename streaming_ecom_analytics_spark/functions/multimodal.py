@@ -60,6 +60,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        # "real:<fmt>" when pixels came from an actual codec,
+        # "fake" when the deterministic synthetic decoder ran —
+        # downstream consumers can always tell them apart.
+        T.StructField("decode_status", T.StringType()),
     ]
 )
 
@@ -113,36 +117,44 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
     return arr[: width * height].reshape(height, width)
 
 
-def decode_image(content: bytes, width: int, height: int, *, fake: bool = False) -> np.ndarray:
-    """Decode one image to a uint8 array.
+def decode_image_with_status(
+    content: bytes, width: int, height: int, *, fake: bool = False
+) -> tuple[np.ndarray, str]:
+    """Decode one image to (uint8 array, decode_status).
 
-    PNG, baseline JPEG, and binary PPM/PGM decode for REAL (pure
-    numpy — see functions/imaging.py and functions/jpeg.py); formats
-    still needing a codec library (WebP, AVIF, video) raise
-    NotImplementedError unless ``fake=True``, which substitutes the
-    deterministic synthetic decoder so pipelines stay testable."""
+    PNG, baseline JPEG, GIF, BMP, and binary PPM/PGM decode for REAL
+    (pure numpy — see functions/imaging.py and functions/jpeg.py);
+    status is ``"real:<fmt>"``. Formats still needing a codec library
+    (WebP, AVIF, video) raise NotImplementedError unless ``fake=True``,
+    which substitutes the deterministic synthetic decoder and labels the
+    row ``"fake"`` so real and synthetic pixels are never conflated."""
     from streaming_ecom_analytics_spark.functions import imaging, jpeg
 
     fmt = imaging.sniff_format(bytes(content))
     if fmt == "png":
-        return imaging.decode_png(bytes(content))
+        return imaging.decode_png(bytes(content)), "real:png"
     if fmt == "jpeg":
-        return jpeg.decode_jpeg(bytes(content))
+        return jpeg.decode_jpeg(bytes(content)), "real:jpeg"
     if fmt == "gif":
         from streaming_ecom_analytics_spark.functions import gif
 
-        return gif.decode_gif(bytes(content))[0]  # first frame
+        return gif.decode_gif(bytes(content))[0], "real:gif"  # first frame
     if fmt == "bmp":
-        return imaging.decode_bmp(bytes(content))
+        return imaging.decode_bmp(bytes(content)), "real:bmp"
     if fmt in ("ppm", "pgm"):
-        return imaging.decode_ppm(bytes(content))
+        return imaging.decode_ppm(bytes(content)), f"real:{fmt}"
     if not fake:
         raise NotImplementedError(
-            "only PNG/JPEG/PPM/PGM decode without a codec library (WebP/"
-            "AVIF/video need one; PIL/ffmpeg not in this container); pass "
-            "fake=True for the deterministic synthetic decoder"
+            "only PNG/JPEG/GIF/BMP/PPM/PGM decode without a codec library "
+            "(WebP/AVIF/video need one; PIL/ffmpeg not in this container); "
+            "pass fake=True for the deterministic synthetic decoder"
         )
-    return _fake_decode(content, width, height)
+    return _fake_decode(content, width, height), "fake"
+
+
+def decode_image(content: bytes, width: int, height: int, *, fake: bool = False) -> np.ndarray:
+    """Decode one image to a uint8 array (see decode_image_with_status)."""
+    return decode_image_with_status(content, width, height, fake=fake)[0]
 
 
 def image_features(
@@ -150,11 +162,13 @@ def image_features(
 ) -> DataFrame:
     """Decode → downsample → feature-vector pipeline over mapInPandas.
 
-    Output: (media_id, width, height, mean_luma, feature[target_dim]).
-    The Spark-side contract — Arrow batch iteration, pruned input
-    columns, typed output schema — plus PNG/JPEG/netpbm pixel decode
-    are all real; only codec-library formats (WebP/video) fall back to
-    the deterministic fake (see decode_image).
+    Output: (media_id, width, height, mean_luma, feature[target_dim],
+    decode_status). The Spark-side contract — Arrow batch iteration,
+    pruned input columns, typed output schema — plus PNG/JPEG/GIF/BMP/
+    netpbm pixel decode are all real; only codec-library formats fall
+    back to the deterministic fake, and every row carries
+    ``decode_status`` ("real:<fmt>" / "fake") so a real corpus can
+    never silently receive synthetic features.
     """
 
     from streaming_ecom_analytics_spark.functions import imaging
@@ -162,24 +176,32 @@ def image_features(
     def extract(batches):
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                w, h = row["meta"]["width"], row["meta"]["height"]
-                img = decode_image(bytes(row["content"]), w, h, fake=fake_decode)
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                img, status = decode_image_with_status(
+                    bytes(content), meta["width"], meta["height"], fake=fake_decode
+                )
                 luma = imaging.to_luma(img)  # (H, W) float64, any channel count
                 # crude box-downsample to a fixed-length feature
                 ys = np.array_split(luma.ravel(), target_dim)
                 feat = [float(chunk.mean()) for chunk in ys]
                 out.append(
                     (
-                        row["media_id"],
+                        media_id,
                         int(luma.shape[1]),
                         int(luma.shape[0]),
                         float(luma.mean()),
                         [np.float32(x) for x in feat],
+                        status,
                     )
                 )
             yield pd.DataFrame(
-                out, columns=["media_id", "width", "height", "mean_luma", "feature"]
+                out,
+                columns=[
+                    "media_id", "width", "height", "mean_luma", "feature",
+                    "decode_status",
+                ],
             )
 
     pruned = media.filter(F.col("media_type") == "image").select(
@@ -213,12 +235,12 @@ def audio_features(media: DataFrame, *, frame: int = 1024, hop: int = 512) -> Da
     def extract(batches):
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                samples, rate = audiolib.decode_wav(bytes(row["content"]))
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = audiolib.decode_wav(bytes(content))
                 fv = audiolib.audio_feature_vector(samples, rate, frame=frame, hop=hop)
                 out.append(
                     (
-                        row["media_id"],
+                        media_id,
                         int(rate),
                         fv["duration_s"],
                         fv["rms_mean"],
@@ -306,14 +328,14 @@ def video_features(media: DataFrame, *, sample_every: int = 1) -> DataFrame:
     def extract(batches):
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                frames, fps = videolib.decode_y4m(bytes(row["content"]))
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                frames, fps = videolib.decode_y4m(bytes(content))
                 fv = videolib.video_feature_vector(
                     frames, fps, sample_every=sample_every
                 )
                 out.append(
                     (
-                        row["media_id"],
+                        media_id,
                         int(fv["n_frames"]),
                         fv["duration_s"],
                         fv["luma_mean"],

@@ -264,6 +264,7 @@ def embedding_near_dup_pairs(
     n_bands: int = 24,
     band_bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
 
@@ -296,7 +297,7 @@ def embedding_near_dup_pairs(
     if method == "lsh":
         cand = _near_dup_candidates_lsh(
             embeddings, id_col=id_col, vec_col=vec_col,
-            n_bands=n_bands, band_bits=band_bits, seed=seed,
+            n_bands=n_bands, band_bits=band_bits, seed=seed, dim=dim,
         )
     elif method == "block":
         cand = _near_dup_candidates_block(
@@ -375,13 +376,17 @@ def _near_dup_candidates_block(
 
 def _near_dup_candidates_lsh(
     embeddings: DataFrame, *, id_col: str, vec_col: str,
-    n_bands: int, band_bits: int, seed: int,
+    n_bands: int, band_bits: int, seed: int, dim: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded sign-bit LSH (bucketed equi-join)."""
     import numpy as np
     import pandas as pd
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        # Same contract as lsh_bucketed_topk: callers should pass the
+        # vector dimension so query CONSTRUCTION never runs a Spark job;
+        # the LIMIT-1 probe is a last-resort fallback only.
+        dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * band_bits, dim))
     weights = (1 << np.arange(band_bits, dtype=np.uint64)).astype(np.uint64)

@@ -271,7 +271,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     above ~0.6, so the registered query runs at 0.45 to stay
     non-degenerate while exercising the same plan."""
     return similarity.embedding_near_dup_pairs(
-        catalog.embeddings(spark, sf_dir), threshold=0.45
+        catalog.embeddings(spark, sf_dir), threshold=0.45, dim=64
     )
 
 
@@ -645,6 +645,8 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
         F.to_json(F.col("feature")).alias("feature_json"),
+        # "real:<fmt>" / "fake" — synthetic pixels are always labeled
+        "decode_status",
     )
 
 
@@ -918,7 +920,7 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components — the semantic-dedup counterpart of the text-side
     dedup_clusters."""
     emb = catalog.embeddings(spark, sf_dir)
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.45)
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.45, dim=64)
     out = dedup.dup_clusters(
         emb.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
     )

@@ -28,6 +28,29 @@ def test_real_decode_is_stubbed():
         multimodal.decode_image(b"\x00\x01", 1, 2, fake=False)
 
 
+def test_decode_status_labels_fake_rows(media):
+    """synthesize_media routes every 6th row (raw raster) through the
+    synthetic decoder; decode_status must expose exactly those rows as
+    'fake' and label every real codec row 'real:<fmt>'."""
+    out = {r.media_id: r.decode_status for r in multimodal.image_features(media).collect()}
+    codecs = {r.media_id: r.codec for r in media.collect()}
+    for mid, status in out.items():
+        if codecs[mid] == "fake-raw":
+            assert status == "fake"
+        else:
+            assert status == f"real:{codecs[mid]}"
+    assert sum(1 for s in out.values() if s == "fake") == 2  # ids 5 and 11 of n=16
+
+
+def test_real_corpus_never_gets_silent_fakes(spark):
+    """With fake_decode=False, an undecodable format fails loudly
+    instead of producing synthetic features."""
+    rows = [(0, "image", "webp", bytearray(b"RIFF\x00\x00\x00\x00WEBP"), (4, 4, None, 12))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|codec library"):
+        multimodal.image_features(df, fake_decode=False).collect()
+
+
 def test_metadata_pruning_plan(media):
     plan = multimodal.image_features(media)._jdf.queryExecution().optimizedPlan().toString()
     # the binary column flows only into the UDF; codec/media_type

@@ -143,3 +143,18 @@ def test_lsh_compose_runs_no_job(spark, vectors):
     assert before == after, "plan composition triggered a Spark job"
     # and the plan still executes correctly
     assert {r.neighbor_id for r in df.collect()} >= {1}
+
+
+def test_near_dup_lsh_compose_runs_no_job(spark, vectors):
+    """embedding_near_dup_pairs(method='lsh') with an explicit dim must
+    not run a Spark job at plan-build time either (round-3 verdict #2 —
+    the same contract lsh_bucketed_topk already honors)."""
+    sc = spark.sparkContext
+    status = sc.statusTracker()
+    before = status.getJobIdsForGroup(None)
+    df = similarity.embedding_near_dup_pairs(
+        vectors, threshold=0.99, method="lsh", dim=3
+    )
+    after = status.getJobIdsForGroup(None)
+    assert before == after, "plan composition triggered a Spark job"
+    assert {(r.id_a, r.id_b) for r in df.collect()} == {(0, 1)}
