@@ -122,6 +122,8 @@ def decode_gif(content: bytes) -> list[np.ndarray]:
         elif block == 0x2C:  # image descriptor
             left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", content, pos)
             pos += 9
+            if left + iw > w or top + ih > h:
+                raise ValueError("GIF frame exceeds logical screen")
             table = global_table
             if iflags & 0x80:
                 table, pos = _read_color_table(content, pos, 2 << (iflags & 0x07))

@@ -165,8 +165,12 @@ class _BitReader:
         self.hit_marker = False
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG stream (EOF mid-scan)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream (EOF mid-scan)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:  # stuffed literal 0xFF
                 self.pos += 2
@@ -197,8 +201,12 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
         self.hit_marker = False
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while self.pos + 1 < len(self.data) and (
+            self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00
+        ):
             self.pos += 1  # tolerate garbage up to the marker
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG stream (EOF at restart marker)")
         if 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             self.pos += 2
 

@@ -108,6 +108,10 @@ def expectations_report(
 
     Output: (expectation, n_rows, n_violations, passed).
     """
+    if not checks and not unique_cols:
+        # stack(0, ...) fails at SQL parse time with an obscure error;
+        # fail here with a clear one instead.
+        raise ValueError("expectations_report: no expectations given")
     aggs = [F.count(F.lit(1)).alias("__n")]
     names = []
     for name, cond in checks.items():

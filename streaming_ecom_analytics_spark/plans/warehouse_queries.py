@@ -1040,8 +1040,9 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Spark's documented contract: floor((p-err)*N) <= rank(x) <=
     # ceil((p+err)*N), err = 1/accuracy. v occupies ranks
-    # (rank_lt, rank_le]; the contract holds if that span intersects
-    # the guaranteed interval.
+    # (rank_lt, rank_le]; the contract holds iff that half-open span
+    # intersects [lo, hi] — i.e. rank_le >= lo AND rank_lt < hi (the
+    # lowest rank v occupies is rank_lt + 1, which must be <= hi).
     eps = 1.0 / accuracy
     lo = F.floor((F.col("q") - eps) * F.col("n").cast("double"))
     hi = F.ceil((F.col("q") + eps) * F.col("n").cast("double"))
@@ -1049,7 +1050,7 @@ def q_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "q",
         (
-            (F.col("rank_le") >= lo) & (F.col("rank_lt") <= hi)
+            (F.col("rank_le") >= lo) & (F.col("rank_lt") < hi)
         ).alias("rank_ok"),
     ).orderBy("event_type", "q")
 

@@ -152,6 +152,22 @@ def test_gif_roundtrip_and_features():
         gif.encode_gif(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
 
 
+def test_gif_frame_exceeding_screen_raises_value_error():
+    """A frame rect past the logical screen must be a clear corrupt-file
+    diagnostic, not a numpy broadcast error."""
+    import struct
+
+    from streaming_ecom_analytics_spark.functions import gif
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(gif.encode_gif(img))
+    # image descriptor: 0x2C left(2) top(2) iw(2) ih(2) flags(1)
+    pos = enc.find(0x2C, 13)
+    struct.pack_into("<HH", enc, pos + 1, 4, 4)  # left=4, top=4 → 4+8 > 8
+    with pytest.raises(ValueError, match="exceeds logical screen"):
+        gif.decode_gif(bytes(enc))
+
+
 def test_bmp_roundtrip_and_row_orders():
     rng = np.random.default_rng(10)
     img = rng.integers(0, 256, (13, 14, 3), dtype=np.uint8)

@@ -109,6 +109,16 @@ def test_decoder_rejects_non_baseline():
         jpeg.decode_jpeg(b"\x00\x01\x02")
 
 
+def test_truncated_entropy_segment_raises_value_error():
+    """EOF mid-scan must surface as the documented ValueError, not an
+    IndexError leaking out of the bit reader."""
+    img = _gradient_rgb(24, 24)
+    enc = jpeg.encode_jpeg(img)
+    for cut in (10, 30, 60):
+        with pytest.raises(ValueError, match="truncated|SOI|marker"):
+            jpeg.decode_jpeg(enc[: len(enc) - cut])
+
+
 def test_sniff_and_decode_image_route_jpeg():
     img = _gradient_rgb(12, 20)
     enc = jpeg.encode_jpeg(img)

@@ -698,3 +698,15 @@ def test_expectations_report_counts_violations(spark):
         df.filter("id = 1"), {"v_non_negative": F.col("v") >= 0}, unique_cols=["id"]
     ).collect()
     assert all(r.passed for r in clean)
+
+
+def test_expectations_report_rejects_empty(spark):
+    """No expectations at all must raise a clear ValueError, not an
+    obscure stack(0, ...) SQL parse error."""
+    import pytest
+
+    from streaming_ecom_analytics_spark.operators import validation
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="no expectations"):
+        validation.expectations_report(df, {})
