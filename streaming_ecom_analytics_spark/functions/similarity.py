@@ -105,10 +105,12 @@ def lsh_bucketed_topk(
     n_planes: int = 6,
     seed: int = 42,
     n_probes: int | None = None,
+    n_tables: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucketing with
-    multi-probe, exact rerank within the probed buckets.
+    multi-probe and multi-table amplification, exact rerank within the
+    probed buckets.
 
     2^n_planes buckets shrink each query's candidate set by ~2^n_planes.
     Multi-probe (Lv et al., VLDB 2007): each query also probes the
@@ -116,9 +118,17 @@ def lsh_bucketed_topk(
     default all n_planes single-bit flips) — recovering neighbors that
     sit just across one hyperplane, the dominant LSH failure mode, at
     the cost of (n_probes+1)× candidate fan-out on the (small,
-    broadcast) query side only. The planes derive deterministically
-    from ``seed`` so results are reproducible (rows-only check —
-    approximation is the point).
+    broadcast) query side only. Multi-table (the classic AND-OR
+    amplification): ``n_tables`` independent plane sets, a candidate if
+    ANY table collides — per-table miss rate m becomes m^n_tables,
+    which is what makes sign-LSH usable on near-uniform vectors where
+    any single table's recall is modest. Cost is n_tables× candidate
+    generation; the exact rerank dedupes first, so each surviving pair
+    is scored once. Tables live in ONE plan (a union of bucket joins
+    over the same scan) — at scale the corpus bucket assignments are
+    one projection per table of a shared scan, not extra passes.
+    The planes derive deterministically from ``seed`` so results are
+    reproducible (rows-only check — approximation is the point).
     """
     import numpy as np
 
@@ -130,33 +140,48 @@ def lsh_bucketed_topk(
         # the caller didn't (and couldn't) pass the dimension.
         dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim)).tolist()
     probes = n_planes if n_probes is None else n_probes
 
     v = F.col(vec_col).cast("array<double>")
-    c = embeddings.select(
+    cand = None
+    for _ in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim)).tolist()
+        c = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            hyperplane_bucket(v, planes).alias("bucket"),
+        )
+        base_bucket = hyperplane_bucket(v, planes)
+        probe_buckets = F.array(
+            base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(probes)]
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_buckets).alias("bucket"),
+        )
+        pairs_t = c.join(F.broadcast(q), on="bucket").select("query_id", "neighbor_id")
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+
+    # exact cosine rerank over the deduped candidates: join vectors
+    # back (query side broadcast — it is the small side by contract)
+    nbr = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         v.alias("neighbor_id_vec"),
         _norm(v).alias("neighbor_norm"),
-        hyperplane_bucket(v, planes).alias("bucket"),
     )
-    base_bucket = hyperplane_bucket(v, planes)
-    probe_buckets = F.array(
-        base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(probes)]
-    )
-    q = queries.select(
+    qv = queries.select(
         F.col(id_col).alias("query_id"),
         v.alias("query_id_vec"),
         _norm(v).alias("query_norm"),
-        F.explode(probe_buckets).alias("bucket"),
-    )
-    pairs = c.join(F.broadcast(q), on="bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
     )
     cos = _dot(F.col("query_id_vec"), F.col("neighbor_id_vec")) / (
         F.col("query_norm") * F.col("neighbor_norm")
     )
-    scored = pairs.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    scored = (
+        cand.join(nbr, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -224,17 +224,19 @@ _ANN_RECALL_ORACLE = """
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k (scale path),
     surfaced as a checkable recall assertion: mean recall@5 of the LSH
-    answer vs the exact brute-force top-5 must clear a floor the LSH
-    theory supports on this data (sign-LSH over near-uniform 64-dim
-    vectors — per-query recall varies, the mean is stable). The oracle
-    asserts the same single row; neighbor lists are unit-tested."""
+    answer vs the exact brute-force top-5. Eight independent 6-plane
+    tables (AND-OR amplification) lift observed mean recall to
+    0.86-0.94 across sf0.001/0.01/0.1, so the floor is 0.60 — a real
+    contract that fails on any serious recall regression (single-table
+    recall here is ~0.2). The oracle asserts the same single row;
+    neighbor lists are unit-tested."""
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     # dim=64 is the testdata contract (TESTDATA.md); passing it avoids a
     # plan-build-time probe job against the corpus.
-    approx = similarity.lsh_bucketed_topk(emb, q, k=5, dim=64)
+    approx = similarity.lsh_bucketed_topk(emb, q, k=5, dim=64, n_tables=8)
     exact = similarity.cosine_topk(emb, q, k=5)
-    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.10)
+    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.60)
 
 
 @register("ann_ivf_topk", _ANN_RECALL_ORACLE)
