@@ -307,3 +307,81 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
         ).collect()
     }
     assert {k: got[k] for k in (1, 2)} == {k: want[k] for k in (1, 2)}
+
+
+def test_stream_stream_left_outer_drops_late_purchase(spark, tmp_path):
+    """Late-data semantics of the LEFT OUTER stream-stream join: a
+    purchase whose event time matched a click's window but which ARRIVES
+    after the watermark has passed that window must be dropped — the
+    click flushes as unconverted (NULL), and the row never flips. The
+    batch twin, which sees all data at once, says converted=True for the
+    same input: this divergence IS the documented watermark contract,
+    so the test pins both sides of it.
+    """
+    from streaming_ecom_analytics_spark.streaming import joins
+
+    batches = [
+        # the click, alone in its micro-batch
+        [(1, _t(0), 1, "view", 1.0, "{}")],
+        # watermark pushers one day ahead: watermark leaps past the
+        # click's whole join window (t0 + 30min + 10min delay)
+        [
+            (2, dt.datetime(2024, 1, 2, 10, 0), 3, "view", 0.0, "{}"),
+            (3, dt.datetime(2024, 1, 2, 10, 0), 3, "purchase", 0.0, "{}"),
+        ],
+        # batch 2: the batch-1 watermark takes effect HERE — click 1's
+        # state is evicted and its NULL row emitted at this batch's end
+        # (within a batch, new input joins BEFORE eviction, so the late
+        # purchase must arrive strictly after this batch)
+        [
+            (4, dt.datetime(2024, 1, 3, 10, 0), 3, "view", 0.0, "{}"),
+            (5, dt.datetime(2024, 1, 3, 10, 0), 3, "purchase", 0.0, "{}"),
+        ],
+        # batch 3: the LATE purchase — event time t5 (inside the
+        # click's window) but the click's state is already flushed and
+        # the row is far below the watermark: it must not produce a
+        # match, and the click must not flip to converted
+        [
+            (6, _t(5), 1, "purchase", 30.0, "{}"),
+            (7, dt.datetime(2024, 1, 4, 10, 0), 3, "view", 0.0, "{}"),
+            (8, dt.datetime(2024, 1, 4, 10, 0), 3, "purchase", 0.0, "{}"),
+        ],
+        # trailing pusher batch so batch 3's watermark has a batch in
+        # which to settle remaining state
+        [
+            (9, dt.datetime(2024, 1, 5, 10, 0), 3, "view", 0.0, "{}"),
+            (10, dt.datetime(2024, 1, 5, 10, 0), 3, "purchase", 0.0, "{}"),
+        ],
+    ]
+    d = tmp_path / "late_events"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch_{i}"), mode="overwrite"
+        )
+    stream = _stream(spark, str(d))
+    out = joins.clicks_with_conversion_outcome(
+        stream, within="30 minutes", watermark="10 minutes", click_type="view"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.click_id: (r.converted, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_late_out").collect()
+    }
+    # the click surfaced exactly once, as a non-conversion
+    assert got[1] == (False, None)
+    # batch twin (no watermark) sees the late purchase and attributes it
+    batch = spark.read.parquet(str(d) + "/*")
+    want = {
+        r.click_id: (r.converted, r.purchase_id)
+        for r in joins.clicks_with_conversion_outcome(
+            batch, within="30 minutes", watermark=None, click_type="view"
+        ).collect()
+    }
+    assert want[1] == (True, 6)
