@@ -6,12 +6,18 @@ then runs every ``queries()`` entry at a given sf_dir and compares it to its
 order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified). Exit code 0 = all green.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--emit-json PATH]
+
+``--emit-json`` additionally writes a per-query parity ledger in the
+driver's CORRECTNESS_r{N}.json format (committed each round as
+PARITY_r{N}.json so every registered query — not just the driver's
+50-query sample — has a diffable hash record).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 from pathlib import Path
@@ -36,7 +42,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    emit_json = None
+    if "--emit-json" in argv:
+        i = argv.index("--emit-json")
+        emit_json = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     if os.environ.get("DRIVER_SIM_PLAIN"):
         # mimic an arbitrary driver-owned session: no engine configs,
         # default shuffle partitions — results must be identical
@@ -65,6 +77,7 @@ def main() -> int:
         qs = {k: v for k, v in qs.items() if k in wanted}
 
     failures = []
+    ledger: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         spdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
@@ -77,8 +90,15 @@ def main() -> int:
             except TypeError as e:
                 print(f"  {name:40s} ROWS-ONLY CANON FAILED: {e}")
                 failures.append(name)
+                ledger[name] = {"rows_only": True, "err": str(e)[:200]}
                 continue
             print(f"  {name:40s} rows-only: {len(spdf)} rows hash={h}")
+            ledger[name] = {
+                "rows_only": True,
+                "spark_rows": len(spdf),
+                "spark_hash": h,
+                "err": None,
+            }
             continue
         opdf = con.sql(oracles[name]).df()
         scols, ocols = sorted(spdf.columns), sorted(opdf.columns)
@@ -88,10 +108,24 @@ def main() -> int:
             f"  {name:40s} {'OK ' if ok else 'MISMATCH'} rows={len(spdf)}/{len(opdf)} "
             f"hash={sh}/{oh}"
         )
+        ledger[name] = {
+            "rows_match": len(spdf) == len(opdf),
+            "schema_match": scols == ocols,
+            "hash_match": sh == oh,
+            "spark_rows": len(spdf),
+            "oracle_rows": len(opdf),
+            "spark_hash": sh,
+            "oracle_hash": oh,
+            "err": None,
+        }
         if not ok:
             failures.append(name)
             if scols != ocols:
                 print(f"    columns: spark={scols} oracle={ocols}")
+    if emit_json:
+        payload = {"sf_dir": sf_dir, "n_queries": len(ledger), "queries": ledger}
+        Path(emit_json).write_text(json.dumps(payload, indent=1, sort_keys=True))
+        print(f"wrote {emit_json} ({len(ledger)} queries)")
     if failures:
         print(f"FAILED: {failures}")
         return 1

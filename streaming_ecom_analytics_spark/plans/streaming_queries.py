@@ -396,3 +396,23 @@ def q_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("secs_to_convert").alias("min_secs"),
         F.max("secs_to_convert").alias("max_secs"),
     )
+
+
+@register(
+    "event_stream_dedup",
+    """
+    SELECT * FROM events
+    """,
+)
+def q_event_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion dedup (streaming/windows.py::dedup_events): the input
+    simulates at-least-once redelivery — every event whose id is
+    divisible by 7 arrives twice — and keyed dedup on event_id must
+    restore exactly the original table (event_id is unique in the
+    lake, so the oracle is the table itself). The streaming execution
+    of the same plan (dropDuplicatesWithinWatermark, bounded state,
+    cross-micro-batch duplicates) is pinned in tests/test_streaming.py.
+    """
+    events = catalog.events(spark, sf_dir)
+    redelivered = events.unionByName(events.filter(F.col("event_id") % 7 == 0))
+    return windows.dedup_events(redelivered, watermark=None)

@@ -27,6 +27,37 @@ def _maybe_watermark(events: DataFrame, ts_col: str, watermark: str | None) -> D
     return events.withWatermark(ts_col, watermark) if watermark else events
 
 
+def dedup_events(
+    events: DataFrame,
+    *,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Ingestion dedup — at-least-once delivery made effectively-once.
+
+    Every real event bus redelivers (producer retries, consumer
+    rebalances), so the first stateful operator of any ingestion DAG is
+    a keyed dedup. Streaming: ``dropDuplicatesWithinWatermark`` on
+    ``id_cols`` — per-key state is EVICTED once the watermark passes the
+    key's event time, so state is bounded by the redelivery horizon
+    (seconds-to-minutes on a real bus), not by stream length; a
+    plain streaming ``dropDuplicates`` would grow state forever.
+    Batch (``watermark=None``): plain ``dropDuplicates``, the same
+    logical contract — which makes the batch frame the DuckDB-checkable
+    oracle twin for the streaming plan.
+
+    Duplicates beyond the watermark horizon are not caught here by
+    design — that is the batch reconciliation layer's job (the same
+    lambda split as exact-vs-approx COUNT(DISTINCT), documented above).
+    """
+    if watermark:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(id_cols)
+        )
+    return events.dropDuplicates(list(id_cols))
+
+
 def tumbling_event_counts(
     events: DataFrame,
     *,

@@ -385,3 +385,35 @@ def test_stream_stream_left_outer_drops_late_purchase(spark, tmp_path):
         ).collect()
     }
     assert want[1] == (True, 6)
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed on event_id: a redelivered
+    event arriving in a LATER micro-batch (within the watermark
+    horizon) must be dropped; each id surfaces exactly once."""
+    from streaming_ecom_analytics_spark.streaming import windows as w
+
+    batches = [
+        [(1, _t(0), 1, "view", 1.0, "{}"), (2, _t(1), 2, "view", 1.0, "{}")],
+        # event 1 redelivered bit-identically + a new event
+        [(1, _t(0), 1, "view", 1.0, "{}"), (3, _t(2), 1, "cart", 2.0, "{}")],
+        # watermark pusher
+        [(4, dt.datetime(2024, 1, 2, 10, 0), 3, "view", 0.0, "{}")],
+    ]
+    d = tmp_path / "dedup_events"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(d / f"batch_{i}"), mode="overwrite"
+        )
+    stream = _stream(spark, str(d))
+    out = w.dedup_events(stream, watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.event_id for r in spark.sql("SELECT * FROM ss_dedup_out").collect()]
+    assert sorted(got) == [1, 2, 3, 4]  # each exactly once, dup dropped
