@@ -506,3 +506,199 @@ def recall_vs_exact(
         F.count("*").alias("n_queries"),
         (F.avg("recall") >= F.lit(min_mean_recall)).alias("mean_recall_ok"),
     )
+
+
+def _pq_train_codebooks(sample, m: int, n_centroids: int, seed: int, iters: int = 12):
+    """Per-subspace k-means codebooks over a bounded, already-collected
+    training sample (numpy Lloyd, deterministic seed). Returns an array
+    of shape (m, n_centroids, dim//m)."""
+    import numpy as np
+
+    mat = np.asarray(sample, dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n, dim = mat.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        k_eff = min(n_centroids, n)
+        cent = sub[rng.choice(n, size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            # (n, k) squared distances via the expanded form; argmin
+            # assignment; empty clusters re-seeded deterministically
+            d2 = (
+                (sub * sub).sum(1, keepdims=True)
+                - 2.0 * sub @ cent.T
+                + (cent * cent).sum(1)
+            )
+            assign = d2.argmin(1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(0)
+                else:
+                    cent[c] = sub[rng.integers(0, n)]
+        if k_eff < n_centroids:  # tiny corpora: pad by repeating
+            cent = np.vstack([cent, cent[: n_centroids - k_eff]])
+        books.append(cent)
+    return np.stack(books)  # (m, n_centroids, dsub)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 256,
+    seed: int = 42,
+    dim: int | None = None,
+    train_rows: int = 16384,
+    refine: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN: the memory-compressed scale path.
+
+    At 100 TB the raw float corpus (dim × 4 bytes/vector) doesn't fit
+    executor memory for in-partition scoring; PQ (Jégou et al., TPAMI
+    2011) stores each vector as ``m`` uint8 codes (64 dims × 4 B =
+    256 B → 8 B at m=8: 32× compression) and scores queries against the
+    codes with per-subspace lookup tables (ADC — asymmetric distance
+    computation).
+
+    Spark realization:
+    - TRAIN driver-side on a bounded deterministic sample
+      (``train_rows`` rows, one job — the same bounded-training policy
+      as ivf_topk's KMeans; quantizer quality needs thousands of
+      points, never the corpus). Codebooks become plan literals.
+    - ENCODE the corpus via one Arrow-batched mapInPandas pass
+      (vectorized nearest-centroid per subspace). At scale this is the
+      materialized index you'd write back to the lake.
+    - SCORE with a JVM-side higher-order expression — the hot path is
+      ``aggregate(sequence, ...)`` over ``luts[j][codes[j]]``: no
+      Python, no shuffle of the codes beyond the final top-K window.
+      Each query's LUT (m × n_centroids subvector dot products) is a
+      small Spark-computed frame, cross-joined broadcast.
+    - REFINE: ADC top ``k*refine`` candidates per query re-scored
+      exactly against the true vectors (broadcast candidate set),
+      final exact top-k — the standard PQ rerank that recovers most
+      quantization loss.
+
+    Deterministic via ``seed`` (sampling sorted by id; fixed-iteration
+    Lloyd). Approximate by design → recall-contract checks, same as
+    LSH/IVF.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # --- train (bounded sample; ORDER BY id makes the sample stable) ---
+    sample = [
+        r[0]
+        for r in embeddings.select(vec_col)
+        .orderBy(id_col)
+        .limit(train_rows)
+        .collect()
+    ]
+    books = _pq_train_codebooks(sample, m, n_centroids, seed)  # (m, K, dsub)
+
+    # --- encode corpus (vectorized mapInPandas; codes are the index) ---
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    - 2.0 * sub @ cent.T
+                    + (cent * cent).sum(1)
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"neighbor_id": ids, "codes": list(codes)})
+
+    coded = embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema="neighbor_id long, codes array<int>"
+    )
+
+    # --- per-query LUTs (m x K dot products; tiny, Spark-computed) ---
+    def build_luts(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            luts = [
+                [
+                    (books[j] @ mat[i, j * dsub : (j + 1) * dsub]).tolist()
+                    for j in range(m)
+                ]
+                for i in range(len(ids))
+            ]
+            yield pd.DataFrame({"query_id": ids, "luts": luts})
+
+    luts = queries.select(id_col, vec_col).mapInPandas(
+        build_luts, schema="query_id long, luts array<array<double>>"
+    )
+
+    # --- ADC scoring: pure JVM higher-order fold, no Python ---
+    adc = (
+        coded.crossJoin(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE),"
+                " (acc, j) -> acc + luts[j][codes[j]])"
+            ).alias("score_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact rerank of the small candidate set ---
+    v = F.col(vec_col).cast("array<double>")
+    nbr = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("nv"),
+        _norm(v).alias("nn"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qv"),
+        _norm(v).alias("qn"),
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        F.broadcast(cand)
+        .join(nbr, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -158,3 +158,27 @@ def test_near_dup_lsh_compose_runs_no_job(spark, vectors):
     after = status.getJobIdsForGroup(None)
     assert before == after, "plan composition triggered a Spark job"
     assert {(r.id_a, r.id_b) for r in df.collect()} == {(0, 1)}
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ ANN must recover most of the brute-force top-5 on the real
+    embeddings table and be bit-stable across runs (seeded training,
+    fixed-iteration Lloyd)."""
+    from streaming_ecom_analytics_spark import catalog
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    q = emb.filter("vec_id < 5")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    run1 = similarity.pq_topk(emb, q, k=5, dim=64).collect()
+    run2 = similarity.pq_topk(emb, q, k=5, dim=64).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    pq = {(r.query_id, r.neighbor_id) for r in run1}
+    assert len(pq & brute) / len(brute) >= 0.5
+
+
+def test_pq_topk_rejects_indivisible_dim(spark, vectors):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_topk(vectors, vectors, dim=3, m=2)
