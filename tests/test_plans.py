@@ -429,3 +429,26 @@ def test_q15_scalar_max_is_broadcast_not_sort(spark):
     against a one-row aggregate; no global sort of supplier revenues."""
     plan = _plan(spark, "top_supplier_revenue")
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_scoring_is_jvm_side(spark):
+    """pq_topk's Python boundary is exactly two Arrow-batched
+    mapInPandas passes (corpus encode + per-query LUTs); the ADC
+    scoring over every (query, code) pair — the hot path — must be a
+    JVM higher-order fold, never per-row Python."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import similarity
+
+    emb = catalog.embeddings(spark, SF_DIR)
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        similarity.pq_topk(emb, q, k=3, dim=64)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 2  # encode + LUTs, nothing else
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # the ADC fold is a Catalyst higher-order expression (the sequence
+    # literal constant-folds, so match the lambda + LUT indexing)
+    assert "lambdafunction" in plan and "luts" in plan
