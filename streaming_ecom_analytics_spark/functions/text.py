@@ -675,3 +675,64 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(top)
     )
+
+
+def doc_containment(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_hash_df: int = 100,
+) -> DataFrame:
+    """Pairwise verbatim-overlap containment from winnowing
+    fingerprints: for unordered doc pairs sharing >= ``min_shared``
+    selected hashes, ``containment_a = |FP(a) ∩ FP(b)| / |FP(a)|``
+    (distinct hashes; likewise b). The asymmetric scores separate
+    "quotes a paragraph" from "is a superset" — the plagiarism-style
+    readout Schleimer et al.'s winnowing was built for, and the
+    verbatim-span complement of MinHash's whole-document Jaccard.
+
+    Scale: candidate pairs come from the fp_hash equi-join — only docs
+    sharing a selected hash ever meet, never an all-pairs product.
+    Boilerplate hashes shared by > ``max_hash_df`` documents are
+    dropped FIRST (the stop-fingerprint rule): one hash shared by H
+    docs alone yields H² pairs, so the df cap bounds the join blowup
+    the way banding bounds MinHash.
+    """
+    rows = winnow_fingerprint_rows(
+        docs, text_col=text_col, id_col=id_col, k=k, window=window
+    ).select(id_col, "fp_hash").distinct()
+    hash_df = rows.groupBy("fp_hash").agg(F.count("*").alias("__df"))
+    kept = rows.join(
+        hash_df.filter(F.col("__df") <= max_hash_df).select("fp_hash"), on="fp_hash"
+    )
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("__n"))
+    a = kept.select(F.col(id_col).alias("doc_a"), "fp_hash")
+    b = kept.select(F.col(id_col).alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, on="fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("shared") / F.col("__na"), 6).alias("containment_a"),
+            F.round(F.col("shared") / F.col("__nb"), 6).alias("containment_b"),
+        )
+    )

@@ -224,17 +224,19 @@ _ANN_RECALL_ORACLE = """
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k (scale path),
     surfaced as a checkable recall assertion: mean recall@5 of the LSH
-    answer vs the exact brute-force top-5. Eight independent 6-plane
+    answer vs the exact brute-force top-5. Four independent 4-plane
     tables (AND-OR amplification) lift observed mean recall to
-    0.86-0.94 across sf0.001/0.01/0.1, so the floor is 0.60 — a real
+    0.90-0.94 across sf0.001/0.01/0.1, so the floor is 0.60 — a real
     contract that fails on any serious recall regression (single-table
-    recall here is ~0.2). The oracle asserts the same single row;
-    neighbor lists are unit-tested."""
+    recall here is ~0.2-0.4). Fewer, coarser tables beat more, finer
+    ones here: recall is higher AND candidate generation is ~3x
+    cheaper (measured at sf0.1). The oracle asserts the same single
+    row; neighbor lists are unit-tested."""
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     # dim=64 is the testdata contract (TESTDATA.md); passing it avoids a
     # plan-build-time probe job against the corpus.
-    approx = similarity.lsh_bucketed_topk(emb, q, k=5, dim=64, n_tables=8)
+    approx = similarity.lsh_bucketed_topk(emb, q, k=5, dim=64, n_planes=4, n_tables=4)
     exact = similarity.cosine_topk(emb, q, k=5)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.60)
 
@@ -1323,3 +1325,36 @@ def q_embedding_qa_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l2"), 6).alias("max_l2"),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+_CONTAINMENT_ORACLE = (
+    "WITH fp_rows AS (" + _WINNOW_ORACLE + "),"
+    + r"""
+    d AS (SELECT DISTINCT doc_id, fp_hash FROM fp_rows),
+    hdf AS (SELECT fp_hash FROM d GROUP BY fp_hash HAVING COUNT(*) <= 100),
+    kept AS (SELECT d.doc_id, d.fp_hash FROM d JOIN hdf USING (fp_hash)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT doc_a, doc_b, shared,
+           ROUND(CAST(shared AS DOUBLE) / sa.n, 6) AS containment_a,
+           ROUND(CAST(shared AS DOUBLE) / sb.n, 6) AS containment_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = pairs.doc_a
+    JOIN sizes sb ON sb.doc_id = pairs.doc_b
+    """
+)
+
+
+@register("doc_containment", _CONTAINMENT_ORACLE)
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-fingerprint pairwise containment (text.doc_containment):
+    verbatim-overlap scores for doc pairs sharing >= 2 selected hashes,
+    with the stop-fingerprint df cap bounding the equi-join fan-out.
+    Full value-level oracle: the winnowing CTE is the same
+    engine-portable md5 kernel as doc_fingerprint."""
+    return text.doc_containment(catalog.documents(spark, sf_dir))

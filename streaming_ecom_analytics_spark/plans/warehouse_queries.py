@@ -1383,3 +1383,80 @@ def q_target_encoded_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_cat") - F.col("value")) / (F.col("n_cat") - 1),
         ).alias("target_enc_loo"),
     )
+
+
+_EWMA_ORACLE = r"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list(day ORDER BY day) AS days,
+             list(revenue ORDER BY day) AS vals
+      FROM daily GROUP BY 1
+    ),
+    expanded AS (
+      SELECT event_type, days[i] AS day, vals[i] AS revenue,
+             CASE WHEN i = 1 THEN vals[1]
+                  ELSE list_reduce(vals[1:i],
+                       (acc, x) -> acc * CAST(0.5 AS DOUBLE)
+                                   + x * CAST(0.5 AS DOUBLE)) END AS ewma
+      FROM series, unnest(generate_series(1, len(vals))) AS t(i)
+    )
+    SELECT event_type, day, revenue, ROUND(ewma, 6) AS ewma FROM expanded
+"""
+
+
+@register("revenue_ewma_daily", _EWMA_ORACLE)
+def q_revenue_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily value smoothing per event type —
+    the time-series recurrence class (S_t = αx_t + (1-α)S_{t-1},
+    S_1 = x_1, α = 0.5).
+
+    A sequential recurrence has no windowed-aggregate form, and the
+    naive fix (a UDF over collected rows) leaves the JVM. The Spark-
+    first realization: collect each ~30-row daily series into a sorted
+    array (array_sort on (day, value) structs — one shuffle, the same
+    one the daily aggregate needs anyway), then compute every prefix
+    fold with higher-order `aggregate` over `slice` — pure Catalyst
+    expressions, O(n²) per series on n=days, executed inside codegen.
+    The DuckDB twin folds the identical list with list_reduce, so the
+    IEEE op sequence matches bit-for-bit (α = 0.5 keeps each halving
+    exact) and the oracle is value-level. At scale the per-key series
+    length is bounded (days), keys parallelize across executors."""
+    events = catalog.events(spark, sf_dir)
+    daily = events.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "revenue"))).alias("s")
+    )
+    vals = F.transform("s", lambda x: x.revenue)
+    half = F.lit(0.5).cast("double")
+    with_arrays = series.select(
+        "event_type",
+        F.transform("s", lambda x: x.day).alias("days"),
+        vals.alias("vals"),
+        F.transform(
+            vals,
+            lambda _, i: F.aggregate(
+                F.slice(vals, 2, i),
+                F.element_at(vals, 1),
+                lambda acc, v: acc * half + v * half,
+            ),
+        ).alias("ewmas"),
+    )
+    return (
+        with_arrays.select(
+            "event_type",
+            F.explode(F.arrays_zip("days", "vals", "ewmas")).alias("z"),
+        )
+        .select(
+            "event_type",
+            F.col("z.days").alias("day"),
+            F.col("z.vals").alias("revenue"),
+            F.round(F.col("z.ewmas"), 6).alias("ewma"),
+        )
+    )
