@@ -333,33 +333,61 @@ def simhash_pairs(
     every chunk are missed). Wider chunks → fewer candidates but a
     tighter guarantee; n_chunks=8 (8-bit chunks) guarantees ≤7 and
     empirically catches ≤10 on shingled text."""
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, k=k)
+    return hamming_pairs(
+        sig,
+        id_col="doc_id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        out_a="doc_a",
+        out_b="doc_b",
+    )
+
+
+def hamming_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    n_chunks: int = 8,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """Generic chunk-blocked Hamming join over 64-bit signatures —
+    the shared kernel under text SimHash and image dHash near-dup.
+    Pigeonhole guarantee: distance ≤ n_chunks−1 ⇒ at least one chunk
+    equal (blocking is exact there, probabilistic beyond); the join
+    never goes all-pairs."""
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, k=k)
-    chunks = sig.select(
-        "doc_id",
-        "simhash",
+    chunks = signatures.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk_id"),
-                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    F.shiftright(F.col(sig_col), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
                 )
                 for i in range(n_chunks)
             ])
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    ).select("__id", "__sig", "c.chunk_id", "c.chunk")
     a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk_id", "chunk"
+        F.col("__id").alias(out_a), F.col("__sig").alias("sig_a"), "chunk_id", "chunk"
     )
     b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk_id", "chunk"
+        F.col("__id").alias(out_b), F.col("__sig").alias("sig_b"), "chunk_id", "chunk"
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         a.join(b, on=["chunk_id", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -68,21 +68,45 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def synthesize_media(spark, n: int = 64, *, seed: int = 42) -> DataFrame:
+def synthesize_media(spark, n: int = 64, *, seed: int = 42, with_dups: bool = False) -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA —
     fixture generator for tests and pipeline dry-runs. Rows rotate
     through REAL PNG / PGM / baseline-JPEG / GIF / BMP encodings
     (exercising all five actual codecs); every sixth row is a raw
-    raster for the fake-decode path."""
+    raster for the fake-decode path. ``with_dups=True`` additionally
+    appends a JPEG re-encoding of every PNG row as media_id+1000 —
+    planted cross-codec near-duplicate pairs for perceptual-hash
+    dedup (the rng sequence is untouched, so the base rows are
+    bit-identical either way)."""
     from streaming_ecom_analytics_spark.functions import gif, imaging, jpeg
 
     rng = np.random.default_rng(seed)
     rows = []
+    dup_rows = []
     for i in range(n):
         w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
         if i % 6 == 0:
-            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            # smooth low-frequency pattern, unique per image: JPEG
+            # re-encodes stay perceptually identical (pure noise would
+            # decorrelate the dHash bits; a plain gradient would make
+            # every PNG row a near-dup of every other)
+            yy, xx = np.mgrid[0:h, 0:w]
+            f1, f2, f3, f4 = rng.uniform(0.5, 3.0, 4)
+            p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+            base = (
+                127
+                + 55 * np.sin(2 * np.pi * (f1 * yy / h + f2 * xx / w) + p1)
+                + 40 * np.sin(2 * np.pi * (f3 * yy / h - f4 * xx / w) + p2)
+            )
+            img = np.clip(
+                base[:, :, None] + rng.integers(-8, 9, size=(h, w, 3)), 0, 255
+            ).astype(np.uint8)
             content, codec = imaging.encode_png(np.asarray(img)), "png"
+            if with_dups:
+                dup = jpeg.encode_jpeg(np.asarray(img), quality=90)
+                dup_rows.append(
+                    (1000 + i, "image", "jpeg", bytearray(dup), (w, h, None, len(dup)))
+                )
         elif i % 6 == 1:
             img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
             content, codec = imaging.encode_ppm(np.asarray(img)), "pgm"
@@ -103,7 +127,7 @@ def synthesize_media(spark, n: int = 64, *, seed: int = 42) -> DataFrame:
         rows.append(
             (i, "image", codec, bytearray(content), (w, h, None, len(content)))
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows + dup_rows, MEDIA_SCHEMA)
 
 
 def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
@@ -378,3 +402,76 @@ def synthesize_video(spark, n: int = 16, *, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def dhash_bits(luma: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash over a luma plane: box-mean downsample to
+    (hash_size, hash_size+1), bit j = cell brighter than its right
+    neighbor. Box means (not nearest-neighbor) make the hash stable
+    under re-encoding noise — the property that lets a JPEG of a
+    raster land within a few bits of its PNG."""
+    h, w = luma.shape
+    th, tw = hash_size, hash_size + 1
+    ys = (np.arange(th + 1) * h) // th
+    xs = (np.arange(tw + 1) * w) // tw
+    cells = np.empty((th, tw))
+    for r in range(th):
+        for c in range(tw):
+            block = luma[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)]
+            cells[r, c] = block.mean()
+    bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement into signed 64-bit so Spark's LongType holds it
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_dhash(
+    media: DataFrame, *, hash_size: int = 8, fake_decode: bool = True
+) -> DataFrame:
+    """Perceptual (difference) hash per image — decode → luma → 64-bit
+    dHash over mapInPandas, with the same decode_status labeling as
+    image_features. The multimodal twin of text SimHash: re-encoded /
+    lightly edited copies land within a few bits, so near-dup pairs
+    fall out of the shared chunk-blocked Hamming join."""
+    from streaming_ecom_analytics_spark.functions import imaging
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for media_id, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                img, status = decode_image_with_status(
+                    bytes(content), meta["width"], meta["height"], fake=fake_decode
+                )
+                luma = imaging.to_luma(img)
+                out.append((media_id, dhash_bits(luma, hash_size), status))
+            yield pd.DataFrame(out, columns=["media_id", "dhash", "decode_status"])
+
+    pruned = media.filter(F.col("media_type") == "image").select(
+        "media_id", "content", "meta"
+    )
+    return pruned.mapInPandas(
+        extract, schema="media_id long, dhash long, decode_status string"
+    )
+
+
+def image_near_dups(
+    media: DataFrame,
+    *,
+    max_hamming: int = 6,
+    hash_size: int = 8,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash Hamming distance ≤
+    ``max_hamming`` — chunk-blocked join (dedup.hamming_pairs), never
+    all-pairs; exact for distances ≤ 7 by pigeonhole. Output:
+    (id_a, id_b, hamming)."""
+    from streaming_ecom_analytics_spark.functions.dedup import hamming_pairs
+
+    sig = image_dhash(media, hash_size=hash_size, fake_decode=fake_decode)
+    return hamming_pairs(
+        sig, id_col="media_id", sig_col="dhash", max_hamming=max_hamming
+    )

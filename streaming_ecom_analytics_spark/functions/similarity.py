@@ -556,7 +556,7 @@ def pq_topk(
     n_centroids: int = 256,
     seed: int = 42,
     dim: int | None = None,
-    train_rows: int = 16384,
+    train_rows: int = 8192,
     refine: int = 4,
 ) -> DataFrame:
     """Product-quantization ANN: the memory-compressed scale path.

@@ -1358,3 +1358,18 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full value-level oracle: the winnowing CTE is the same
     engine-portable md5 kernel as doc_fingerprint."""
     return text.doc_containment(catalog.documents(spark, sf_dir))
+
+
+@register("image_near_dups", None)
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: dHash over REAL pixel decode (PNG rows
+    re-encoded as JPEG land within a few bits) joined through the same
+    chunk-blocked Hamming kernel as text SimHash. Fixture: the
+    synthesized media table with planted cross-codec duplicate pairs
+    (media_id i ↔ 1000+i for PNG rows). Rows-only: pixel decode has no
+    SQL oracle; determinism is seed-pinned and the planted-pair set is
+    unit-asserted."""
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    media = multimodal.synthesize_media(spark, n=48, with_dups=True)
+    return multimodal.image_near_dups(media, max_hamming=6)

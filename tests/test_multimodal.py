@@ -92,3 +92,23 @@ def test_y4m_rejects_compressed_and_truncated():
     enc = video.encode_y4m(frames)
     with _pytest.raises(ValueError, match="truncated"):
         video.decode_y4m(enc[: len(enc) - 5])
+
+
+def test_image_dhash_near_dups_finds_cross_codec_pairs(spark):
+    """A JPEG re-encoding of a PNG raster must land within a few dHash
+    bits of the original — and ONLY the planted pairs may match."""
+    media = multimodal.synthesize_media(spark, n=48, with_dups=True)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_near_dups(media, max_hamming=6).collect()
+    }
+    assert set(pairs) == {(i, 1000 + i) for i in range(0, 48, 6)}
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_image_dhash_deterministic_and_labeled(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    one = {r.media_id: (r.dhash, r.decode_status) for r in multimodal.image_dhash(media).collect()}
+    two = {r.media_id: (r.dhash, r.decode_status) for r in multimodal.image_dhash(media).collect()}
+    assert one == two and len(one) == 12
+    assert one[5][1] == "fake" and one[0][1] == "real:png"
