@@ -186,3 +186,61 @@ def test_pack_sequences_invariants(spark, texts, budget):
     assert sorted(by_bin) == list(range(len(by_bin)))  # dense bin ids
     for toks in by_bin.values():
         assert sum(toks) <= budget or len(toks) == 1  # oversize only alone
+
+
+@given(
+    sigs=st.lists(
+        st.tuples(st.integers(0, 99), st.integers(-(2**63), 2**63 - 1)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    max_h=st.integers(0, 7),
+)
+@settings(**_SETTINGS)
+def test_hamming_pairs_equals_bruteforce_within_pigeonhole(spark, sigs, max_h):
+    """For max_hamming <= n_chunks-1 the chunk-blocked join is EXACT:
+    it must produce precisely the brute-force pair set."""
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hamming_pairs(
+            df, id_col="id", sig_col="sig", max_hamming=max_h
+        ).collect()
+    }
+    want = set()
+    for (ia, sa) in sigs:
+        for (ib, sb) in sigs:
+            if ia < ib:
+                h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+                if h <= max_h:
+                    want.add((ia, ib, h))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_doc_containment_bounds(spark, docs):
+    """Containment scores are in (0, 1] and symmetric in structure:
+    shared <= min(|FP(a)|, |FP(b)|) implies both scores <= 1."""
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = textops.doc_containment(df, min_shared=1).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert 0 < r.containment_a <= 1.0 + 1e-9
+        assert 0 < r.containment_b <= 1.0 + 1e-9
+        assert r.shared >= 1
+    # identical non-empty docs must surface with full containment
+    dup = spark.createDataFrame(
+        [(0, "x y z w v u t s"), (1, "x y z w v u t s")], "doc_id long, text string"
+    )
+    rows = textops.doc_containment(dup, min_shared=1).collect()
+    assert len(rows) == 1 and rows[0].containment_a == 1.0 and rows[0].containment_b == 1.0
