@@ -736,3 +736,160 @@ def doc_containment(
             F.round(F.col("shared") / F.col("__nb"), 6).alias("containment_b"),
         )
     )
+
+
+def _bpe_apply_word(word: str, ranks: dict) -> list:
+    """Greedy BPE segmentation of one word: repeatedly merge the
+    lowest-rank adjacent symbol pair (all occurrences, left-to-right)
+    until no learned pair remains — the standard Sennrich-2016 apply."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (a, b)
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def word_frequencies(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) frequency table — the compressed corpus BPE training
+    actually iterates over (|vocab| rows instead of |corpus| tokens)."""
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 12,
+    max_local_vocab: int = 200_000,
+) -> list:
+    """Learn ``n_merges`` BPE merges over the corpus — the tokenizer-
+    TRAINING loop (bpe_pair_counts is one round's count step; this
+    drives the full greedy iteration).
+
+    Scale shape: the corpus collapses ONCE to the (word, n) frequency
+    table (one shuffle, |vocab| rows — this is what Sennrich's trainer
+    iterates over, and it's 100-1000x smaller than the token stream).
+    Then, size-gated like catalog.dim_hint: a vocab that fits the
+    driver (≤ ``max_local_vocab`` rows — tokenizer trainers are
+    single-node over the frequency table in practice) collects once
+    and loops locally, avoiding n_merges × job-scheduling overhead; a
+    web-scale vocab stays distributed — each round re-segments the
+    cached vocab (Arrow-batched), sums weighted pair counts (two-phase
+    agg), and the driver takes the argmax. Both paths implement the
+    identical greedy recurrence (asserted equal in tests).
+
+    Returns [(rank, left, right, count), ...], deterministic
+    (count desc, left asc, right asc tiebreak).
+    """
+    import pandas as pd
+
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    vocab = persist_tracked(word_frequencies(docs, text_col=text_col))
+    if vocab.count() <= max_local_vocab:
+        local = [(r.word, int(r.n)) for r in vocab.collect()]
+        merges: list = []
+        for rank in range(n_merges):
+            ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+            agg: dict = {}
+            for word, n in local:
+                syms = _bpe_apply_word(word, ranks)
+                for pair in zip(syms, syms[1:]):
+                    agg[pair] = agg.get(pair, 0) + n
+            if not agg:
+                break
+            (left, right), count = min(
+                agg.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, count))
+        return merges
+
+    merges = []
+    for rank in range(n_merges):
+        ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+
+        def count_pairs(batches, ranks=ranks):
+            for pdf in batches:
+                agg: dict = {}
+                for word, n in zip(pdf["word"], pdf["n"]):
+                    syms = _bpe_apply_word(word, ranks)
+                    for a, b in zip(syms, syms[1:]):
+                        agg[(a, b)] = agg.get((a, b), 0) + int(n)
+                if agg:
+                    yield pd.DataFrame(
+                        [(a, b, c) for (a, b), c in agg.items()],
+                        columns=["left", "right", "c"],
+                    )
+
+        top = (
+            vocab.mapInPandas(count_pairs, schema="left string, right string, c long")
+            .groupBy("left", "right")
+            .agg(F.sum("c").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append((rank, r.left, r.right, int(r.pair_count)))
+    return merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list,
+    *,
+    text_col: str = "text",
+    top: int = 50,
+) -> DataFrame:
+    """Segment the corpus with learned merges and count tokens — the
+    APPLY side of the tokenizer. Runs over the (word, n) frequency
+    table (each distinct word segmented once, weighted by frequency).
+    Output: top-K (token, token_count), deterministic tiebreak."""
+    import pandas as pd
+
+    ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+
+    def seg(batches):
+        for pdf in batches:
+            agg: dict = {}
+            for word, n in zip(pdf["word"], pdf["n"]):
+                for t in _bpe_apply_word(word, ranks):
+                    agg[t] = agg.get(t, 0) + int(n)
+            if agg:
+                yield pd.DataFrame(list(agg.items()), columns=["token", "c"])
+
+    return (
+        word_frequencies(docs, text_col=text_col)
+        .mapInPandas(seg, schema="token string, c long")
+        .groupBy("token")
+        .agg(F.sum("c").alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(top)
+    )

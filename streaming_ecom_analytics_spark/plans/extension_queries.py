@@ -1373,3 +1373,28 @@ def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthesize_media(spark, n=48, with_dups=True)
     return multimodal.image_near_dups(media, max_hamming=6)
+
+
+@register("bpe_learned_merges", None)
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer TRAINING loop (text.train_bpe): 12 greedy
+    merge rounds over the corpus word-frequency table; output is the
+    learned merge table (rank, left, right, pair_count). Rows-only:
+    the iterative re-segmentation between rounds has no SQL form
+    (round 1 alone is bpe_pair_counts, which carries the oracle);
+    determinism is pinned by the count-desc/pair-asc tiebreak and
+    asserted in unit tests with hand-computable corpora."""
+    merges = text.train_bpe(catalog.documents(spark, sf_dir), n_merges=12)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+@register("bpe_learned_token_counts", None)
+def q_bpe_learned_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY side: segment the corpus with the 12 learned
+    merges and count tokens (weighted by word frequency, each distinct
+    word segmented once). Rows-only, same reason as the trainer."""
+    docs = catalog.documents(spark, sf_dir)
+    merges = text.train_bpe(docs, n_merges=12)
+    return text.bpe_token_counts(docs, merges, top=50)

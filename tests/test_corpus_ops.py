@@ -109,3 +109,58 @@ def test_ivf_sample_fit_deterministic(spark):
     a = similarity.ivf_topk(emb, q, k=3, n_lists=4, n_probe=2, max_train_rows=500)
     b = similarity.ivf_topk(emb, q, k=3, n_lists=4, n_probe=2, max_train_rows=500)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_train_bpe_hand_computable(spark):
+    """Classic tiny corpus: 'aaab' x3 + 'ab'. Round 1 counts
+    (a,a)=6, (a,b)=4 -> merge (a,a); round 2 re-segments 'aaab' as
+    [aa, a, b] so (aa,a)=3, (a,b)=4 -> merge (a,b)."""
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aaab ab")], "doc_id long, text string"
+    )
+    merges = textops.train_bpe(docs, n_merges=2)
+    assert [(m[1], m[2]) for m in merges] == [("a", "a"), ("a", "b")]
+    assert merges[0][3] == 6 and merges[1][3] == 4
+
+
+def test_bpe_apply_round_trip_and_counts(spark):
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aaab ab")], "doc_id long, text string"
+    )
+    merges = textops.train_bpe(docs, n_merges=2)
+    ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+    # segmentation concatenates back to the word (lossless)
+    for w in ("aaab", "ab", "ba", "aaaa"):
+        assert "".join(textops._bpe_apply_word(w, ranks)) == w
+    counts = {
+        r.token: r.token_count
+        for r in textops.bpe_token_counts(docs, merges).collect()
+    }
+    # 'aaab' -> [aa, ab] x3; 'ab' -> [ab] x1
+    assert counts == {"aa": 3, "ab": 4}
+
+
+def test_train_bpe_deterministic(spark):
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = catalog.documents(spark, "/root/testdata/sf0.001")
+    m1 = textops.train_bpe(docs, n_merges=5)
+    m2 = textops.train_bpe(docs, n_merges=5)
+    assert m1 == m2 and len(m1) == 5
+
+
+def test_train_bpe_local_and_distributed_paths_agree(spark):
+    """The size-gated driver-local loop and the distributed per-round
+    loop implement the same greedy recurrence — identical merges."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = catalog.documents(spark, "/root/testdata/sf0.001")
+    local = textops.train_bpe(docs, n_merges=4)
+    dist = textops.train_bpe(docs, n_merges=4, max_local_vocab=0)
+    assert local == dist
