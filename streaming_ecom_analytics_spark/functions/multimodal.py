@@ -475,3 +475,114 @@ def image_near_dups(
     return hamming_pairs(
         sig, id_col="media_id", sig_col="dhash", max_hamming=max_hamming
     )
+
+
+def audio_spectral_hash(samples: np.ndarray, rate: int) -> int:
+    """64-bit spectral hash of one clip — the Haitsma-Kalker (2002)
+    bit: sign of the TIME-derivative of adjacent-band log-energy
+    differences over a 9×9 (time, log-band) energy grid → 8×8 = 64
+    bits. Double differencing cancels gain exactly and per-band
+    equalization approximately; the log-energy floor (1e-6 × clip mean
+    energy) clamps silent cells to a constant, so bits over silent
+    regions are stable zeros instead of numeric-noise coin flips —
+    which is what keeps a -34 dB re-take within a few bits while
+    distinct clips differ in the bits around their own hot bands."""
+    g = 9
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim > 1:
+        mono = mono.mean(axis=1)
+    if len(mono) < g * 2:
+        mono = np.pad(mono, (0, g * 2 - len(mono)))
+    bounds = (np.arange(g + 1) * len(mono)) // g
+    cells = np.empty((g, g))
+    for t in range(g):
+        seg = mono[bounds[t] : bounds[t + 1]]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        # log-spaced band edges over [1, len(spec)) — emphasizes lows
+        # like human hearing without needing a mel filterbank
+        edges = np.maximum.accumulate(
+            np.geomspace(1, max(len(spec) - 1, 2), g + 1).astype(int)
+        )
+        for b in range(g):
+            lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
+            cells[t, b] = spec[lo:hi].mean() if lo < len(spec) else 0.0
+    floor = 1e-6 * max(cells.mean(), 1e-30)
+    loge = np.log(cells + floor)
+    band_diff = loge[:, :-1] - loge[:, 1:]          # (9, 8)
+    # deadband 0.5 nat: a cell whose clean derivative is ~0 (silent
+    # regions, steady tones) stays a stable 0-bit under added noise
+    # instead of a sign-at-zero coin flip; real spectral structure
+    # (amplitude modulation, onsets) clears 0.5 easily
+    bits = (band_diff[:-1] - band_diff[1:] > 0.5).ravel()  # (8, 8)
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_ahash(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) — spectral-grid hash per WAV clip over
+    mapInPandas; the audio twin of image_dhash."""
+    from streaming_ecom_analytics_spark.functions import audio as audiolib
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = audiolib.decode_wav(bytes(content))
+                out.append((media_id, audio_spectral_hash(samples, rate)))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    pruned = media.filter(F.col("media_type") == "audio").select("media_id", "content")
+    return pruned.mapInPandas(extract, schema="media_id long, ahash long")
+
+
+def audio_near_dups(media: DataFrame, *, max_hamming: int = 12) -> DataFrame:
+    """Audio near-duplicate pairs by spectral-hash Hamming distance —
+    the same chunk-blocked kernel as text SimHash and image dHash, with
+    16 4-bit chunks (pigeonhole-exact to distance 15): audio re-takes
+    land farther apart than image re-encodes (additive noise perturbs
+    every band a little), so the radius and the exactness guarantee
+    are both wider than the image defaults."""
+    from streaming_ecom_analytics_spark.functions.dedup import hamming_pairs
+
+    sig = audio_ahash(media)
+    return hamming_pairs(
+        sig, id_col="media_id", sig_col="ahash", max_hamming=max_hamming, n_chunks=16
+    )
+
+
+def synthesize_audio_with_dups(spark, n: int = 32, *, seed: int = 42) -> DataFrame:
+    """synthesize_audio plus a noisy re-take of every 4th clip at
+    media_id+1000 (same tone mix, -34 dB noise) — planted near-dup
+    pairs for spectral-hash dedup. Distinct clips use distinct
+    two-tone mixes so non-dups stay far in Hamming space."""
+    from streaming_ecom_analytics_spark.functions import audio as audiolib
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    rate = 8000
+    seconds = 0.5
+    n_seg = 8
+    for i in range(n):
+        # four log-uniform random partials with per-segment amplitude
+        # modulation: each clip gets a dense, unique (time, band)
+        # energy grid — the structure the spectral hash keys on
+        freqs = np.exp(rng.uniform(np.log(40.0), np.log(3200.0), 4))
+        amps = rng.uniform(0.15, 1.0, (n_seg, 4))
+        t = np.arange(int(rate * seconds)) / rate
+        seg_idx = np.minimum((t / seconds * n_seg).astype(int), n_seg - 1)
+        sig = sum(
+            amps[seg_idx, k] * np.sin(2 * np.pi * freqs[k] * t) for k in range(4)
+        ) / 4.0
+        content = audiolib.encode_wav(sig, rate)
+        rows.append(
+            (i, "audio", "wav", bytearray(content), (None, None, 500, len(content)))
+        )
+        if i % 4 == 0:
+            noisy = sig + rng.normal(0, 0.015, len(sig))
+            dup = audiolib.encode_wav(noisy, rate)
+            rows.append(
+                (1000 + i, "audio", "wav", bytearray(dup), (None, None, 500, len(dup)))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

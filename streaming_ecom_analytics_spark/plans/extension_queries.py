@@ -1398,3 +1398,18 @@ def q_bpe_learned_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.documents(spark, sf_dir)
     merges = text.train_bpe(docs, n_merges=12)
     return text.bpe_token_counts(docs, merges, top=50)
+
+
+@register("audio_near_dups", None)
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: Haitsma-Kalker-style spectral hash
+    (time-derivative of adjacent-band log energies with a deadband)
+    over real WAV decode, joined through the shared chunk-blocked
+    Hamming kernel. Fixture plants a -36 dB noisy re-take of every 4th
+    clip at media_id+1000; exactly those pairs match. Rows-only: FFT
+    band energies have no SQL oracle; the planted-pair set is
+    unit-asserted."""
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    media = multimodal.synthesize_audio_with_dups(spark, n=32)
+    return multimodal.audio_near_dups(media)

@@ -108,3 +108,34 @@ def test_audio_features_pipeline(spark):
     # media_id i has tone 110*(1+i%8): centroid must rank accordingly
     cents = {r.media_id: r.centroid_hz for r in out1}
     assert cents[0] < cents[7]
+
+
+def test_audio_spectral_hash_near_dups(spark):
+    """A -36 dB noisy re-take must land within the Hamming radius of
+    its original, and ONLY the planted pairs may match."""
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    media = multimodal.synthesize_audio_with_dups(spark, n=32)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.audio_near_dups(media).collect()
+    }
+    assert set(pairs) == {(i, 1000 + i) for i in range(0, 32, 4)}
+    assert all(h <= 12 for h in pairs.values())
+
+
+def test_audio_spectral_hash_gain_invariant():
+    """The hash must not move under pure gain change (the double
+    log-difference cancels it)."""
+    import numpy as np
+
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    rng = np.random.default_rng(3)
+    t = np.arange(4000) / 8000.0
+    seg = np.minimum((t * 8 / 0.5).astype(int), 7)
+    amps = rng.uniform(0.2, 1.0, (8, 3))
+    sig = sum(amps[seg, k] * np.sin(2 * np.pi * f * t) for k, f in enumerate((150.0, 620.0, 1900.0)))
+    h1 = multimodal.audio_spectral_hash(sig, 8000)
+    h2 = multimodal.audio_spectral_hash(sig * 0.25, 8000)
+    assert h1 == h2
