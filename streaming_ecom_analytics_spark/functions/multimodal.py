@@ -586,3 +586,85 @@ def synthesize_audio_with_dups(spark, n: int = 32, *, seed: int = 42) -> DataFra
                 (1000 + i, "audio", "wav", bytearray(dup), (None, None, 500, len(dup)))
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def video_vhash(media: DataFrame, *, hash_size: int = 8, sample_every: int = 1) -> DataFrame:
+    """(media_id, vhash) — temporal-majority perceptual hash per clip:
+    dHash every sampled frame, take the per-bit MAJORITY across frames.
+    Frame-level noise/re-encode jitter averages out, so a noisy re-take
+    lands within a few bits while different clips (different spatial
+    structure) stay far — the video member of the shared Hamming-dedup
+    family."""
+    from streaming_ecom_analytics_spark.functions import video as videolib
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                frames, _fps = videolib.decode_y4m(bytes(content))
+                votes = np.zeros(64)
+                n_used = 0
+                for fr in frames[::sample_every]:
+                    h = dhash_bits(fr.astype(np.float64), hash_size)
+                    u = h & ((1 << 64) - 1)
+                    votes += np.array([(u >> (63 - j)) & 1 for j in range(64)])
+                    n_used += 1
+                maj = (votes * 2 > n_used).astype(int)
+                u = 0
+                for b in maj:
+                    u = (u << 1) | int(b)
+                out.append((media_id, u - (1 << 64) if u >= (1 << 63) else u))
+            yield pd.DataFrame(out, columns=["media_id", "vhash"])
+
+    pruned = media.filter(F.col("media_type") == "video").select("media_id", "content")
+    return pruned.mapInPandas(extract, schema="media_id long, vhash long")
+
+
+def video_near_dups(media: DataFrame, *, max_hamming: int = 8) -> DataFrame:
+    """Video near-duplicate pairs by temporal-majority dHash Hamming
+    distance — shared chunk-blocked kernel, 16 chunks (exact ≤15)."""
+    from streaming_ecom_analytics_spark.functions.dedup import hamming_pairs
+
+    sig = video_vhash(media)
+    return hamming_pairs(
+        sig, id_col="media_id", sig_col="vhash", max_hamming=max_hamming, n_chunks=16
+    )
+
+
+def synthesize_video_with_dups(spark, n: int = 12, *, seed: int = 42) -> DataFrame:
+    """Distinct low-frequency moving patterns per clip plus a noisy
+    re-take of every 3rd clip at media_id+1000 — planted near-dup
+    pairs for video perceptual dedup."""
+    from streaming_ecom_analytics_spark.functions import video as videolib
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 32, 24
+        n_frames = 6
+        yy, xx = np.mgrid[0:h, 0:w]
+        f1, f2 = rng.uniform(0.5, 2.5, 2)
+        p1 = rng.uniform(0, 2 * np.pi)
+        drift = rng.uniform(0.1, 0.6)
+        frames = []
+        for t in range(n_frames):
+            base = 127 + 100 * np.sin(
+                2 * np.pi * (f1 * yy / h + f2 * xx / w) + p1 + drift * t
+            )
+            frames.append(np.clip(base, 0, 255).astype(np.uint8))
+        content = videolib.encode_y4m(frames, fps=10)
+        rows.append(
+            (i, "video", "y4m", bytearray(content), (w, h, n_frames * 100, len(content)))
+        )
+        if i % 3 == 0:
+            noisy = [
+                np.clip(fr.astype(int) + rng.integers(-6, 7, fr.shape), 0, 255).astype(
+                    np.uint8
+                )
+                for fr in frames
+            ]
+            dup = videolib.encode_y4m(noisy, fps=10)
+            rows.append(
+                (1000 + i, "video", "y4m", bytearray(dup), (w, h, n_frames * 100, len(dup)))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1413,3 +1413,17 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthesize_audio_with_dups(spark, n=32)
     return multimodal.audio_near_dups(media)
+
+
+@register("video_near_dups", None)
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs: temporal-majority frame dHash over
+    real y4m decode through the shared chunk-blocked Hamming kernel —
+    completing the text/image/audio/video perceptual-dedup family.
+    Fixture plants a noisy re-take of every 3rd clip; exactly those
+    pairs match (unit-asserted). Rows-only: pixel decode has no SQL
+    oracle."""
+    from streaming_ecom_analytics_spark.functions import multimodal
+
+    media = multimodal.synthesize_video_with_dups(spark, n=12)
+    return multimodal.video_near_dups(media)

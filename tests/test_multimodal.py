@@ -112,3 +112,15 @@ def test_image_dhash_deterministic_and_labeled(spark):
     two = {r.media_id: (r.dhash, r.decode_status) for r in multimodal.image_dhash(media).collect()}
     assert one == two and len(one) == 12
     assert one[5][1] == "fake" and one[0][1] == "real:png"
+
+
+def test_video_vhash_near_dups(spark):
+    """A per-pixel-noise re-take of a clip must match its original —
+    and ONLY the planted pairs may match."""
+    media = multimodal.synthesize_video_with_dups(spark, n=12)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.video_near_dups(media).collect()
+    }
+    assert set(pairs) == {(i, 1000 + i) for i in range(0, 12, 3)}
+    assert all(h <= 8 for h in pairs.values())
