@@ -1,0 +1,162 @@
+"""Versioned parquet tables: snapshot isolation + time travel over a
+plain object store, no table-format jars.
+
+The reference's warehouse is Snowflake, whose TRUNCATE+INSERT refreshes
+(snowflake_refresh.py:5-80) ride on snapshot isolation and Time Travel.
+A bare parquet directory has neither: an overwrite is visibly
+non-atomic (readers can see a half-deleted directory) and history is
+gone. Delta/Iceberg solve this with a manifest log — and that core idea
+needs no jar, so this module implements the minimal version of it:
+
+- data files are immutable, written once under ``<table>/data/`` with
+  unique names;
+- a commit is ONE atomic filesystem rename of a manifest JSON into
+  ``<table>/_manifests/v{N}.json`` listing exactly the files of that
+  snapshot (plus the schema and a commit message);
+- readers resolve the latest (or any historical) manifest and read
+  exactly its files — never a directory glob, so concurrent writers
+  can't tear a read;
+- old versions stay readable until ``vacuum`` removes files no
+  manifest within the retention set references.
+
+Single-writer per table (the reference's Airflow DAG serializes writes
+the same way); what the manifest buys is reader-vs-writer isolation and
+history, not multi-writer OCC — documented boundary, same spirit as
+KAFKA.md.
+
+Scale: a commit's driver-side cost is listing the files it just wrote
+(one object-store LIST of the staging prefix) + one small JSON PUT +
+rename; readers load one JSON. Data volume never rewrites on commit —
+overwrite semantics only swap the file LIST, not the files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    """Manifest-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._manifest_dir = os.path.join(path, "_manifests")
+        self._data_dir = os.path.join(path, "data")
+
+    # ---- inspection ----------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        out = []
+        for name in os.listdir(self._manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: (version, ts, message, n_files)."""
+        return [
+            {
+                "version": v,
+                "committed_at": m["committed_at"],
+                "message": m.get("message", ""),
+                "n_files": len(m["files"]),
+            }
+            for v in self.versions()
+            for m in [self.manifest(v)]
+        ]
+
+    # ---- write path ----------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        mode: str = "overwrite",
+        message: str = "",
+    ) -> int:
+        """Write ``df``'s files immutably and atomically commit a new
+        snapshot. ``mode='overwrite'`` → the new snapshot is exactly the
+        new files; ``mode='append'`` → new files plus the previous
+        snapshot's files (no data rewrite either way)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, not {mode!r}")
+        staging = os.path.join(self._data_dir, uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(staging)
+        files = sorted(
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        prev = self.latest_version()
+        if mode == "append" and prev is not None:
+            files = self.manifest(prev)["files"] + files
+        version = 0 if prev is None else prev + 1
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "message": message,
+            "schema": df.schema.json(),
+            "files": files,
+        }
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = os.path.join(self._manifest_dir, f"v{version}.json")
+        os.rename(tmp, final)  # the atomic commit point
+        return version
+
+    # ---- read path -----------------------------------------------------
+
+    def read(self, spark: SparkSession, *, version: int | None = None) -> DataFrame:
+        """Read a snapshot (latest by default, or time-travel to any
+        retained ``version``): exactly the manifest's files, never a
+        directory glob."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self.manifest(v)
+        if not m["files"]:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        return spark.read.parquet(*m["files"])
+
+    # ---- maintenance ---------------------------------------------------
+
+    def vacuum(self, *, keep_last: int = 2) -> list[str]:
+        """Delete data files referenced by NO retained manifest and drop
+        manifests older than the last ``keep_last``. Returns removed
+        file paths. Time travel stays valid for retained versions."""
+        vs = self.versions()
+        retained = vs[-keep_last:] if keep_last > 0 else []
+        keep_files = {f for v in retained for f in self.manifest(v)["files"]}
+        removed = []
+        if os.path.isdir(self._data_dir):
+            for staging in os.listdir(self._data_dir):
+                sdir = os.path.join(self._data_dir, staging)
+                for root, _dirs, names in os.walk(sdir):
+                    for name in names:
+                        p = os.path.join(root, name)
+                        if name.endswith(".parquet") and p not in keep_files:
+                            os.remove(p)
+                            removed.append(p)
+        for v in vs:
+            if v not in retained:
+                os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))
+        return removed
