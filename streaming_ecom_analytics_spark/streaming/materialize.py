@@ -82,3 +82,25 @@ def start_materialized_view(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def versioned_materializer(
+    table_path: str,
+    *,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function committing each refresh as a SNAPSHOT of a
+    VersionedTable (sources/versioned_lake.py): readers mid-refresh
+    keep the previous consistent version (a plain parquet overwrite can
+    tear a concurrent read), every refresh stays time-travelable, and
+    micro-batch replay after a crash just re-commits — idempotent in
+    content, with the epoch recorded in the commit message for audit."""
+    from streaming_ecom_analytics_spark.sources.versioned_lake import VersionedTable
+
+    table = VersionedTable(table_path)
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        df = transform(batch_df) if transform else batch_df
+        table.commit(df, mode="overwrite", message=f"epoch={epoch_id}")
+
+    return _write

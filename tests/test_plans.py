@@ -452,3 +452,29 @@ def test_pq_adc_scoring_is_jvm_side(spark):
     # the ADC fold is a Catalyst higher-order expression (the sequence
     # literal constant-folds, so match the lambda + LUT indexing)
     assert "lambdafunction" in plan and "luts" in plan
+
+
+def test_containment_and_hamming_joins_never_cartesian(spark):
+    """The candidate joins of the verbatim-containment and perceptual
+    Hamming dedup families are equi-joins on their blocking keys —
+    never a cartesian/nested-loop product."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import dedup as dd
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = catalog.documents(spark, SF_DIR)
+    p1 = (
+        textops.doc_containment(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    sigs = spark.range(10).selectExpr("id", "id * 7919 AS sig")
+    p2 = (
+        dd.hamming_pairs(sigs, id_col="id", sig_col="sig", max_hamming=5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for plan in (p1, p2):
+        assert "Join Cross" not in plan and "CartesianProduct" not in plan

@@ -69,3 +69,49 @@ def test_read_empty_table_raises(spark, table):
 def test_rejects_unknown_mode(spark, table):
     with pytest.raises(ValueError, match="overwrite|append"):
         table.commit(_df(spark, ["a"]), mode="merge")
+
+
+def test_versioned_materializer_streaming_refresh(spark, tmp_path):
+    """A streaming aggregate materialized through versioned commits:
+    the final snapshot equals the batch answer, and every micro-batch
+    refresh remains time-travelable."""
+    import datetime as dt
+
+    from streaming_ecom_analytics_spark.streaming import windows
+    from streaming_ecom_analytics_spark.streaming.materialize import (
+        versioned_materializer,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batches = [
+        [(1, dt.datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}")],
+        [(2, dt.datetime(2024, 1, 1, 10, 6), 1, "view", 1.0, "{}")],
+    ]
+    src = tmp_path / "events"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"batch_{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = windows.tumbling_event_counts(stream, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(versioned_materializer(str(tmp_path / "view")))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    table = VersionedTable(str(tmp_path / "view"))
+    assert len(table.versions()) == 2  # one snapshot per micro-batch
+    latest = table.read(spark)
+    batch = spark.read.parquet(str(src) + "/*")
+    want = windows.tumbling_event_counts(batch, watermark=None)
+    assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, want.collect()))
+    # the first refresh (one event seen) is still readable
+    v0 = table.read(spark, version=0)
+    assert v0.agg({"event_count": "sum"}).first()[0] == 1
