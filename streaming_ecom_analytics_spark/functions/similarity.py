@@ -54,6 +54,9 @@ def cosine_topk(
     Guarded: raises BruteForceGuardError when |queries| exceeds
     ``max_rows`` (the quadratic axis is the query fan-out; the corpus
     side is a single scan). ``max_rows=None`` disables the guard.
+
+    Composes lazily (no driver action); for recall contracts that only
+    need the exact neighbor SET, ``cosine_topk_blas`` is ~10x faster.
     """
     guards.guard_brute_force(
         queries, max_rows=max_rows, op="cosine_topk", scale_path="lsh_bucketed_topk/ivf_topk"
@@ -699,6 +702,77 @@ def pq_topk(
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def cosine_topk_blas(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via per-partition BLAS Gram products — the
+    fast exact twin for recall contracts.
+
+    ``cosine_topk`` (the oracle-checked baseline) folds dot products in
+    a fixed order so DuckDB reproduces it bit-for-bit; that fold is
+    ~10× slower than a matrix product. Recall contracts only need the
+    exact NEIGHBOR SET, not bit-reproducible scores, so they can use
+    this instead: each Arrow batch of the corpus scores all queries as
+    one float64 matmul and emits only its local top-k per query; the
+    global window keeps the true top-k (the global top-k is a subset
+    of the union of per-batch top-ks). Same output schema/rounding as
+    cosine_topk; ±1-ulp BLAS-vs-fold differences can reorder exact
+    ties only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = [
+        (int(r[0]), np.asarray(r[1], dtype=np.float64))
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    q_mat = np.stack([v for _, v in q_rows])
+    q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = q_mat @ mat.T  # (|Q|, batch)
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[: k + 1]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi],
+                        "neighbor_id": ids[top],
+                        "cosine": np.round(row[top], 6),
+                    }
+                )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

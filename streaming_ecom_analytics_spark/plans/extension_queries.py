@@ -237,7 +237,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim=64 is the testdata contract (TESTDATA.md); passing it avoids a
     # plan-build-time probe job against the corpus.
     approx = similarity.lsh_bucketed_topk(emb, q, k=5, dim=64, n_planes=4, n_tables=4)
-    exact = similarity.cosine_topk(emb, q, k=5)
+    exact = similarity.cosine_topk_blas(emb, q, k=5)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.60)
 
 
@@ -250,7 +250,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.ivf_topk(emb, q, k=5)
-    exact = similarity.cosine_topk(emb, q, k=5)
+    exact = similarity.cosine_topk_blas(emb, q, k=5)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.30)
 
 
@@ -266,7 +266,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.pq_topk(emb, q, k=5, dim=64)
-    exact = similarity.cosine_topk(emb, q, k=5)
+    exact = similarity.cosine_topk_blas(emb, q, k=5)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.50)
 
 

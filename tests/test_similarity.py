@@ -182,3 +182,16 @@ def test_pq_topk_recall_and_determinism(spark):
 def test_pq_topk_rejects_indivisible_dim(spark, vectors):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_topk(vectors, vectors, dim=3, m=2)
+
+
+def test_cosine_topk_blas_equals_fold(spark):
+    """The BLAS exact twin must return the same neighbor sets (and the
+    same cosines to 1e-9) as the fold-order oracle baseline."""
+    from streaming_ecom_analytics_spark import catalog
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    q = emb.filter("vec_id < 8")
+    fold = {(r.query_id, r.neighbor_id): r.cosine for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    blas = {(r.query_id, r.neighbor_id): r.cosine for r in similarity.cosine_topk_blas(emb, q, k=5).collect()}
+    assert set(fold) == set(blas)
+    assert all(abs(fold[k] - blas[k]) < 1e-9 for k in fold)
