@@ -66,3 +66,56 @@ def interval_join(
         )
         .drop("__b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval OVERLAP join: every (left, right) pair of the
+    same key whose half-open ranges intersect
+    (``l.start < r.end AND r.start < l.end``) — sessions×campaigns,
+    downtime×deploys, the interval-algebra sibling of the
+    point-in-interval join above.
+
+    Same bucketed rewrite, with one extra rule: BOTH sides explode to
+    their covered buckets, so an overlapping pair meets in every bucket
+    the overlap spans — the join would duplicate it. Instead of a
+    post-join distinct (a full shuffle of the output), each pair is
+    kept only in the FIRST bucket of its intersection
+    (``greatest(l_bucket_start, r_bucket_start)``), which both sides
+    provably cover — emitted exactly once, no dedup shuffle.
+    """
+    width_us = int(bucket_seconds) * 1_000_000
+
+    def exploded(df: DataFrame, s: str, e: str, prefix: str) -> DataFrame:
+        return df.withColumn(
+            f"__{prefix}b0", F.expr(f"unix_micros({s}) div {width_us}")
+        ).withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.col(f"__{prefix}b0"),
+                    F.expr(f"(unix_micros({e}) - 1) div {width_us}"),
+                )
+            ),
+        )
+
+    l = exploded(left, left_start, left_end, "l")
+    r = exploded(right, right_start, right_end, "r")
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    first_common = F.greatest(F.col("__lb0"), F.col("__rb0"))
+    return (
+        l.join(r, on=[on, "__b"], how="inner")
+        .where(overlap & (F.col("__b") == first_common))
+        .drop("__b", "__lb0", "__rb0")
+    )

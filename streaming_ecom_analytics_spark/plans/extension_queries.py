@@ -1427,3 +1427,57 @@ def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthesize_video_with_dups(spark, n=12)
     return multimodal.video_near_dups(media)
+
+
+@register(
+    "overlapping_order_windows",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 7 DAY AS e
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(date_diff('second', GREATEST(a.s, b.s), LEAST(a.e, b.e)) AS BIGINT)
+             AS overlap_secs
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/interval.py::
+    interval_overlap_join): pairs of the same customer's orders whose
+    7-day fulfillment windows intersect, with the overlap duration.
+    The bucketed rewrite meets each pair exactly once (first common
+    bucket) — the oracle is the naive non-equi self-join."""
+    from streaming_ecom_analytics_spark.operators.interval import interval_overlap_join
+
+    o = catalog.load_table(spark, "orders", sf_dir)
+    week = F.expr("INTERVAL 7 DAYS")
+    left = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_orderdate").alias("start"),
+        (F.col("o_orderdate") + week).alias("end"),
+    )
+    right = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_orderdate").alias("r_start"),
+        (F.col("o_orderdate") + week).alias("r_end"),
+    )
+    joined = interval_overlap_join(
+        left, right, on="o_custkey", bucket_seconds=7 * 86400
+    ).filter(F.col("order_a") < F.col("order_b"))
+    overlap_secs = (
+        F.unix_timestamp(F.least("end", "r_end"))
+        - F.unix_timestamp(F.greatest("start", "r_start"))
+    ).cast("long")
+    return joined.select(
+        F.col("o_custkey").alias("custkey"),
+        "order_a",
+        "order_b",
+        overlap_secs.alias("overlap_secs"),
+    )

@@ -244,3 +244,58 @@ def test_doc_containment_bounds(spark, docs):
     )
     rows = textops.doc_containment(dup, min_shared=1).collect()
     assert len(rows) == 1 and rows[0].containment_a == 1.0 and rows[0].containment_b == 1.0
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(1, 180)),
+        min_size=1,
+        max_size=20,
+    ),
+    bucket=st.sampled_from([30, 60, 300]),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_join_equals_bruteforce(spark, ivs, bucket):
+    """Bucketed interval-overlap join == naive half-open overlap
+    self-join, each pair exactly once, for arbitrary intervals and
+    bucket widths (incl. intervals spanning many buckets and adjacent
+    intervals that must NOT match)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from streaming_ecom_analytics_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, k, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+        for i, (k, s, d) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(rows, "iid long, k long, start timestamp, end timestamp")
+    left = df.select("k", F.col("iid").alias("ia"), "start", "end")
+    right = df.select(
+        "k",
+        F.col("iid").alias("ib"),
+        F.col("start").alias("r_start"),
+        F.col("end").alias("r_end"),
+    )
+    got = sorted(
+        (r.ia, r.ib)
+        for r in interval_overlap_join(
+            left, right, on="k", bucket_seconds=bucket
+        )
+        .filter(F.col("ia") < F.col("ib"))
+        .collect()
+    )
+    want = sorted(
+        (a[0], b[0])
+        for a in enumerate(ivs)
+        for b in enumerate(ivs)
+        if a[0] < b[0]
+        and a[1][0] == b[1][0]
+        and a[1][1] < b[1][1] + b[1][2]
+        and b[1][1] < a[1][1] + a[1][2]
+    )
+    assert got == want
