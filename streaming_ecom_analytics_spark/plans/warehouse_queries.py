@@ -1460,3 +1460,107 @@ def q_revenue_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("z.ewmas"), 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "item_ctr_wilson",
+    """
+    WITH stats AS (
+      SELECT CAST(json_extract_string(props, '$.item') AS VARCHAR) AS item,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+      FROM events
+      WHERE json_extract_string(props, '$.item') IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT item, views, purchases,
+           ROUND(CAST(purchases AS DOUBLE) / views, 6) AS ctr,
+           ROUND((CAST(purchases AS DOUBLE) / views + 1.9208 / views
+                  - 1.96 * sqrt((CAST(purchases AS DOUBLE) / views)
+                                * (1 - CAST(purchases AS DOUBLE) / views) / views
+                                + 0.9604 / (views * views)))
+                 / (1 + 3.8416 / views), 6) AS ctr_lo,
+           ROUND((CAST(purchases AS DOUBLE) / views + 1.9208 / views
+                  + 1.96 * sqrt((CAST(purchases AS DOUBLE) / views)
+                                * (1 - CAST(purchases AS DOUBLE) / views) / views
+                                + 0.9604 / (views * views)))
+                 / (1 + 3.8416 / views), 6) AS ctr_hi
+    FROM stats WHERE views >= 20
+    ORDER BY item
+    """,
+)
+def q_item_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item view→purchase conversion with a Wilson 95% score
+    interval — the ranking statistic that doesn't over-trust small
+    samples (a 2/2 item must not outrank a 90/100 one). Pure
+    conditional-count aggregate + closed-form expressions; both
+    engines evaluate the identical double formula, so the oracle is
+    value-level."""
+    ev = catalog.events(spark, sf_dir)
+    item = F.get_json_object("props", "$.item")
+    stats = (
+        ev.filter(item.isNotNull())
+        .groupBy(item.alias("item"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        )
+        .filter(F.col("views") >= 20)
+    )
+    p = F.col("purchases").cast("double") / F.col("views")
+    n = F.col("views")
+    z2 = 3.8416  # 1.96^2
+    half = F.lit(1.96) * F.sqrt(p * (1 - p) / n + F.lit(0.9604) / (n * n))
+    center = p + F.lit(1.9208) / n
+    return stats.select(
+        "item",
+        "views",
+        "purchases",
+        F.round(p, 6).alias("ctr"),
+        F.round((center - half) / (1 + z2 / n), 6).alias("ctr_lo"),
+        F.round((center + half) / (1 + z2 / n), 6).alias("ctr_hi"),
+    ).orderBy("item")
+
+
+@register(
+    "top_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+           COUNT(*) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path ASC
+    LIMIT 25
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 three-step event paths across user timelines — the
+    sequence-mining readout over the transition matrix's raw material.
+    One shuffle on user_id for the LEAD window (deterministic
+    (ts, event_id) order), then a two-phase count +
+    TakeOrderedAndProject; the full path distribution is never
+    globally sorted."""
+    from pyspark.sql import Window
+
+    ev = catalog.events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(25)
+    )
