@@ -1466,49 +1466,56 @@ def q_revenue_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "item_ctr_wilson",
     """
     WITH stats AS (
-      SELECT CAST(json_extract_string(props, '$.item') AS VARCHAR) AS item,
+      SELECT CAST(json_extract_string(props, '$.k') AS VARCHAR) AS item,
              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
-             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+             COUNT(CASE WHEN event_type IN ('view', 'purchase') THEN 1 END) AS n
       FROM events
-      WHERE json_extract_string(props, '$.item') IS NOT NULL
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
       GROUP BY 1
     )
     SELECT item, views, purchases,
-           ROUND(CAST(purchases AS DOUBLE) / views, 6) AS ctr,
-           ROUND((CAST(purchases AS DOUBLE) / views + 1.9208 / views
-                  - 1.96 * sqrt((CAST(purchases AS DOUBLE) / views)
-                                * (1 - CAST(purchases AS DOUBLE) / views) / views
-                                + 0.9604 / (views * views)))
-                 / (1 + 3.8416 / views), 6) AS ctr_lo,
-           ROUND((CAST(purchases AS DOUBLE) / views + 1.9208 / views
-                  + 1.96 * sqrt((CAST(purchases AS DOUBLE) / views)
-                                * (1 - CAST(purchases AS DOUBLE) / views) / views
-                                + 0.9604 / (views * views)))
-                 / (1 + 3.8416 / views), 6) AS ctr_hi
-    FROM stats WHERE views >= 20
+           ROUND(CAST(purchases AS DOUBLE) / n, 6) AS conv_rate,
+           ROUND((CAST(purchases AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(purchases AS DOUBLE) / n)
+                                * (1 - CAST(purchases AS DOUBLE) / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS conv_lo,
+           ROUND((CAST(purchases AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(purchases AS DOUBLE) / n)
+                                * (1 - CAST(purchases AS DOUBLE) / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS conv_hi
+    FROM stats WHERE n >= 10
     ORDER BY item
     """,
 )
 def q_item_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-item view→purchase conversion with a Wilson 95% score
+    """Per-item (props.k) view→purchase conversion with a Wilson 95% score
     interval — the ranking statistic that doesn't over-trust small
     samples (a 2/2 item must not outrank a 90/100 one). Pure
     conditional-count aggregate + closed-form expressions; both
     engines evaluate the identical double formula, so the oracle is
     value-level."""
     ev = catalog.events(spark, sf_dir)
-    item = F.get_json_object("props", "$.item")
+    item = F.get_json_object("props", "$.k")
     stats = (
         ev.filter(item.isNotNull())
         .groupBy(item.alias("item"))
         .agg(
             F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
             F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.count(
+                F.when(F.col("event_type").isin("view", "purchase"), 1)
+            ).alias("n"),
         )
-        .filter(F.col("views") >= 20)
+        .filter(F.col("n") >= 10)
     )
-    p = F.col("purchases").cast("double") / F.col("views")
-    n = F.col("views")
+    # trials = view+purchase events, successes = purchases: a true
+    # proportion in [0, 1] (purchases are not a subset of views per
+    # item, so purchases/views alone is not)
+    p = F.col("purchases").cast("double") / F.col("n")
+    n = F.col("n")
     z2 = 3.8416  # 1.96^2
     half = F.lit(1.96) * F.sqrt(p * (1 - p) / n + F.lit(0.9604) / (n * n))
     center = p + F.lit(1.9208) / n
@@ -1516,9 +1523,9 @@ def q_item_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item",
         "views",
         "purchases",
-        F.round(p, 6).alias("ctr"),
-        F.round((center - half) / (1 + z2 / n), 6).alias("ctr_lo"),
-        F.round((center + half) / (1 + z2 / n), 6).alias("ctr_hi"),
+        F.round(p, 6).alias("conv_rate"),
+        F.round((center - half) / (1 + z2 / n), 6).alias("conv_lo"),
+        F.round((center + half) / (1 + z2 / n), 6).alias("conv_hi"),
     ).orderBy("item")
 
 
