@@ -104,3 +104,54 @@ def versioned_materializer(
         table.commit(df, mode="overwrite", message=f"epoch={epoch_id}")
 
     return _write
+
+
+def cdc_upsert_materializer(
+    table_path: str,
+    *,
+    key_cols: tuple[str, ...],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    base_columns: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function turning a CHANGE STREAM into a maintained
+    snapshot table: each micro-batch MERGEs (operators/cdc.py::
+    apply_changes — latest-per-key upserts + deletes) into the current
+    VersionedTable snapshot and commits the result as the next version.
+    The streaming half of the reference's staging→MERGE warehouse flow,
+    with snapshot isolation (readers never see a half-applied batch)
+    and per-batch time travel for free.
+
+    First batch bootstraps the table from the change rows themselves
+    (non-delete upserts). ``base_columns`` pins the snapshot schema
+    (defaults to the change frame minus op/seq columns).
+    """
+    from streaming_ecom_analytics_spark.operators.cdc import apply_changes
+    from streaming_ecom_analytics_spark.sources.versioned_lake import VersionedTable
+
+    table = VersionedTable(table_path)
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        cols = base_columns or [
+            c for c in batch_df.columns if c not in (op_col, seq_col)
+        ]
+        if table.latest_version() is None:
+            base = batch_df.sparkSession.createDataFrame(
+                [], batch_df.select(*cols).schema
+            )
+        else:
+            base = table.read(batch_df.sparkSession)
+        merged = apply_changes(
+            base,
+            batch_df,
+            key_cols=list(key_cols),
+            seq_col=seq_col,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        table.commit(merged, mode="overwrite", message=f"cdc epoch={epoch_id}")
+
+    return _write

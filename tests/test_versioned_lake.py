@@ -115,3 +115,48 @@ def test_versioned_materializer_streaming_refresh(spark, tmp_path):
     # the first refresh (one event seen) is still readable
     v0 = table.read(spark, version=0)
     assert v0.agg({"event_count": "sum"}).first()[0] == 1
+
+
+def test_cdc_upsert_materializer_stream(spark, tmp_path):
+    """A change stream (insert, update, delete across micro-batches)
+    maintained as a versioned snapshot: the final table equals the
+    net-effect of all changes, every intermediate state is
+    time-travelable, and a delete actually removes the row."""
+    from streaming_ecom_analytics_spark.streaming.materialize import (
+        cdc_upsert_materializer,
+    )
+
+    schema = "id long, name string, op string, seq long"
+    batches = [
+        [(1, "alice", "U", 1), (2, "bob", "U", 2)],
+        [(1, "alicia", "U", 3), (3, "carol", "U", 4)],
+        [(2, None, "D", 5)],
+    ]
+    src = tmp_path / "changes"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"batch_{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            cdc_upsert_materializer(
+                str(tmp_path / "snap"), key_cols=("id",), seq_col="seq"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    table = VersionedTable(str(tmp_path / "snap"))
+    assert len(table.versions()) == 3
+    final = {r.id: r.name for r in table.read(spark).collect()}
+    assert final == {1: "alicia", 3: "carol"}  # bob deleted, alice updated
+    v0 = {r.id: r.name for r in table.read(spark, version=0).collect()}
+    assert v0 == {1: "alice", 2: "bob"}
