@@ -773,3 +773,33 @@ def label_propagation_min(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the classic cohesion/community statistic (and the expensive half of
+    clustering coefficients).
+
+    Input edges must be canonical (src < dst, distinct). The count uses
+    the ordered-triple join: a triangle {a<b<c} is found exactly once
+    as E(a,b) ⋈ E(b,c) ⋈ E(a,c) — two equi-joins over the edge list,
+    never an all-pairs product; fan-out is bounded by degree, and the
+    standard scale hardening (not needed at this corpus) is
+    degree-ordered orientation so high-degree nodes join last.
+    Output: (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    e1 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e2 = edges.select(F.col(src_col).alias("b"), F.col(dst_col).alias("c"))
+    e3 = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("c"))
+    tri = e1.join(e2, on="b").join(e3, on=["a", "c"])
+    per_corner = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return per_corner.groupBy("node").agg(F.count("*").alias("n_triangles"))

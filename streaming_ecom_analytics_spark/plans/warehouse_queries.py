@@ -1571,3 +1571,98 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(25)
     )
+
+
+@register(
+    "daily_value_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             SUM(CAST(value AS DECIMAL(18,2))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def q_daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-revenue TREND via closed-form per-group OLS — the
+    grouped-regression class, expressed as pure aggregates (n, Σx, Σy,
+    Σxy, Σx²) with the slope assembled in double arithmetic at the end.
+    Money sums stay exact-DECIMAL (x is an integer day index, so x·y is
+    exact too), which makes the assembled doubles — and the value hash —
+    partition-order-independent on both engines. One two-level
+    aggregate, no window, no UDF; scales as a pair of hash-aggs."""
+    ev = catalog.events(spark, sf_dir)
+    x = F.datediff(F.date_trunc("DAY", F.col("ts")).cast("date"), F.lit("2024-01-01").cast("date")).cast("long")
+    daily = ev.groupBy(
+        "event_type", x.alias("x")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+_TRIANGLE_ORACLE = """
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    e AS (
+      SELECT a.item AS s, b.item AS d
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ),
+    tri AS (
+      SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      FROM e e1 JOIN e e2 ON e2.s = e1.d JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    corners AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+"""
+
+
+@register("item_triangles", _TRIANGLE_ORACLE)
+def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle participation in the co-purchase graph
+    (analytics.triangle_counts over the min-support-5 co-occurrence
+    edges) — cohesion structure beyond pairwise similarity; each
+    triangle found exactly once via the ordered-triple join."""
+    edges = analytics.item_cooccurrence(
+        catalog.events(spark, sf_dir), min_support=5
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return analytics.triangle_counts(edges)
