@@ -1666,3 +1666,74 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.events(spark, sf_dir), min_support=5
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return analytics.triangle_counts(edges)
+
+
+@register(
+    "weekend_conversion_ab",
+    """
+    WITH base AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS VARCHAR) AS item,
+             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_we,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    s AS (
+      SELECT item,
+             COUNT(CASE WHEN is_we = 0 THEN 1 END) AS n_wd,
+             COUNT(CASE WHEN is_we = 0 AND conv = 1 THEN 1 END) AS c_wd,
+             COUNT(CASE WHEN is_we = 1 THEN 1 END) AS n_we,
+             COUNT(CASE WHEN is_we = 1 AND conv = 1 THEN 1 END) AS c_we
+      FROM base GROUP BY 1
+      HAVING COUNT(CASE WHEN is_we = 0 THEN 1 END) >= 10
+         AND COUNT(CASE WHEN is_we = 1 THEN 1 END) >= 10
+    )
+    SELECT item, n_wd, c_wd, n_we, c_we,
+           ROUND(CAST(c_wd AS DOUBLE) / n_wd, 6) AS p_wd,
+           ROUND(CAST(c_we AS DOUBLE) / n_we, 6) AS p_we,
+           ROUND((CAST(c_we AS DOUBLE) / n_we - CAST(c_wd AS DOUBLE) / n_wd)
+                 / sqrt((CAST(c_wd + c_we AS DOUBLE) / (n_wd + n_we))
+                        * (1 - CAST(c_wd + c_we AS DOUBLE) / (n_wd + n_we))
+                        * (1.0 / n_wd + 1.0 / n_we)), 6) AS z
+    FROM s
+    ORDER BY item
+    """,
+)
+def q_weekend_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test per item: weekend vs weekday
+    conversion (purchase share of view+purchase events) — the A/B
+    readout as one conditional-count aggregate plus closed-form
+    expressions; integer counts make the assembled doubles
+    engine-identical, so the oracle is value-level. Guards: both arms
+    need >= 10 trials."""
+    ev = catalog.events(spark, sf_dir)
+    item = F.get_json_object("props", "$.k")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6=Saturday
+    is_we = F.dayofweek("ts").isin(1, 7).cast("int")
+    conv = (F.col("event_type") == "purchase").cast("int")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "purchase") & item.isNotNull())
+        .groupBy(item.alias("item"))
+        .agg(
+            F.sum(F.when(is_we == 0, 1).otherwise(0)).alias("n_wd"),
+            F.sum(F.when(is_we == 0, conv).otherwise(0)).alias("c_wd"),
+            F.sum(F.when(is_we == 1, 1).otherwise(0)).alias("n_we"),
+            F.sum(F.when(is_we == 1, conv).otherwise(0)).alias("c_we"),
+        )
+        .filter((F.col("n_wd") >= 10) & (F.col("n_we") >= 10))
+    )
+    p_wd = F.col("c_wd").cast("double") / F.col("n_wd")
+    p_we = F.col("c_we").cast("double") / F.col("n_we")
+    pool = (F.col("c_wd") + F.col("c_we")).cast("double") / (
+        F.col("n_wd") + F.col("n_we")
+    )
+    z = (p_we - p_wd) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / F.col("n_wd") + F.lit(1.0) / F.col("n_we"))
+    )
+    return s.select(
+        "item", "n_wd", "c_wd", "n_we", "c_we",
+        F.round(p_wd, 6).alias("p_wd"),
+        F.round(p_we, 6).alias("p_we"),
+        F.round(z, 6).alias("z"),
+    ).orderBy("item")
