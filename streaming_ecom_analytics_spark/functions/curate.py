@@ -340,3 +340,39 @@ def domain_mixture_weights(
             ),
         )
     )
+
+
+def streaming_curation(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "arrival_ts",
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The streaming INGESTION half of corpus curation: stateless
+    quality/language gates plus content-hash exact dedup within the
+    watermark horizon — everything that can be decided per-document at
+    arrival time. Works identically on batch frames (the oracle twin
+    runs the same plan without the watermark).
+
+    The near-dup (MinHash) and cross-document stages stay batch-side by
+    design: LSH banding needs corpus-wide candidate joins that
+    streaming state can't bound, so the lambda split is gates+exact
+    dedup at ingest, full near-dup curation in the nightly batch —
+    same split as exact-vs-HLL distinct counts.
+
+    Adds __content_hash (md5 of the text) used as the dedup key, so
+    bit-identical re-crawls of the same document are dropped even when
+    their doc_ids differ.
+    """
+    gated = docs.filter(text.quality_score_col(text_col) >= min_quality)
+    if keep_langs is not None:
+        gated = gated.filter(F.col("lang").isin(*keep_langs))
+    hashed = gated.withColumn("__content_hash", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    if docs.isStreaming:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__content_hash"]
+        )
+    return hashed.dropDuplicates(["__content_hash"])
