@@ -375,4 +375,16 @@ def streaming_curation(
         return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             ["__content_hash"]
         )
-    return hashed.dropDuplicates(["__content_hash"])
+    # batch twin: keep the LOWEST doc_id per content hash — the
+    # deterministic stand-in for streaming's first-arrival-wins (ids
+    # are arrival-ordered in the lake), which is what lets the twin
+    # carry a value-level SQL oracle instead of an arbitrary-row
+    # dropDuplicates
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

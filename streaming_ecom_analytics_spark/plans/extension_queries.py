@@ -1481,3 +1481,43 @@ def q_overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_b",
         overlap_secs.alias("overlap_secs"),
     )
+
+
+@register(
+    "stream_ingest_curation",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, md5(coalesce(text, '')) AS content_hash,
+             least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                   / 50.0, 1.0) * 0.4
+             + least(coalesce(
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')), 0.0) * 10.0,
+                 1.0) * 0.4
+             + greatest(0.0, 1.0 - coalesce(
+                 CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / nullif(length(text), 0), 0.0) * 5.0) * 0.2 AS q
+      FROM documents
+    )
+    SELECT doc_id, lang, source, content_hash
+    FROM s
+    WHERE ROUND(q, 6) >= 0.5
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+    """,
+)
+def q_stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING ingestion-curation plan
+    (curate.streaming_curation): quality gate + content-hash exact
+    dedup with deterministic first-id-wins — the per-document half of
+    curation that runs at stream arrival time; the streaming execution
+    of the same plan (watermark-bounded dropDuplicatesWithinWatermark,
+    cross-micro-batch re-crawls) is pinned in tests/test_curate.py."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    out = curate.streaming_curation(
+        catalog.documents(spark, sf_dir), min_quality=0.5
+    )
+    return out.select(
+        "doc_id", "lang", "source", F.col("__content_hash").alias("content_hash")
+    )
