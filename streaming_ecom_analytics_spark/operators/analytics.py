@@ -803,3 +803,43 @@ def triangle_counts(
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return per_corner.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node over a canonical
+    (src < dst, distinct) undirected edge list:
+    ``2·triangles / (degree·(degree−1))`` — how close each node's
+    neighborhood is to a clique. Reuses triangle_counts (ordered-triple
+    join) plus one degree aggregate; nodes of degree < 2 report 0.
+    Output: (node, degree, n_triangles, clustering)."""
+    deg = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionAll(edges.select(F.col(dst_col).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(edges, src_col=src_col, dst_col=dst_col)
+    return (
+        deg.join(tri, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("clustering"),
+        )
+    )

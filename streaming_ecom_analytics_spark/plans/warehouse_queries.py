@@ -1737,3 +1737,55 @@ def q_weekend_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_we, 6).alias("p_we"),
         F.round(z, 6).alias("z"),
     ).orderBy("item")
+
+
+_CLUSTERING_ORACLE = """
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    e AS (
+      SELECT a.item AS s, b.item AS d
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      FROM e e1 JOIN e e2 ON e2.s = e1.d JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    tc AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.degree,
+           COALESCE(tc.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tc ON tc.node = deg.node
+"""
+
+
+@register("item_clustering_coefficients", _CLUSTERING_ORACLE)
+def q_item_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per item over the co-purchase
+    graph (analytics.clustering_coefficients) — neighborhood cohesion
+    normalized by degree, the standard community-structure readout on
+    top of triangle counts."""
+    edges = analytics.item_cooccurrence(
+        catalog.events(spark, sf_dir), min_support=5
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return analytics.clustering_coefficients(edges)
