@@ -594,6 +594,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # Eager per-round checkpoint is ALSO the cache: a sparser
+        # cadence was measured (round 4) and does not help — skipped
+        # rounds just re-enter the next round's plan and recompute,
+        # so per-round stays optimal as well as lineage-safe.
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
