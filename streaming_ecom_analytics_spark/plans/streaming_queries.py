@@ -416,3 +416,31 @@ def q_event_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = catalog.events(spark, sf_dir)
     redelivered = events.unionByName(events.filter(F.col("event_id") % 7 == 0))
     return windows.dedup_events(redelivered, watermark=None)
+
+
+@register(
+    "top_event_types_15m",
+    """
+    SELECT * FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+               AS window_end,
+             event_type,
+             COUNT(*) AS event_count,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY time_bucket(INTERVAL '15 minutes', ts)
+               ORDER BY COUNT(*) DESC, event_type ASC
+             ) AS INTEGER) AS rank
+      FROM events
+      GROUP BY 1, 2, 3
+    ) WHERE rank <= 3
+    """,
+)
+def q_top_event_types_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed leaderboard: top-3 event types per 15-minute tumbling
+    window (windows.windowed_top_event_types). Streaming execution of
+    the same semantics — stateful counts + per-refresh rank in the
+    materializer — is pinned in tests/test_streaming.py."""
+    return windows.windowed_top_event_types(
+        catalog.events(spark, sf_dir), watermark=None
+    )

@@ -171,3 +171,46 @@ def windowed_active_users(
             "active_users",
         )
     )
+
+
+def rank_topk_per_window(
+    counts: DataFrame, *, k: int = 3, order_col: str = "event_count"
+) -> DataFrame:
+    """Top-k rows per (window_start, window_end) by ``order_col`` —
+    the rank step of a windowed-leaderboard view. Deterministic
+    tiebreak on event_type. Batch-only by design: streaming append
+    mode cannot rank (a later row may displace an earlier one), so the
+    streaming form runs the COUNTS as the stateful aggregate and
+    applies this rank per refresh in the foreachBatch materializer
+    (overwrite_materializer(transform=...)) — the view is then always
+    a consistent post-rank snapshot."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start", "window_end").orderBy(
+        F.desc(order_col), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .withColumnRenamed("rn", "rank")
+    )
+
+
+def windowed_top_event_types(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_size: str = "15 minutes",
+    k: int = 3,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Batch form of the windowed leaderboard (counts + rank in one
+    plan); the streaming deployment splits the same logic into
+    tumbling_event_counts (stateful) + rank_topk_per_window (per
+    refresh) as documented above."""
+    counts = tumbling_event_counts(
+        events, ts_col=ts_col, type_col=type_col,
+        window_size=window_size, watermark=watermark,
+    )
+    return rank_topk_per_window(counts, k=k)

@@ -417,3 +417,46 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.event_id for r in spark.sql("SELECT * FROM ss_dedup_out").collect()]
     assert sorted(got) == [1, 2, 3, 4]  # each exactly once, dup dropped
+
+
+def test_windowed_leaderboard_streaming_matches_batch(spark, events_dir, tmp_path):
+    """The windowed top-k leaderboard deployed the streaming way —
+    stateful counts + per-refresh rank in the foreachBatch
+    materializer — must equal the one-plan batch twin."""
+    from streaming_ecom_analytics_spark.streaming.materialize import (
+        start_materialized_view,
+    )
+
+    stream = _stream(spark, events_dir)
+    counts = windows.tumbling_event_counts(
+        stream, window_size="15 minutes", watermark="1 hour"
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(
+            __import__(
+                "streaming_ecom_analytics_spark.streaming.materialize",
+                fromlist=["overwrite_materializer"],
+            ).overwrite_materializer(
+                str(tmp_path / "view"),
+                transform=lambda df: windows.rank_topk_per_window(df, k=2),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "view")).collect())
+    )
+    batch = spark.read.parquet(events_dir + "/*")
+    want = sorted(
+        map(
+            tuple,
+            windows.windowed_top_event_types(
+                batch, window_size="15 minutes", k=2, watermark=None
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
