@@ -776,3 +776,112 @@ def cosine_topk_blas(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _assigned_pairs(
+    embeddings: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-of-k-fixed-centroids assignment, shared by the K-means
+    step queries. Centroids are the k lowest-id vectors (deterministic,
+    derived in-plan — no driver action, no RNG). Squared distance uses
+    the dot-product identity |x|²−2x·c+|c|², with both self-dots
+    projected ONCE per row before the broadcast cross join (the naive
+    form refolds them inside every pair). The argmin is a
+    groupBy-min(struct(d2, cluster_id, ...)) — a partial-aggregable
+    struct min with map-side combine, NOT a per-vector row_number
+    window, so no (|corpus|·k)-row sort shuffle.
+
+    Output: (vec_id, cluster_id, d2, xv).
+    """
+    c = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    c = c.withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+    x = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("xv"),
+    ).withColumn("xx", _dot(F.col("xv"), F.col("xv")))
+    d2 = F.col("xx") - F.lit(2.0) * _dot(F.col("xv"), F.col("cv")) + F.col("cc")
+    scored = x.crossJoin(F.broadcast(c)).select(
+        "vec_id", "xv", F.col("cluster_id"), d2.alias("d2")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cluster_id", "xv")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cluster_id").alias("cluster_id"),
+        F.col("b.d2").alias("d2"),
+        F.col("b.xv").alias("xv"),
+    )
+
+
+def kmeans_assign_fixed(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means ASSIGNMENT step against a deterministic centroid set:
+    per-cluster member count and exact integer-micro inertia
+    (sum of floor(d2·10⁶) — per-row doubles are bit-mirrored by the
+    oracle, the sum is an exact integer fold, so the result is
+    independent of aggregation order).
+
+    Output: (cluster_id, n_members, inertia_micros).
+    """
+    return (
+        _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.floor(F.col("d2") * F.lit(1000000.0)).cast("long")).alias(
+                "inertia_micros"
+            ),
+        )
+    )
+
+
+def kmeans_lloyd_update(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One full Lloyd UPDATE step: recompute each cluster's centroid as
+    the member mean, per dimension — the iterative-ML building block,
+    expressed as explode + hash aggregate (no window, no driver-side
+    math; an iteration loop would re-apply this plan with the returned
+    centroids).
+
+    Means are exact: elements quantize to integer micros
+    (floor(x·10⁶), bit-mirrored per row), sum exactly as longs, and
+    divide once at the end — so the result is independent of Spark's
+    aggregation order AND engine-comparable, unlike a naive
+    avg(double). The mean stays in integer micros (floor of one double
+    division) rather than a rounded double: ROUND tie rules differ
+    across engines (HALF_UP vs HALF_EVEN) and the micro grid makes
+    exact .5 boundaries common enough to bite.
+
+    Output: (cluster_id, dim_idx, n_members, centroid_micros) — k·dim
+    rows.
+    """
+    assigned = _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    exploded = assigned.select(
+        "cluster_id", F.posexplode("xv").alias("pos", "val")
+    ).select(
+        "cluster_id",
+        (F.col("pos") + 1).cast("long").alias("dim_idx"),
+        F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("vm"),
+    )
+    return exploded.groupBy("cluster_id", "dim_idx").agg(
+        F.count("*").alias("n_members"),
+        F.floor(F.sum("vm") / F.count("*")).alias("centroid_micros"),
+    )

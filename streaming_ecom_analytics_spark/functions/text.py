@@ -893,3 +893,72 @@ def bpe_token_counts(
         .orderBy(F.desc("token_count"), F.asc("token"))
         .limit(top)
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent-word bigrams by pointwise
+    mutual information, pmi = ln(n_big·n_tok / (n_w1·n_w2)) — the
+    classic phrase detector (word2vec's phrase pass uses the same
+    statistic).
+
+    Plan shape: ONE lowered token-array projection feeds both sides —
+    unigrams as a plain explode, bigrams as an in-array ``transform``
+    over the slice (adjacent pairs never leave the row, so there is no
+    positional self-join). The token total rides the same projection
+    as an exact long sum and broadcasts back as a single row; the two
+    vocabulary joins shuffle on the word key. The final top-k is
+    TakeOrderedAndProject (deterministic tiebreak), never a global
+    sort. Products are computed double-first so counts can't overflow
+    at 100 TB token totals.
+
+    Output: (w1, w2, n_big, pmi), top_k rows.
+    """
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    base = docs.select(toks.alias("__t"))
+    uni = base.select(F.explode("__t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("n")
+    )
+    n_tok = base.select(F.sum(F.size("__t")).alias("n_tok"))
+    big = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__t, 1, size(__t) - 1),"
+                    " (x, i) -> named_struct('w1', x, 'w2', element_at(__t, i + 2)))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_big"))
+        .where(F.col("n_big") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    return (
+        big.join(u1, on="w1")
+        .join(u2, on="w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "n_big",
+            F.round(
+                F.log(
+                    (F.col("n_big").cast("double") * F.col("n_tok"))
+                    / (F.col("n1").cast("double") * F.col("n2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )

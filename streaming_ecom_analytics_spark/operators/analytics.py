@@ -779,6 +779,121 @@ def label_propagation_min(
     return labels
 
 
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    out_cols: list[str],
+) -> DataFrame:
+    """2D Pareto frontier (skyline): rows not dominated by any other
+    row, where A dominates B iff A.x <= B.x AND A.y <= B.y with at
+    least one strict. Equal-(x, y) duplicates are mutually
+    non-dominating and all survive.
+
+    ``x_col`` must be integer-valued (the strict-predecessor frame is a
+    RANGE offset, exact only on integers) — callers pass prices as
+    cents, not doubles.
+
+    The textbook formulation is a quadratic NOT-EXISTS self-join (the
+    oracle uses it). In 2D it collapses to two window minima:
+
+    1. per-x prune (partitioned window, fully parallel): only rows at
+       the min y of their x class can survive — this is the map-side
+       shrink, |rows| → ≤|distinct x| value classes;
+    2. running min over strict-x predecessors (RANGE unbounded..-1) on
+       the pruned set: survivor iff no strictly-cheaper class reaches a
+       y <= ours. The global sort runs over the value-class frame, not
+       the fact table — bounded by the x domain (price grid), not SF.
+
+    Because pruned rows all sit at their class min y, the running min
+    over pruned predecessors equals the running min over ALL
+    predecessors, so step 2 is exact.
+    """
+    w_eq = Window.partitionBy(x_col)
+    cand = df.withColumn("__m_eq", F.min(y_col).over(w_eq)).where(
+        F.col(y_col) == F.col("__m_eq")
+    )
+    w_lt = Window.orderBy(F.col(x_col)).rangeBetween(Window.unboundedPreceding, -1)
+    return (
+        cand.withColumn("__m_lt", F.min(y_col).over(w_lt))
+        .where(F.col("__m_lt").isNull() | (F.col("__m_lt") > F.col(y_col)))
+        .select(*out_cols)
+    )
+
+
+def association_rules(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_expr: Column | None = None,
+    purchase_type: str = "purchase",
+    type_col: str = "event_type",
+    min_support: int = 2,
+) -> DataFrame:
+    """Directed association rules over co-purchase baskets: for each
+    ordered item pair antecedent→consequent, support count,
+    confidence = n_both/n_ante, and lift = n_both·n_users/(n_ante·n_cons)
+    (lift > 1 ⇒ positive association, the market-basket staple).
+
+    Same plan skeleton as item_cooccurrence (one distinct (user, item)
+    pass, user-key self-join bounded by basket size, pair aggregate),
+    emitting both rule directions from the a<b join output rather than
+    re-joining. The corpus basket count joins as a broadcast single
+    row; products are computed double-first so nothing overflows at
+    100 TB counts.
+    """
+    if item_expr is None:
+        item_expr = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ui = (
+        events.filter((F.col(type_col) == purchase_type) & item_expr.isNotNull())
+        .select(F.col(user_col).alias("u"), item_expr.alias("item"))
+        .distinct()
+    )
+    n_users = ui.select(F.countDistinct("u").alias("n_users"))
+    counts = ui.groupBy("item").agg(F.count("*").alias("n"))
+    a = ui.select(F.col("u"), F.col("item").alias("item_a"))
+    b = ui.select(F.col("u"), F.col("item").alias("item_b"))
+    und = (
+        a.join(b, on="u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    rules = und.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_both",
+    ).unionAll(
+        und.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    ca = counts.select(F.col("item").alias("antecedent"), F.col("n").alias("n_ante"))
+    cb = counts.select(F.col("item").alias("consequent"), F.col("n").alias("n_cons"))
+    return (
+        rules.join(ca, on="antecedent")
+        .join(cb, on="consequent")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ante",
+            "n_cons",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_ante"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both").cast("double") * F.col("n_users"))
+                / (F.col("n_ante").cast("double") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     *,

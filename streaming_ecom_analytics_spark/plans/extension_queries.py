@@ -1521,3 +1521,104 @@ def q_stream_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "source", F.col("__content_hash").alias("content_hash")
     )
+
+
+@register(
+    "bigram_collocations",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS t
+      FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    nw AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n_tok FROM uni),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS n_big
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, n_big,
+           ROUND(ln(CAST(n_big AS DOUBLE) * n_tok
+                    / (CAST(a.n AS DOUBLE) * b.n)), 6) AS pmi
+    FROM big
+    JOIN nw a ON a.w = w1
+    JOIN nw b ON b.w = w2
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations (adjacent-bigram PMI, min count 5) over the
+    document corpus — the word2vec-style phrase detector. Bigrams are
+    formed inside the token array (no positional self-join); the token
+    total broadcasts as one row; the top-k is TakeOrderedAndProject."""
+    return text.bigram_pmi(catalog.documents(spark, sf_dir), min_count=5, top_k=50)
+
+
+_KMEANS_ASSIGN_ORACLE_BODY = """
+    WITH c AS (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv FROM embeddings),
+    scored AS (
+      SELECT vec_id, cluster_id, xv,
+             list_dot_product(xv, xv) - 2 * list_dot_product(xv, cv)
+               + list_dot_product(cv, cv) AS d2
+      FROM x, c
+    ),
+    assigned AS (
+      SELECT vec_id, cluster_id, d2, xv FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, cluster_id ASC
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "kmeans_assign_fixed",
+    _KMEANS_ASSIGN_ORACLE_BODY
+    + """
+    SELECT cluster_id, COUNT(*) AS n_members,
+           CAST(SUM(CAST(FLOOR(d2 * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS inertia_micros
+    FROM assigned GROUP BY cluster_id
+    """,
+)
+def q_kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step against the 8 lowest-id vectors as
+    centroids: per-cluster size + exact integer-micro inertia. The
+    per-pair squared distance is the bit-mirrored dot-product identity
+    (same expression in the oracle), the argmin a partial-aggregable
+    struct min, the inertia an order-independent integer sum."""
+    return similarity.kmeans_assign_fixed(catalog.embeddings(spark, sf_dir), k=8)
+
+
+@register(
+    "kmeans_lloyd_update",
+    _KMEANS_ASSIGN_ORACLE_BODY
+    + """
+    , ex AS (
+      SELECT cluster_id, i AS dim_idx,
+             CAST(FLOOR(xv[i] * 1000000.0) AS BIGINT) AS vm
+      FROM assigned, UNNEST(generate_series(1, len(xv))) AS u(i)
+    )
+    SELECT cluster_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+           COUNT(*) AS n_members,
+           CAST(FLOOR(SUM(vm) / COUNT(*)) AS BIGINT) AS centroid_micros
+    FROM ex GROUP BY cluster_id, dim_idx
+    """,
+)
+def q_kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd update: per-dimension member means as the next
+    centroid set (k=8, dim=64 → 512 rows), in exact integer micros.
+    Means go through exact integer-micro sums so the result is
+    independent of aggregation order and engine-comparable — the
+    iterative-ML step with a real value-level oracle, not a rows-only
+    check."""
+    return similarity.kmeans_lloyd_update(catalog.embeddings(spark, sf_dir), k=8)

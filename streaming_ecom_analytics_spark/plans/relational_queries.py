@@ -1041,3 +1041,36 @@ def q_brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(brackets)
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "part_skyline",
+    """
+    SELECT p_partkey, p_retailprice, p_size FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier parts (min retail price, min size): no other
+    part is at-most-equal on both axes and strictly better on one.
+    The oracle is the quadratic NOT-EXISTS; the Spark plan is the 2D
+    window collapse (per-price-class prune, then a running min over
+    the value-class frame) — see analytics.skyline_2d. Price enters
+    the RANGE frame as exact cents, never a double offset.
+    """
+    from streaming_ecom_analytics_spark.operators import analytics
+
+    p = catalog.load_table(spark, "part", sf_dir).withColumn(
+        "__price_cents",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    return analytics.skyline_2d(
+        p,
+        "__price_cents",
+        "p_size",
+        out_cols=["p_partkey", "p_retailprice", "p_size"],
+    )

@@ -1789,3 +1789,43 @@ def q_item_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFram
         catalog.events(spark, sf_dir), min_support=5
     ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return analytics.clustering_coefficients(edges)
+
+
+_ASSOC_ORACLE = """
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ui),
+    cnt AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY item),
+    und AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ),
+    rules AS (
+      SELECT item_a AS antecedent, item_b AS consequent, n_both FROM und
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, n_both FROM und
+    )
+    SELECT antecedent, consequent, ca.n AS n_ante, cb.n AS n_cons, n_both,
+           ROUND(n_both / ca.n, 6) AS confidence,
+           ROUND(CAST(n_both AS DOUBLE) * n_users
+                 / (CAST(ca.n AS DOUBLE) * cb.n), 6) AS lift
+    FROM rules
+    JOIN cnt ca ON ca.item = antecedent
+    JOIN cnt cb ON cb.item = consequent
+    CROSS JOIN nu
+"""
+
+
+@register("assoc_rules", _ASSOC_ORACLE)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchases (props->k
+    baskets, min support 5): confidence and lift per directed rule —
+    the recommender step past raw co-occurrence counts."""
+    return analytics.association_rules(catalog.events(spark, sf_dir), min_support=5)

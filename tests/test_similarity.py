@@ -195,3 +195,68 @@ def test_cosine_topk_blas_equals_fold(spark):
     blas = {(r.query_id, r.neighbor_id): r.cosine for r in similarity.cosine_topk_blas(emb, q, k=5).collect()}
     assert set(fold) == set(blas)
     assert all(abs(fold[k] - blas[k]) < 1e-9 for k in fold)
+
+
+# ---------------------------------------------------------------------------
+# kmeans step operators
+# ---------------------------------------------------------------------------
+
+
+def _km_frame(spark):
+    # Two tight groups around (0,0) and (10,10); ids 0/1 are the
+    # fixed centroids (k=2) and sit one in each group.
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.5, 0.0]),
+        (3, [0.0, 0.5]),
+        (4, [10.0, 9.5]),
+        (5, [9.5, 10.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_assign_fixed_counts_and_inertia(spark):
+    out = {
+        r.cluster_id: r
+        for r in similarity.kmeans_assign_fixed(_km_frame(spark), k=2).collect()
+    }
+    assert out[0].n_members == 3 and out[1].n_members == 3
+    # inertia: centroid members at d2 = 0, 0.25, 0.25 each side
+    assert out[0].inertia_micros == 500000
+    assert out[1].inertia_micros == 500000
+
+
+def test_kmeans_assign_tie_breaks_to_lowest_cluster(spark):
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]  # vec 2 equidistant
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.cluster_id: r.n_members
+        for r in similarity.kmeans_assign_fixed(emb, k=2).collect()
+    }
+    assert got[0] == 2  # vec 2 joined cluster 0
+    assert got[1] == 1
+
+
+def test_kmeans_lloyd_update_exact_means(spark):
+    out = {
+        (r.cluster_id, r.dim_idx): r
+        for r in similarity.kmeans_lloyd_update(_km_frame(spark), k=2).collect()
+    }
+    # cluster 0 dim 1: mean(0, 0.5, 0) = 1/6 -> floor(500000/3)
+    assert out[(0, 1)].centroid_micros == 166666
+    assert out[(0, 2)].centroid_micros == 166666
+    # cluster 1 dim 1: mean(10, 10, 9.5) -> floor(29500000/3)
+    assert out[(1, 1)].centroid_micros == 9833333
+    assert out[(0, 1)].n_members == 3
+    assert len(out) == 4  # k=2 clusters x dim=2
+
+
+def test_kmeans_assign_no_plan_build_jobs(spark):
+    # Plan construction must not launch jobs (centroids derive in-plan).
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    df = similarity.kmeans_assign_fixed(_km_frame(spark), k=2)
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before)
+    assert df.count() == 2

@@ -228,3 +228,47 @@ def test_domain_mixture_weights_boosts_small_domains(spark):
     assert out["small"].boost > 1.0 > out["big"].boost
     assert out["small"].weight > out["small"].token_share
     assert out["big"].n_tokens == 900 and out["small"].n_tokens == 2
+
+
+# ---------------------------------------------------------------------------
+# bigram_pmi
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_pmi_counts_and_score(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york city"), (2, "in new york today")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.w1, r.w2): r
+        for r in text.bigram_pmi(docs, min_count=1, top_k=100).collect()
+    }
+    # "new york" appears 3x; tokens: 9 total; new=3, york=3.
+    r = out[("new", "york")]
+    assert r.n_big == 3
+    assert r.pmi == round(math.log(3 * 9 / (3 * 3)), 6)
+    # adjacency only inside a doc: "city in" never forms across docs
+    assert ("city", "in") not in out
+    # reverse bigram "york new" occurs once (within doc 1)
+    assert out[("york", "new")].n_big == 1
+
+
+def test_bigram_pmi_min_count_and_topk(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c d")], "doc_id long, text string"
+    )
+    out = text.bigram_pmi(docs, min_count=2, top_k=1).collect()
+    assert len(out) == 1
+    assert (out[0].w1, out[0].w2) in {("a", "b"), ("b", "a")}
+
+
+def test_bigram_pmi_single_token_doc_yields_no_bigrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "hello hello")], "doc_id long, text string"
+    )
+    out = text.bigram_pmi(docs, min_count=1, top_k=10).collect()
+    assert {(r.w1, r.w2) for r in out} == {("hello", "hello")}
+    assert out[0].n_big == 1

@@ -710,3 +710,96 @@ def test_expectations_report_rejects_empty(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="no expectations"):
         validation.expectations_report(df, {})
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_basic_dominance(spark):
+    # (1,5) and (3,2) are the frontier; (3,4) dominated by (3,2);
+    # (4,2) dominated by (3,2); (5,6) dominated by everything.
+    df = spark.createDataFrame(
+        [(1, 1, 5), (2, 3, 4), (3, 3, 2), (4, 4, 2), (5, 5, 6)],
+        "id long, x long, y long",
+    )
+    got = sorted(
+        r.id
+        for r in analytics.skyline_2d(df, "x", "y", out_cols=["id"]).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_skyline_keeps_exact_duplicates(spark):
+    # Two identical points: neither strictly dominates the other.
+    df = spark.createDataFrame(
+        [(1, 2, 2), (2, 2, 2), (3, 1, 9)], "id long, x long, y long"
+    )
+    got = sorted(
+        r.id
+        for r in analytics.skyline_2d(df, "x", "y", out_cols=["id"]).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_skyline_equal_x_strict_y_dominates(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3), (2, 2, 2)], "id long, x long, y long"
+    )
+    got = sorted(
+        r.id
+        for r in analytics.skyline_2d(df, "x", "y", out_cols=["id"]).collect()
+    )
+    assert got == [2]
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_confidence_and_lift(spark):
+    # Users: u1 buys {1,2}, u2 buys {1,2}, u3 buys {1}, u4 buys {2,3}.
+    # Rule 1→2: n_ante=3, n_cons=3, n_both=2, conf=2/3, lift=2*4/(3*3).
+    rows = [
+        ("u1", 1), ("u1", 2),
+        ("u2", 1), ("u2", 2),
+        ("u3", 1),
+        ("u4", 2), ("u4", 3),
+    ]
+    ev = spark.createDataFrame(
+        [(u, "purchase", f'{{"k": {i}}}') for u, i in rows],
+        "user_id string, event_type string, props string",
+    )
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in analytics.association_rules(ev, min_support=1).collect()
+    }
+    r12 = out[(1, 2)]
+    assert (r12.n_ante, r12.n_cons, r12.n_both) == (3, 3, 2)
+    assert r12.confidence == round(2 / 3, 6)
+    assert r12.lift == round(2 * 4 / (3 * 3), 6)
+    # both directions emitted; support counts swap, lift is symmetric
+    r21 = out[(2, 1)]
+    assert (r21.n_ante, r21.n_cons, r21.n_both) == (3, 3, 2)
+    assert r21.lift == r12.lift
+    # min_support prunes: 2→3 occurs once
+    out5 = analytics.association_rules(ev, min_support=2).collect()
+    assert all(r.n_both >= 2 for r in out5)
+    assert (2, 3) not in {(r.antecedent, r.consequent) for r in out5}
+
+
+def test_association_rules_distinct_per_user(spark):
+    # Repeat purchases of the same item by one user count once.
+    ev = spark.createDataFrame(
+        [("u1", "purchase", '{"k": 1}')] * 3
+        + [("u1", "purchase", '{"k": 2}'), ("u2", "purchase", '{"k": 1}')],
+        "user_id string, event_type string, props string",
+    )
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in analytics.association_rules(ev, min_support=1).collect()
+    }
+    assert out[(1, 2)].n_both == 1
+    assert out[(1, 2)].n_ante == 2
