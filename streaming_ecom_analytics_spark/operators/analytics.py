@@ -779,6 +779,151 @@ def label_propagation_min(
     return labels
 
 
+def linear_attribution(
+    events: DataFrame,
+    *,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's revenue is
+    split equally across the user's touch events in the preceding
+    ``window_days`` — the marketing-analytics staple past last-touch.
+
+    Money splits are EXACT: the conversion amount becomes integer
+    cents, each touch gets ``cents div n``, and the remainder
+    distributes to the earliest touches (largest-remainder / penny
+    allocation), so per-conversion allocations always re-sum to the
+    original amount and the result is independent of float division.
+
+    Plan: the touch←conversion pairing is the bucketed interval join
+    (operators/interval.py — week-wide buckets, fan-out ≤ 2, never a
+    non-equi nested loop); the rank/count windows partition by
+    conversion id (fan-out bounded by touches-per-conversion); the
+    final day rollup is a plain hash aggregate.
+
+    Output: (click_day, n_touches, attributed_revenue) — one row per
+    day with ≥1 attributed touch.
+    """
+    from streaming_ecom_analytics_spark.operators.interval import interval_join
+
+    conv = events.filter(
+        (F.col("event_type") == conversion_type) & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("conv_id"),
+        F.col(user_col),
+        (F.col(ts_col) - F.expr(f"INTERVAL {window_days} DAYS")).alias("win_start"),
+        F.col(ts_col).alias("win_end"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    touches = events.filter(F.col("event_type") == touch_type).select(
+        F.col("event_id").alias("touch_id"), F.col(user_col), F.col(ts_col)
+    )
+    joined = interval_join(
+        touches,
+        conv,
+        on=user_col,
+        ts_col=ts_col,
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=window_days * 86400,
+    )
+    w_n = Window.partitionBy("conv_id")
+    w_rk = Window.partitionBy("conv_id").orderBy(F.col(ts_col), F.col("touch_id"))
+    alloc = (
+        joined.withColumn("n", F.count("*").over(w_n))
+        .withColumn("rk", F.row_number().over(w_rk))
+        .select(
+            _day(ts_col).alias("click_day"),
+            (
+                F.expr("cents div n")
+                + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1).otherwise(0)
+            ).alias("alloc_cents"),
+        )
+    )
+    return alloc.groupBy("click_day").agg(
+        F.count("*").alias("n_touches"),
+        F.round(F.sum("alloc_cents") / F.lit(100.0), 2).alias("attributed_revenue"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str = "event_type",
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Quantile (rank) normalization of a feature column per group:
+    each value maps to its within-group percent rank in [0, 1] — the
+    distribution-free preprocessing transform (rank-gauss without the
+    gauss). NULL values are excluded (engines disagree on NULL sort
+    placement inside window frames).
+
+    percent_rank is (rank−1)/(n−1): rank-based, so ties get identical
+    scores and the single double division is engine-deterministic.
+    The window partitions by group — at 100 TB a group's rows must
+    co-locate for the exact rank; for approximate pipelines swap in
+    the percentile-bucket variant (target_encoded_categories pattern).
+    Output: id_cols + (group, value, qnorm).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *id_cols,
+            F.col(group_col),
+            F.col(value_col),
+            F.round(F.percent_rank().over(w), 6).alias("qnorm"),
+        )
+    )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Join-key skew diagnostics — the report you read before choosing
+    a salting/broadcast strategy: for each candidate key column, the
+    key cardinality, the heaviest key's row share, and the max/median
+    per-key count ratio.
+
+    One hash aggregate per key column (count per key), then scalar
+    aggregates over the per-key count frame (|keys| rows, not |rows|).
+    NULL keys count as a key of their own — exactly how a shuffle
+    would hash them. Shares are single double divisions, rounded.
+    Output: (key, n_rows, n_keys, max_key_rows, top_share, skew_ratio).
+    """
+    reports = []
+    for key in key_cols:
+        per_key = df.groupBy(F.col(key).alias("__k")).agg(
+            F.count("*").alias("c")
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(key).alias("key"),
+                F.sum("c").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("c").alias("max_key_rows"),
+                F.round(
+                    F.max("c") / F.sum("c"),
+                    6,
+                ).alias("top_share"),
+                F.round(
+                    F.max("c")
+                    / F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)"),
+                    6,
+                ).alias("skew_ratio"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 def skyline_2d(
     df: DataFrame,
     x_col: str,

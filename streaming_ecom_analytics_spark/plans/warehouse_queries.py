@@ -1829,3 +1829,150 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets, min support 5): confidence and lift per directed rule —
     the recommender step past raw co-occurrence counts."""
     return analytics.association_rules(catalog.events(spark, sf_dir), min_support=5)
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH p AS (
+      SELECT event_id AS conv_id, user_id, ts AS pts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_id AS touch_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT conv_id, cents, touch_id, cts
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts >= p.pts - INTERVAL '7 days' AND c.cts < p.pts
+    ),
+    w AS (
+      SELECT conv_id, cents, cts,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY cts, touch_id
+             ) AS rk
+      FROM j
+    ),
+    a AS (
+      SELECT CAST(CAST(cts AS DATE) AS TIMESTAMP) AS click_day,
+             cents // n
+               + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END AS alloc_cents
+      FROM w
+    )
+    SELECT click_day, COUNT(*) AS n_touches,
+           ROUND(CAST(SUM(alloc_cents) AS DOUBLE) / 100.0, 2)
+             AS attributed_revenue
+    FROM a GROUP BY click_day
+"""
+
+
+@register("linear_attribution_daily", _ATTRIBUTION_ORACLE)
+def q_linear_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: purchase revenue split equally
+    (exact penny allocation, largest-remainder) across the user's
+    clicks in the prior 7 days, rolled up by touch day. The pairing
+    is the bucketed interval join; the oracle is the naive non-equi
+    BETWEEN join."""
+    return analytics.linear_attribution(catalog.events(spark, sf_dir))
+
+
+_QNORM_ORACLE = """
+    SELECT event_id, event_type, value,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY event_type ORDER BY value ASC
+           ), 6) AS qnorm
+    FROM events WHERE value IS NOT NULL
+"""
+
+
+@register("value_quantile_normalized", _QNORM_ORACLE)
+def q_value_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantile (rank) normalization of event value — the
+    distribution-free feature transform; ties share a score, NULLs
+    excluded (engines disagree on NULL frame placement)."""
+    return analytics.quantile_normalize(catalog.events(spark, sf_dir), "value")
+
+
+_SKEW_ORACLE = """
+    WITH k1 AS (
+      SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    k2 AS (
+      SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    r1 AS (
+      SELECT 'user_id' AS key, CAST(SUM(c) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_keys, MAX(c) AS max_key_rows,
+             ROUND(MAX(c) / SUM(c), 6) AS top_share,
+             ROUND(MAX(c) / percentile_disc(0.5) WITHIN GROUP (ORDER BY c), 6)
+               AS skew_ratio
+      FROM k1
+    ),
+    r2 AS (
+      SELECT 'event_type' AS key, CAST(SUM(c) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_keys, MAX(c) AS max_key_rows,
+             ROUND(MAX(c) / percentile_disc(0.5) WITHIN GROUP (ORDER BY c), 6)
+               AS skew_ratio,
+             ROUND(MAX(c) / SUM(c), 6) AS top_share
+      FROM k2
+    )
+    SELECT key, n_rows, n_keys, max_key_rows, top_share, skew_ratio FROM r1
+    UNION ALL
+    SELECT key, n_rows, n_keys, max_key_rows, top_share, skew_ratio FROM r2
+"""
+
+
+@register("events_key_skew_report", _SKEW_ORACLE)
+def q_events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for the events table (user_id,
+    event_type): key cardinality, heaviest-key share, max/median
+    ratio — the report that decides salting vs broadcast vs AQE-skew
+    reliance before a big join."""
+    return analytics.key_skew_report(
+        catalog.events(spark, sf_dir), ["user_id", "event_type"]
+    )
+
+
+_SAMPLED_EST_ORACLE = """
+    WITH p AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             (ascii(substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substring(md5(CAST(event_id AS VARCHAR)), 2, 1))) % 100
+               AS bucket
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    SELECT day,
+           CAST(SUM(v) AS DOUBLE) AS exact_revenue,
+           CAST(SUM(CASE WHEN bucket < 10 THEN v END) * 10 AS DOUBLE)
+             AS est_revenue
+    FROM p GROUP BY day
+"""
+
+
+@register("sampled_revenue_estimate", _SAMPLED_EST_ORACLE)
+def q_sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-accelerated aggregation: daily purchase revenue estimated
+    from a deterministic 10% md5-bucket sample (rerun- and
+    engine-stable, unlike TABLESAMPLE) shown against the exact sum.
+    Estimates stay in exact DECIMAL (×10 is exact), so the comparison
+    is reproducible; the sample predicate pushes to the scan."""
+    ev = catalog.events(spark, sf_dir)
+    h = F.md5(F.col("event_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * F.lit(256) + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        bucket.alias("bucket"),
+    )
+    return p.groupBy("day").agg(
+        F.sum("v").cast("double").alias("exact_revenue"),
+        (F.sum(F.when(F.col("bucket") < 10, F.col("v"))) * 10)
+        .cast("double")
+        .alias("est_revenue"),
+    )

@@ -803,3 +803,83 @@ def test_association_rules_distinct_per_user(spark):
     }
     assert out[(1, 2)].n_both == 1
     assert out[(1, 2)].n_ante == 2
+
+
+# ---------------------------------------------------------------------------
+# linear_attribution
+# ---------------------------------------------------------------------------
+
+
+def test_linear_attribution_penny_conservation(spark):
+    # One $1.00 purchase, 3 clicks in window: 34 + 33 + 33 cents —
+    # earliest click gets the extra penny; total re-sums exactly.
+    rows = [
+        (1, "u1", "click", None, "2024-01-01T10:00:00"),
+        (2, "u1", "click", None, "2024-01-02T10:00:00"),
+        (3, "u1", "click", None, "2024-01-03T10:00:00"),
+        (4, "u1", "purchase", 1.00, "2024-01-04T10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, v, _ts(s)) for i, u, t, v, s in rows],
+        "event_id long, user_id string, event_type string, value double, ts timestamp",
+    )
+    out = {r.click_day.day: r for r in analytics.linear_attribution(ev).collect()}
+    assert out[1].attributed_revenue == 0.34
+    assert out[2].attributed_revenue == 0.33
+    assert out[3].attributed_revenue == 0.33
+    assert sum(r.attributed_revenue for r in out.values()) == 1.00
+
+
+def test_linear_attribution_window_boundaries(spark):
+    # Click exactly 7 days before: included (>= start). Click at the
+    # purchase instant or after: excluded (half-open end).
+    rows = [
+        (1, "u1", "click", None, "2024-01-01T10:00:00"),  # == start
+        (2, "u1", "click", None, "2024-01-08T10:00:00"),  # == purchase ts
+        (3, "u1", "purchase", 2.00, "2024-01-08T10:00:00"),
+        (4, "u2", "click", None, "2024-01-01T09:59:59"),  # before window
+        (5, "u2", "purchase", 5.00, "2024-01-08T10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, v, _ts(s)) for i, u, t, v, s in rows],
+        "event_id long, user_id string, event_type string, value double, ts timestamp",
+    )
+    out = analytics.linear_attribution(ev).collect()
+    assert len(out) == 1
+    assert out[0].n_touches == 1
+    assert out[0].attributed_revenue == 2.00  # u2's purchase unattributed
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_ranks_and_ties(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0), (4, "a", 40.0),
+         (5, "b", 7.0), (6, "b", None)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r.event_id: r.qnorm for r in analytics.quantile_normalize(ev, "value").collect()}
+    assert out[1] == 0.0
+    assert out[2] == out[3] == round(1 / 3, 6)  # ties share (rank-1)/(n-1)
+    assert out[4] == 1.0
+    assert out[5] == 0.0  # singleton group
+    assert 6 not in out  # NULL excluded
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_report_values(spark):
+    ev = spark.createDataFrame(
+        [("hot",), ("hot",), ("hot",), ("hot",), ("a",), ("b",), (None,)],
+        "k string",
+    )
+    r = analytics.key_skew_report(ev, ["k"]).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_key_rows) == (7, 4, 4)
+    assert r.top_share == round(4 / 7, 6)
+    assert r.skew_ratio == 4.0  # median per-key count = 1
