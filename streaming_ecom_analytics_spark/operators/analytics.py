@@ -1039,6 +1039,48 @@ def association_rules(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    n_rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peel over a both-directions edge list: each
+    round drops nodes of degree < k and the edges touching them; the
+    k-core is the fixpoint. ``n_rounds`` fixed rounds (like pagerank's
+    fixed iterations) keep the semantics deterministic and the oracle
+    replayable as unrolled SQL — at this graph's diameter the peel
+    reaches its fixpoint well inside 8 rounds; a cluster run sizes
+    n_rounds to the observed peel depth.
+
+    Per round: one degree hash-aggregate + two semi joins (src and dst
+    must both survive) — never an all-pairs product; each round ends
+    in an eager localCheckpoint so the logical plan stays
+    constant-size instead of nesting round-over-round (same lineage
+    rule as pagerank; prefer checkpoint() on a real cluster).
+
+    Output: (item, degree) for nodes surviving all rounds, with their
+    degree inside the peeled subgraph.
+    """
+    e = edges
+    for _ in range(n_rounds):
+        keep = (
+            e.groupBy(src_col)
+            .agg(F.count("*").alias("__d"))
+            .where(F.col("__d") >= k)
+            .select(src_col)
+        )
+        e = e.join(keep, on=src_col, how="left_semi").join(
+            keep.withColumnRenamed(src_col, dst_col), on=dst_col, how="left_semi"
+        )
+        e = e.localCheckpoint(eager=True)
+    return e.groupBy(F.col(src_col).alias("item")).agg(
+        F.count("*").alias("degree")
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     *,

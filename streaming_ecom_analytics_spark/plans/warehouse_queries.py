@@ -1976,3 +1976,62 @@ def q_sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("est_revenue"),
     )
+
+
+def _kcore_oracle(k: int = 3, n_rounds: int = 8) -> str:
+    """Unrolled fixed-round k-core peel — one (degree, filter) CTE pair
+    per round, same graph construction as the pagerank oracle."""
+    base = """
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT item_a AS src, item_b AS dst FROM pairs
+      UNION ALL
+      SELECT item_b AS src, item_a AS dst FROM pairs
+    )"""
+    # Each round references the previous edge set TWICE (degree CTE +
+    # filter join); inlined CTEs would double the plan per round
+    # (2^n_rounds scans). MATERIALIZED pins each round to one pass —
+    # the SQL mirror of the Spark side's per-round localCheckpoint.
+    steps = []
+    for i in range(1, n_rounds + 1):
+        steps.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT src AS node FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN d{i} a ON e.src = a.node
+      JOIN d{i} b ON e.dst = b.node
+    )""")
+    return (
+        base
+        + "".join(steps)
+        + f"\n    SELECT src AS item, COUNT(*) AS degree FROM e{n_rounds} GROUP BY src"
+    )
+
+
+@register("item_kcore", _kcore_oracle())
+def q_item_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase item graph (8 peel rounds — fixpoint
+    at this diameter): the dense sub-network a merchandiser would call
+    the catalog's backbone. Oracle: the same peel unrolled as one SQL
+    statement, one degree/filter CTE pair per round."""
+    pairs = analytics.item_cooccurrence(
+        catalog.events(spark, sf_dir), min_support=2
+    ).select("item_a", "item_b")
+    edges = pairs.selectExpr("item_a AS src", "item_b AS dst").union(
+        pairs.selectExpr("item_b AS src", "item_a AS dst")
+    )
+    return analytics.kcore(edges, k=3, n_rounds=8)

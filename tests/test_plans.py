@@ -478,3 +478,48 @@ def test_containment_and_hamming_joins_never_cartesian(spark):
     )
     for plan in (p1, p2):
         assert "Join Cross" not in plan and "CartesianProduct" not in plan
+
+
+def test_new_joins_never_nested_loop(spark):
+    """Skyline, attribution, assoc rules, kmeans: none may plan a
+    cartesian/nested-loop join (the broadcast of 1-row scalar frames
+    and the deliberate centroid cross join are the only BNLJ-free
+    exceptions — centroids broadcast, so even that must not be a
+    CartesianProduct)."""
+    for name in (
+        "part_skyline",
+        "linear_attribution_daily",
+        "assoc_rules",
+        "kmeans_assign_fixed",
+        "kmeans_lloyd_update",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bigram_topk_is_take_ordered(spark):
+    """The collocation top-50 must fuse to TakeOrderedAndProject —
+    never a global sort of the bigram vocabulary."""
+    plan = _plan(spark, "bigram_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [pmi" not in plan
+
+
+def test_kmeans_centroids_broadcast(spark):
+    """The k-centroid side of the assignment cross join broadcasts;
+    the argmin is a partial-aggregable hash aggregate (two-phase),
+    not a row_number window."""
+    plan = _plan(spark, "kmeans_assign_fixed")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_skyline_prune_is_partitioned_window(spark):
+    """skyline_2d's first pass partitions by the x class (parallel);
+    only the value-class frame hits the global running-min window."""
+    plan = _plan(spark, "part_skyline")
+    # both windows present; the per-class prune must come with a
+    # hash-partitioned exchange on the price class
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(__price_cents" in plan

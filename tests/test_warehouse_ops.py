@@ -883,3 +883,30 @@ def test_key_skew_report_values(spark):
     assert (r.n_rows, r.n_keys, r.max_key_rows) == (7, 4, 4)
     assert r.top_share == round(4 / 7, 6)
     assert r.skew_ratio == 4.0  # median per-key count = 1
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+
+def _both_dirs(spark, pairs):
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    return e.union(e.selectExpr("dst AS src", "src AS dst"))
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    # K4 on {1,2,3,4} is a 3-core; the chain 4-5-6 peels away — node 5
+    # only loses its degree-3 status AFTER 6 is removed (iterative).
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    out = {
+        r.item: r.degree
+        for r in analytics.kcore(_both_dirs(spark, pairs), k=3, n_rounds=8).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_no_core(spark):
+    pairs = [(1, 2), (2, 3), (3, 4)]  # path: max core is 1
+    out = analytics.kcore(_both_dirs(spark, pairs), k=2, n_rounds=4).collect()
+    assert out == []
