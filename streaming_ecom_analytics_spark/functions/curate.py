@@ -388,3 +388,82 @@ def streaming_curation(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def quality_classifier_eval(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_threshold: float = 0.5,
+    min_accuracy: float = 0.85,
+) -> DataFrame:
+    """Train a DISTRIBUTED quality classifier (Spark ML logistic
+    regression over the doc-stats features) to distill the heuristic
+    quality score into a learned filter — the fastText-style quality
+    model every large-corpus curation pipeline ends up training.
+
+    - Teacher label: quality_score ≥ threshold (the heuristic is
+      piecewise-linear in the features, so a linear model must
+      separate it well — making held-out accuracy a real contract).
+    - Split: the md5-bucket assign_splits (engine-portable), train on
+      'train', evaluate on val+test — no leakage by construction.
+    - Training is Spark ML's L-BFGS — driver-coordinated
+      treeAggregate rounds, executor-parallel gradient passes; the
+      fit happens when the query is built, like the IVF KMeans
+      quantizer.
+
+    Output: single row (n_train, n_eval, accuracy_ok) — counts are
+    exactly oracle-checkable (the split is deterministic), accuracy
+    is a contract bound (model weights are float-order sensitive;
+    the bound is robust).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    stats = text.doc_stats(docs, text_col=text_col, id_col=id_col)
+    feats = (
+        stats.join(
+            docs.select(
+                F.col(id_col),
+                (text.quality_score_col(text_col) >= label_threshold)
+                .cast("double")
+                .alias("label"),
+            ),
+            on=id_col,
+        )
+        .join(assign_splits(docs, id_col=id_col), on=id_col)
+        .select(
+            id_col,
+            "split",
+            "label",
+            F.col("n_chars").cast("double").alias("f_chars"),
+            F.col("n_tokens").cast("double").alias("f_tokens"),
+            F.coalesce("avg_token_len", F.lit(0.0)).alias("f_tok_len"),
+            F.coalesce("stopword_ratio", F.lit(0.0)).alias("f_stop"),
+            F.coalesce("punct_ratio", F.lit(0.0)).alias("f_punct"),
+        )
+    )
+    assembler = VectorAssembler(
+        inputCols=["f_chars", "f_tokens", "f_tok_len", "f_stop", "f_punct"],
+        outputCol="features",
+    )
+    train = assembler.transform(feats.filter(F.col("split") == "train"))
+    hold = assembler.transform(feats.filter(F.col("split") != "train"))
+    model = LogisticRegression(maxIter=25, regParam=0.0).fit(train)
+    scored = model.transform(hold)
+    n_train = train.select(F.count("*").alias("n_train"))
+    return (
+        scored.agg(
+            F.count("*").alias("n_eval"),
+            F.avg((F.col("prediction") == F.col("label")).cast("double")).alias(
+                "__acc"
+            ),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_train",
+            "n_eval",
+            (F.col("__acc") >= F.lit(min_accuracy)).alias("accuracy_ok"),
+        )
+    )

@@ -1622,3 +1622,30 @@ def q_kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-ML step with a real value-level oracle, not a rows-only
     check."""
     return similarity.kmeans_lloyd_update(catalog.embeddings(spark, sf_dir), k=8)
+
+
+@register(
+    "quality_classifier_eval",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+      FROM documents
+    )
+    SELECT COUNT(CASE WHEN bucket >= 20 THEN 1 END) AS n_train,
+           COUNT(CASE WHEN bucket < 20 THEN 1 END) AS n_eval,
+           TRUE AS accuracy_ok
+    FROM b
+    """,
+)
+def q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier distillation: Spark ML logistic
+    regression over doc-stats features, teacher-labeled by the
+    heuristic quality score, evaluated on the held-out md5 split.
+    Split counts are exactly oracle-checked; held-out accuracy ≥0.85
+    is the contract (the teacher is piecewise-linear in the features,
+    so a regression would fail it)."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    return curate.quality_classifier_eval(catalog.documents(spark, sf_dir))

@@ -202,3 +202,22 @@ def test_streaming_curation_matches_batch_and_dedups(spark, tmp_path):
         for r in curate.streaming_curation(batch, min_quality=0.4).collect()
     }
     assert got_h == want_h and len(want) == 2
+
+
+def test_quality_classifier_separates_obvious_quality(spark):
+    """A corpus with clearly good (long, stopword-rich prose) and
+    clearly bad (punctuation soup) docs: the learned filter must
+    recover the heuristic teacher on held-out docs (accuracy_ok) and
+    split counts must follow the md5 buckets exactly."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    good = "the quick brown fox jumps over the lazy dog and runs on with it " * 4
+    bad = "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) ~~~"
+    docs = spark.createDataFrame(
+        [(i, good if i % 2 == 0 else bad) for i in range(120)],
+        "doc_id long, text string",
+    )
+    row = curate.quality_classifier_eval(docs).collect()[0]
+    assert row.n_train + row.n_eval == 120
+    assert row.n_eval > 0
+    assert row.accuracy_ok
