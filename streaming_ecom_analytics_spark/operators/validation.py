@@ -137,3 +137,86 @@ def expectations_report(
         )
         .orderBy("expectation")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str | Column],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier expressions:
+    how exposed is each equivalence class? A class of size < k means
+    its members are re-identifiable by joining the quasi-identifiers
+    against outside data — the release-gating check for training-data
+    governance.
+
+    One hash aggregate over the quasi-identifier grid, then scalar
+    aggregates over the class frame (|classes| rows). NULL identifier
+    values form classes of their own (they partition the data the
+    same way a join key would).
+
+    Output: single row (n_rows, n_classes, n_unsafe_classes,
+    n_exposed_rows, min_class_size, k_anonymous) — k_anonymous TRUE
+    iff every class has ≥ k members.
+    """
+    cols = [
+        c if isinstance(c, Column) else F.col(c) for c in quasi_identifiers
+    ]
+    classes = df.groupBy(*cols).agg(F.count("*").alias("__n"))
+    return classes.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.count(F.when(F.col("__n") < k, 1)).alias("n_unsafe_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, F.col("__n"))), F.lit(0)
+        ).alias("n_exposed_rows"),
+        F.min("__n").alias("min_class_size"),
+        (F.min("__n") >= k).alias("k_anonymous"),
+    )
+
+
+def fk_integrity_audit(
+    pairs: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across fact→dimension links: for
+    each (name, child, fk_col, parent, pk_col), the child rows whose
+    FK resolves to no parent row (orphans) and the NULL-FK count —
+    the first report run after any ingest or CDC backfill.
+
+    Orphans are a LEFT ANTI join per link (NULL FKs excluded from the
+    anti join — they can never match and are reported separately);
+    Catalyst broadcasts the parent key set when small, and the child
+    scan reads only the FK column (one narrow projection per link).
+
+    Output: (link, n_child_rows, n_null_fk, n_orphans, ok) per link.
+    """
+    reports = []
+    for name, child, fk, parent, pk in pairs:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        non_null = child.filter(F.col(fk).isNotNull()).select(
+            F.col(fk).alias("__fk")
+        )
+        orphans = non_null.join(
+            keys, on=F.col("__fk") == F.col("__pk"), how="left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        base = child.agg(
+            F.lit(name).alias("link"),
+            F.count("*").alias("n_child_rows"),
+            F.count(F.when(F.col(fk).isNull(), 1)).alias("n_null_fk"),
+        )
+        reports.append(
+            base.crossJoin(F.broadcast(orphans)).select(
+                "link",
+                "n_child_rows",
+                "n_null_fk",
+                "n_orphans",
+                ((F.col("n_orphans") == 0) & (F.col("n_null_fk") == 0)).alias(
+                    "ok"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out

@@ -2035,3 +2035,108 @@ def q_item_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("item_b AS src", "item_a AS dst")
     )
     return analytics.kcore(edges, k=3, n_rounds=8)
+
+
+_KANON_ORACLE = """
+    WITH cls AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             FLOOR(value / 50.0) AS vb, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           COUNT(CASE WHEN n < 5 THEN 1 END) AS n_unsafe_classes,
+           CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             AS n_exposed_rows,
+           MIN(n) AS min_class_size,
+           MIN(n) >= 5 AS k_anonymous
+    FROM cls
+"""
+
+
+@register("events_k_anonymity", _KANON_ORACLE)
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) of the events table under the
+    (event_type, day, value-band) quasi-identifier grid — the
+    re-identification exposure report gating a data release."""
+    ev = catalog.events(spark, sf_dir)
+    return validation.k_anonymity_audit(
+        ev,
+        [
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")),
+            F.floor(F.col("value") / 50.0),
+        ],
+        k=5,
+    )
+
+
+_FK_ORACLE = """
+    SELECT 'orders->customer' AS link,
+           (SELECT COUNT(*) FROM orders) AS n_child_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_null_fk,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+           AND (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0 AS ok
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+           AND (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) = 0
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)) = 0
+           AND (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL) = 0
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
+           (SELECT COUNT(*) FROM nation n
+            WHERE n.n_regionkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey)),
+           (SELECT COUNT(*) FROM nation n
+            WHERE n.n_regionkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey)) = 0
+           AND (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL) = 0
+"""
+
+
+@register("fk_integrity_audit", _FK_ORACLE)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four FK
+    links (orphans + NULL FKs per link, anti-join per link) — the
+    post-ingest data-quality gate."""
+    t = lambda n: catalog.load_table(spark, n, sf_dir)  # noqa: E731
+    return validation.fk_integrity_audit(
+        [
+            ("orders->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+            ("lineitem->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+            ("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+            ("nation->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+        ]
+    )

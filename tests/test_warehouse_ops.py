@@ -910,3 +910,38 @@ def test_kcore_empty_when_no_core(spark):
     pairs = [(1, 2), (2, 3), (3, 4)]  # path: max core is 1
     out = analytics.kcore(_both_dirs(spark, pairs), k=2, n_rounds=4).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit / fk_integrity_audit
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from streaming_ecom_analytics_spark.operators import validation
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [(None,)], "q string"
+    )
+    r = validation.k_anonymity_audit(df, ["q"], k=3).collect()[0]
+    assert (r.n_rows, r.n_classes) == (8, 3)
+    assert r.n_unsafe_classes == 2  # 'b' (2) and NULL (1)
+    assert r.n_exposed_rows == 3
+    assert r.min_class_size == 1
+    assert not r.k_anonymous
+    ok = validation.k_anonymity_audit(df, ["q"], k=1).collect()[0]
+    assert ok.k_anonymous
+
+
+def test_fk_integrity_orphans_and_nulls(spark):
+    from streaming_ecom_analytics_spark.operators import validation
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = validation.fk_integrity_audit(
+        [("c->p", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert (r.n_child_rows, r.n_null_fk, r.n_orphans) == (4, 1, 1)
+    assert not r.ok
