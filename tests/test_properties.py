@@ -299,3 +299,67 @@ def test_interval_overlap_join_equals_bruteforce(spark, ivs, bucket):
         and b[1][1] < a[1][1] + a[1][2]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d vs brute force
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_equals_bruteforce(spark, pts):
+    from streaming_ecom_analytics_spark.operators.analytics import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        r.id for r in skyline_2d(df, "x", "y", out_cols=["id"]).collect()
+    )
+    want = sorted(
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+            for j, (x2, y2) in enumerate(pts)
+            if j != i
+        )
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# linear_attribution: penny conservation for arbitrary touch layouts
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n_touches=st.integers(1, 7),
+    cents=st.integers(1, 9999),
+)
+@settings(**_SETTINGS)
+def test_attribution_conserves_cents(spark, n_touches, cents):
+    from streaming_ecom_analytics_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, "u", "click", None, base + dt.timedelta(hours=i))
+        for i in range(n_touches)
+    ] + [(99, "u", "purchase", cents / 100.0, base + dt.timedelta(days=1))]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string,"
+        " value double, ts timestamp",
+    )
+    out = linear_attribution(ev).collect()
+    total = round(sum(r.attributed_revenue for r in out), 2)
+    assert total == cents / 100.0 or total == round(cents / 100.0, 2)
+    assert sum(r.n_touches for r in out) == n_touches
