@@ -655,3 +655,72 @@ def fuzzy_link_pairs(
     return cand.select(
         "id_a", "id_b", "name_a", "name_b", dist.cast("int").alias("distance")
     ).filter(F.col("distance") <= max_distance)
+
+
+def span_dedup_docs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Span-level exact dedup with document reconstruction — the
+    practical form of substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") at fixed-span
+    granularity: split every document into NON-overlapping
+    ``span_tokens``-token spans, keep only the corpus-wide first
+    occurrence of each distinct span (min (doc_id, span_id) — total
+    order, engine-identical), and rebuild each document from its
+    surviving spans in order.
+
+    Plan: the span explode is the chunk projection (no shuffle); the
+    keep-first is one hash aggregate on span content + one equi-join
+    back (16-byte-ish keys at real scale if pre-hashed — text keys
+    here keep the oracle portable); reconstruction is
+    array_sort(collect_list(struct)) per doc — list size bounded by
+    doc length, order made deterministic by the struct sort, never by
+    collect order.
+
+    Output: (doc_id, n_spans, n_spans_kept, text_dedup) — docs whose
+    every span was seen earlier come back with empty text, preserving
+    corpus row count for downstream joins.
+    """
+    from streaming_ecom_analytics_spark.functions import text as text_fns
+
+    spans = text_fns.chunk_documents(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        chunk_tokens=span_tokens,
+        stride=span_tokens,
+    ).select(id_col, F.col("chunk_id").alias("span_id"), F.col("chunk_text"))
+    first = spans.groupBy("chunk_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_id"))).alias("__f")
+    )
+    kept = (
+        spans.join(first, on="chunk_text")
+        .where(
+            (F.col(id_col) == F.col("__f")[id_col])
+            & (F.col("span_id") == F.col("__f.span_id"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return totals.join(kept, on=id_col, how="left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

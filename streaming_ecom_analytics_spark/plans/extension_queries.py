@@ -1649,3 +1649,42 @@ def q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.functions import curate
 
     return curate.quality_classifier_eval(catalog.documents(spark, sf_dir))
+
+
+@register(
+    "span_dedup_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS span_id,
+             array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ')
+               AS chunk_text
+      FROM w, unnest(generate_series(0, (greatest(len(w), 1) - 1) // 20)) AS t(i)
+    ),
+    first AS (
+      SELECT chunk_text,
+             MIN(struct_pack(doc_id := doc_id, span_id := span_id)) AS f
+      FROM spans GROUP BY chunk_text
+    ),
+    kept AS (
+      SELECT s.doc_id, COUNT(*) AS n_spans_kept,
+             string_agg(s.chunk_text, ' ' ORDER BY s.span_id) AS text_dedup
+      FROM spans s JOIN first f ON s.chunk_text = f.chunk_text
+      WHERE s.doc_id = f.f.doc_id AND s.span_id = f.f.span_id
+      GROUP BY s.doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT t.doc_id, t.n_spans,
+           COALESCE(k.n_spans_kept, 0) AS n_spans_kept,
+           COALESCE(k.text_dedup, '') AS text_dedup
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+)
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup + reconstruction (20-token spans,
+    corpus-wide keep-first): the substring-dedup step of a training
+    pipeline, with every document rebuilt from its surviving spans —
+    row count preserved, duplicated boilerplate stripped."""
+    return dedup.span_dedup_docs(catalog.documents(spark, sf_dir), span_tokens=20)

@@ -444,3 +444,39 @@ def q_top_event_types_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.windowed_top_event_types(
         catalog.events(spark, sf_dir), watermark=None
     )
+
+
+@register(
+    "purchases_vs_item_baseline",
+    """
+    WITH p AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             value
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT item, SUM(CAST(value AS DECIMAL(18,2))) AS s, COUNT(*) AS n_item
+      FROM p GROUP BY item
+    )
+    SELECT p.event_id, p.item, p.value, b.n_item,
+           CAST(b.s AS DOUBLE) AS baseline_sum,
+           CAST(p.value AS DECIMAL(18,2)) * b.n_item > b.s AS above_avg
+    FROM p JOIN b ON p.item = b.item
+    """,
+)
+def q_purchases_vs_item_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (online feature
+    serving): every purchase scored against its item's standing
+    baseline — exact DECIMAL compare, no float mean. The streaming
+    side runs the identical transform against the static baseline
+    (test_streaming asserts stream == this twin)."""
+    from streaming_ecom_analytics_spark.streaming import joins as sjoins
+
+    ev = catalog.events(spark, sf_dir)
+    return sjoins.enrich_purchases_with_baseline(
+        ev, sjoins.item_value_baseline(ev)
+    )

@@ -134,3 +134,59 @@ def clicks_with_conversion_outcome(
         "purchase_value",
         F.col("purchase_id").isNotNull().alias("converted"),
     )
+
+
+def item_value_baseline(events_batch: DataFrame) -> DataFrame:
+    """Static per-item purchase baseline (exact DECIMAL sum + count) —
+    the feature table the streaming side serves against. Computed in
+    batch (nightly, or by the incremental maintainer); division is
+    deliberately deferred so every downstream compare stays exact."""
+    return (
+        events_batch.filter(
+            (F.col("event_type") == "purchase")
+            & F.get_json_object(F.col("props"), "$.k").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+            F.col("value").cast("decimal(18,2)").alias("__v"),
+        )
+        .groupBy("item")
+        .agg(F.sum("__v").alias("__s"), F.count("*").alias("n_item"))
+    )
+
+
+def enrich_purchases_with_baseline(
+    purchases: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join (online feature serving): each
+    purchase is scored against its item's standing baseline. Works
+    identically on a streaming or batch ``purchases`` frame — Spark
+    re-evaluates the static side every micro-batch, so a lake-backed
+    baseline picks up nightly refreshes without a restart; at real
+    scale the baseline is a broadcast (|items| rows).
+
+    ``above_avg`` compares value·n_item > sum — exact DECIMAL×int
+    arithmetic, no float mean to disagree across engines.
+
+    Output: (event_id, item, value, n_item, baseline_sum, above_avg).
+    """
+    p = purchases.filter(
+        (F.col("event_type") == "purchase")
+        & F.get_json_object(F.col("props"), "$.k").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item"),
+        "value",
+    )
+    return p.join(baseline, on="item", how="inner").select(
+        "event_id",
+        "item",
+        "value",
+        "n_item",
+        F.col("__s").cast("double").alias("baseline_sum"),
+        (F.col("value").cast("decimal(18,2)") * F.col("n_item") > F.col("__s")).alias(
+            "above_avg"
+        ),
+    )

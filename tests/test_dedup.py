@@ -183,3 +183,47 @@ def test_fuzzy_link_pairs_deletion_blocking(spark):
 
     with _pytest.raises(NotImplementedError, match="max_distance=1"):
         dedup.fuzzy_link_pairs(df, id_col="id", name_col="name", max_distance=2)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup_docs
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_keeps_first_and_reconstructs(spark):
+    # span size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] — "c d" kept
+    # only in doc 1; doc 2 rebuilds to just "e f".
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.span_dedup_docs(docs, span_tokens=2).collect()
+    }
+    assert out[1].text_dedup == "a b c d"
+    assert (out[1].n_spans, out[1].n_spans_kept) == (2, 2)
+    assert out[2].text_dedup == "e f"
+    assert (out[2].n_spans, out[2].n_spans_kept) == (2, 1)
+
+
+def test_span_dedup_fully_duplicated_doc_stays_as_empty_row(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.span_dedup_docs(docs, span_tokens=2).collect()
+    }
+    assert out[1].text_dedup == "x y"
+    assert out[2].text_dedup == ""
+    assert out[2].n_spans_kept == 0
+    assert len(out) == 2  # row count preserved
+
+
+def test_span_dedup_within_doc_repeats_collapse(spark):
+    docs = spark.createDataFrame(
+        [(7, "p q p q p q")], "doc_id long, text string"
+    )
+    r = dedup.span_dedup_docs(docs, span_tokens=2).collect()[0]
+    assert r.text_dedup == "p q"
+    assert (r.n_spans, r.n_spans_kept) == (3, 1)

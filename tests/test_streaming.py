@@ -460,3 +460,41 @@ def test_windowed_leaderboard_streaming_matches_batch(spark, events_dir, tmp_pat
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static join (online feature serving): purchases streamed
+    over micro-batches, scored against the static item baseline — the
+    streamed result must equal the batch twin exactly (the static side
+    is re-evaluated per micro-batch but identical here)."""
+    from streaming_ecom_analytics_spark.streaming import joins as sjoins
+
+    batch = spark.read.parquet(events_dir + "/*")
+    # give the fixture purchases an item payload so the join has keys
+    keyed_batch = batch.withColumn(
+        "props", F.format_string('{"k": %d}', F.col("user_id") % 2)
+    )
+    baseline = sjoins.item_value_baseline(keyed_batch)
+    stream = _stream(spark, events_dir).withColumn(
+        "props", F.format_string('{"k": %d}', F.col("user_id") % 2)
+    )
+    out = sjoins.enrich_purchases_with_baseline(stream, baseline)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.item, r.n_item, r.baseline_sum, r.above_avg)
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    want = {
+        r.event_id: (r.item, r.n_item, r.baseline_sum, r.above_avg)
+        for r in sjoins.enrich_purchases_with_baseline(
+            keyed_batch, baseline
+        ).collect()
+    }
+    assert got == want and len(got) > 0
