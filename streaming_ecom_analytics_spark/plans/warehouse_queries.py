@@ -2140,3 +2140,57 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("nation->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
         ]
     )
+
+
+_DOW_INDEP_ORACLE = """
+    WITH cells AS (
+      -- Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6
+      SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, SUM(observed) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT dow, SUM(observed) AS c FROM cells GROUP BY 1),
+    n AS (SELECT SUM(observed) AS n FROM cells)
+    SELECT cells.event_type, CAST(cells.dow AS BIGINT) AS dow, observed,
+           ROUND(CAST(r AS DOUBLE) * c / n, 6) AS expected,
+           ROUND((observed - CAST(r AS DOUBLE) * c / n)
+                 / sqrt(CAST(r AS DOUBLE) * c / n), 6) AS pearson_residual,
+           ABS((observed - CAST(r AS DOUBLE) * c / n)
+               / sqrt(CAST(r AS DOUBLE) * c / n)) > 2 AS significant
+    FROM cells
+    JOIN rm ON rm.event_type = cells.event_type
+    JOIN cm ON cm.dow = cells.dow
+    CROSS JOIN n
+"""
+
+
+@register("event_dow_independence", _DOW_INDEP_ORACLE)
+def q_event_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square-style independence audit of event_type × day-of-week:
+    observed vs expected-under-independence per cell with Pearson
+    residuals (|r| > 2 flags the dependent cells). Margins are exact
+    integer aggregates; each residual is a single mirrored double
+    expression — no order-sensitive global float sum. The contingency
+    grid is |types|×7 rows however big the fact table is."""
+    ev = catalog.events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count("*").alias("observed"))
+    rm = cells.groupBy("event_type").agg(F.sum("observed").alias("r"))
+    cm = cells.groupBy("dow").agg(F.sum("observed").alias("c"))
+    n = cells.agg(F.sum("observed").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    resid = (F.col("observed") - e) / F.sqrt(e)
+    return (
+        cells.join(rm, on="event_type")
+        .join(F.broadcast(cm), on="dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(resid, 6).alias("pearson_residual"),
+            (F.abs(resid) > 2).alias("significant"),
+        )
+    )
