@@ -2194,3 +2194,47 @@ def q_event_dow_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(resid) > 2).alias("significant"),
         )
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+    WITH h AS (
+      SELECT o_orderkey,
+             substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS c
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN c IN ('0', '1') THEN 'changed'
+                ELSE 'removed' END AS change_type
+    FROM h WHERE c IN ('0', '1', '2', '3')
+    UNION ALL
+    SELECT o_orderkey + 10000000000 AS o_orderkey, 'added' AS change_type
+    FROM h WHERE c IN ('0', '1')
+"""
+
+
+@register("orders_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit: apply a derived change batch (price bumps
+    on the 0/1 md5 bucket, deletes on 2/3, brand-new keys from the
+    bump set) through the CDC merge, then diff post vs pre — the
+    changed/removed/added classification must reproduce the change
+    batch exactly. The diff join moves (key, row-hash), never rows."""
+    cols = [c.strip() for c in _CDC_COLS.split(",")]
+    base = catalog.load_table(spark, "orders", sf_dir).select(*cols)
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    updates = base.filter(bucket.isin("0", "1")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    inserts = updates.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10000000000)
+    )
+    deletes = base.filter(bucket.isin("2", "3"))
+    changes = (
+        updates.withColumn("op", F.lit("U"))
+        .unionByName(inserts.withColumn("op", F.lit("U")))
+        .unionByName(deletes.withColumn("op", F.lit("D")))
+    )
+    merged = cdc.apply_changes(
+        base, changes, key_cols=["o_orderkey"], seq_col="o_orderdate"
+    )
+    return cdc.snapshot_diff(base, merged, key_cols=["o_orderkey"])

@@ -160,3 +160,43 @@ def test_cdc_upsert_materializer_stream(spark, tmp_path):
     assert final == {1: "alicia", 3: "carol"}  # bob deleted, alice updated
     v0 = {r.id: r.name for r in table.read(spark, version=0).collect()}
     assert v0 == {1: "alice", 2: "bob"}
+
+
+def test_snapshot_diff_over_time_travel(spark, tmp_path):
+    """snapshot_diff across two committed versions of a VersionedTable:
+    the classified changes must match what the second commit wrote."""
+    from streaming_ecom_analytics_spark.operators.cdc import snapshot_diff
+    from streaming_ecom_analytics_spark.sources.versioned_lake import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    t.commit(v1, message="v1")
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    t.commit(v2, message="v2")
+    versions = t.versions()
+    old = t.read(spark, version=versions[0])
+    new = t.read(spark, version=versions[-1])
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_safety(spark):
+    from streaming_ecom_analytics_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    # NULL == NULL must read as unchanged; x -> NULL is a change
+    assert got == {2: "changed"}
