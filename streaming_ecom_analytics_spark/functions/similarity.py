@@ -885,3 +885,97 @@ def kmeans_lloyd_update(
         F.count("*").alias("n_members"),
         F.floor(F.sum("vm") / F.count("*")).alias("centroid_micros"),
     )
+
+
+def kmeans_fit_trace(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FULL iterative K-means (Lloyd) fit with a per-round convergence
+    trace — the distributed iterative-ML loop, built so every round is
+    bit-exactly replayable by the SQL oracle:
+
+    - centroids quantize to the integer-micro grid after every update
+      (floor(mean·10⁶)/10⁶ — exactly representable doubles), so
+      cross-engine float drift cannot accumulate across rounds;
+    - each round = one broadcast-centroid assignment (map-side
+      combinable struct-min argmin, same kernel as
+      kmeans_assign_fixed) + one explode/hash-agg mean update;
+    - centroid frames are eagerly localCheckpointed per round — the
+      round-over-round lineage rule shared with pagerank/kcore;
+    - clusters that lose all members drop out (standard Lloyd on
+      fixed data), so the trace also reports surviving cluster count.
+
+    Output: (round, n_clusters, inertia_micros), rounds 1..n_rounds —
+    inertia_micros is the exact integer sum of floor(d2·10⁶) under
+    the round's INCOMING centroids (round 1 = the k lowest-id seeds),
+    monotonically non-increasing by Lloyd's theorem (unit-tested; the
+    oracle checks every value).
+    """
+    x = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("xv"),
+    ).withColumn("xx", _dot(F.col("xv"), F.col("xv")))
+    centroids = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cluster_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    traces = []
+    for rnd in range(1, n_rounds + 1):
+        c = centroids.withColumn("cc", _dot(F.col("cv"), F.col("cv")))
+        d2 = F.col("xx") - F.lit(2.0) * _dot(F.col("xv"), F.col("cv")) + F.col("cc")
+        scored = x.crossJoin(F.broadcast(c)).select(
+            "vec_id", "xv", "cluster_id", d2.alias("d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster_id", "xv")).alias("b"))
+            .select(
+                F.col("b.cluster_id").alias("cluster_id"),
+                F.col("b.d2").alias("d2"),
+                F.col("b.xv").alias("xv"),
+            )
+        )
+        traces.append(
+            assigned.agg(
+                F.lit(rnd).alias("round"),
+                F.countDistinct("cluster_id").alias("n_clusters"),
+                F.sum(F.floor(F.col("d2") * F.lit(1000000.0)).cast("long")).alias(
+                    "inertia_micros"
+                ),
+            )
+        )
+        if rnd == n_rounds:
+            break
+        means = (
+            assigned.select("cluster_id", F.posexplode("xv").alias("pos", "val"))
+            .select(
+                "cluster_id",
+                F.col("pos").alias("dim_idx"),
+                F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("vm"),
+            )
+            .groupBy("cluster_id", "dim_idx")
+            .agg(
+                (
+                    F.floor(F.sum("vm") / F.count("*")) / F.lit(1000000.0)
+                ).alias("cval")
+            )
+        )
+        centroids = (
+            means.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.unionAll(t)
+    return out

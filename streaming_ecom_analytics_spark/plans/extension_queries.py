@@ -1688,3 +1688,70 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, with every document rebuilt from its surviving spans —
     row count preserved, duplicated boilerplate stripped."""
     return dedup.span_dedup_docs(catalog.documents(spark, sf_dir), span_tokens=20)
+
+
+def _kmeans_trace_oracle(k: int = 8, n_rounds: int = 3) -> str:
+    """Unrolled Lloyd iterations — one (assign, inertia, update) CTE
+    trio per round, every CTE MATERIALIZED (assignment is referenced
+    by both the inertia row and the next centroid set; inlining would
+    double the plan per round, the kcore lesson)."""
+    parts = [
+        f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv FROM embeddings
+    ),
+    c1 AS MATERIALIZED (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""",
+    s{r} AS MATERIALIZED (
+      SELECT vec_id, cluster_id, d2, xv FROM (
+        SELECT vec_id, cluster_id, d2, xv, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, cluster_id ASC
+        ) AS rn FROM (
+          SELECT x.vec_id, c{r}.cluster_id, x.xv,
+                 list_dot_product(xv, xv) - 2 * list_dot_product(xv, cv)
+                   + list_dot_product(cv, cv) AS d2
+          FROM x, c{r}
+        )
+      ) WHERE rn = 1
+    ),
+    i{r} AS (
+      SELECT {r} AS round,
+             COUNT(DISTINCT cluster_id) AS n_clusters,
+             CAST(SUM(CAST(FLOOR(d2 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS inertia_micros
+      FROM s{r}
+    )""")
+        if r < n_rounds:
+            parts.append(f""",
+    c{r + 1} AS MATERIALIZED (
+      SELECT cluster_id, array_agg(cval ORDER BY dim_idx) AS cv FROM (
+        SELECT cluster_id, i AS dim_idx,
+               CAST(FLOOR(SUM(CAST(FLOOR(xv[i] * 1000000.0) AS BIGINT))
+                          / COUNT(*)) AS BIGINT) / 1000000.0 AS cval
+        FROM s{r}, unnest(generate_series(1, len(xv))) AS u(i)
+        GROUP BY cluster_id, i
+      ) GROUP BY cluster_id
+    )""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT round, n_clusters, inertia_micros FROM i{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@register("kmeans_fit_trace", _kmeans_trace_oracle())
+def q_kmeans_fit_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative K-means (3 Lloyd rounds, k=8) with a per-round
+    exact inertia trace — the distributed iterative-ML loop, centroids
+    re-quantized to the integer-micro grid each round so the whole
+    trajectory is bit-exactly replayable by the unrolled SQL oracle.
+    Lloyd guarantees the trace is non-increasing (unit-tested); the
+    oracle checks every traced value."""
+    return similarity.kmeans_fit_trace(
+        catalog.embeddings(spark, sf_dir), k=8, n_rounds=3
+    )

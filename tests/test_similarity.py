@@ -260,3 +260,35 @@ def test_kmeans_assign_no_plan_build_jobs(spark):
     after = sc.statusTracker().getJobIdsForGroup(None)
     assert len(after) == len(before)
     assert df.count() == 2
+
+
+def test_kmeans_fit_trace_monotone_and_converges(spark):
+    # Two tight blobs; seeds (ids 0,1) start both inside blob A — the
+    # update step must migrate one centroid toward blob B and inertia
+    # must be non-increasing round over round (Lloyd's theorem).
+    rows = (
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])]
+        + [(i, [float(i % 3) * 0.1, 0.0]) for i in range(2, 12)]
+        + [(i, [100.0 + float(i % 3) * 0.1, 50.0]) for i in range(12, 22)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tr = {r.round: r for r in similarity.kmeans_fit_trace(emb, k=2, n_rounds=4).collect()}
+    inertias = [tr[i].inertia_micros for i in sorted(tr)]
+    assert all(a >= b for a, b in zip(inertias, inertias[1:]))
+    # after the first update the far blob is captured: inertia collapses
+    assert inertias[-1] < inertias[0] / 100
+    assert tr[max(tr)].n_clusters == 2
+
+
+def test_kmeans_fit_trace_round1_matches_assign_fixed(spark):
+    # Round 1 of the trace runs under the seed centroids — its inertia
+    # must equal the standalone assignment step's total.
+    rows = [(i, [float(i), float(i % 4)]) for i in range(16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tr = {r.round: r for r in similarity.kmeans_fit_trace(emb, k=4, n_rounds=2).collect()}
+    standalone = (
+        similarity.kmeans_assign_fixed(emb, k=4)
+        .agg({"inertia_micros": "sum"})
+        .collect()[0][0]
+    )
+    assert tr[1].inertia_micros == standalone
