@@ -2238,3 +2238,97 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, changes, key_cols=["o_orderkey"], seq_col="o_orderdate"
     )
     return cdc.snapshot_diff(base, merged, key_cols=["o_orderkey"])
+
+
+_IMPUTE_ORACLE = """
+    WITH med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           COALESCE(e.value, m.med) AS value_imputed,
+           e.value IS NULL AS was_imputed
+    FROM events e JOIN med m ON m.event_type = e.event_type
+"""
+
+
+@register("imputed_event_values", _IMPUTE_ORACLE)
+def q_imputed_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL repair by per-type exact median imputation (discrete
+    percentile — an actual data value, no interpolation drift). The
+    median table is |event_type| rows and broadcasts; the flag column
+    keeps imputed rows auditable downstream."""
+    ev = catalog.events(spark, sf_dir)
+    med = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+            ).alias("med")
+        )
+    )
+    return ev.join(F.broadcast(med), on="event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.coalesce("value", "med").alias("value_imputed"),
+        F.col("value").isNull().alias("was_imputed"),
+    )
+
+
+_OOO_ORACLE = """
+    WITH arr AS (
+      SELECT user_id, ts,
+             MAX(ts) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS high_water
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN ts < high_water THEN 1 END) AS n_out_of_order,
+           CAST(COALESCE(MAX(CASE WHEN ts < high_water
+                 THEN epoch_us(high_water) - epoch_us(ts) END), 0) AS BIGINT)
+             AS max_lateness_us
+    FROM arr GROUP BY user_id
+"""
+
+
+@register("out_of_order_report", _OOO_ORACLE)
+def q_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit (event time vs arrival order, with
+    event_id as the arrival proxy): per-user disorder counts and the
+    worst observed lateness — THE input for sizing streaming
+    watermarks (SCALE.md's watermark story quantified). One per-user
+    window over a running event-time high-water mark; lateness stays
+    in exact integer microseconds."""
+    from pyspark.sql.window import Window
+
+    ev = catalog.events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late = F.col("ts") < F.col("high_water")
+    return arr.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(late, 1)).alias("n_out_of_order"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    late,
+                    F.unix_micros("high_water") - F.unix_micros("ts"),
+                )
+            ),
+            F.lit(0),
+        ).alias("max_lateness_us"),
+    )

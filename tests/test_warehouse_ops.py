@@ -945,3 +945,36 @@ def test_fk_integrity_orphans_and_nulls(spark):
     ).collect()[0]
     assert (r.n_child_rows, r.n_null_fk, r.n_orphans) == (4, 1, 1)
     assert not r.ok
+
+
+# ---------------------------------------------------------------------------
+# out-of-order audit (registered query machinery, crafted frame)
+# ---------------------------------------------------------------------------
+
+
+def test_out_of_order_window_semantics(spark):
+    """Arrival order = event_id; one row arrives with an older event
+    time than its predecessor — exactly that row counts, and lateness
+    is measured against the running high-water mark."""
+    from pyspark.sql.window import Window
+
+    rows = [
+        (1, "u", _ts("2024-01-01T10:00:00")),
+        (2, "u", _ts("2024-01-01T10:05:00")),
+        (3, "u", _ts("2024-01-01T10:02:00")),  # 3 min late vs 10:05
+        (4, "u", _ts("2024-01-01T10:06:00")),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select("user_id", "ts", F.max("ts").over(w).alias("hw"))
+    late = F.col("ts") < F.col("hw")
+    r = arr.groupBy("user_id").agg(
+        F.count(F.when(late, 1)).alias("n_ooo"),
+        F.max(F.when(late, F.unix_micros("hw") - F.unix_micros("ts"))).alias("lat"),
+    ).collect()[0]
+    assert r.n_ooo == 1
+    assert r.lat == 3 * 60 * 1_000_000
