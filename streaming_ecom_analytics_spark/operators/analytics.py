@@ -1039,6 +1039,79 @@ def association_rules(
     )
 
 
+def cooccurrence_hitrate(
+    events: DataFrame,
+    *,
+    cutoff: str,
+    top_k: int = 3,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Offline evaluation of the co-occurrence recommender with a
+    TEMPORAL split (no leakage): train on purchases before ``cutoff``,
+    recommend each user the union of the top-``top_k`` co-items of
+    their train-basket items (ranked by co-purchase count,
+    deterministic tie-break), and score hit-rate against what they
+    actually bought afterwards.
+
+    Every stage is a bounded aggregate or basket-keyed join (the same
+    fan-out envelope as item_cooccurrence); ranks are exact
+    row_numbers, so the whole eval is engine-replayable — an eval
+    harness you can trust across engines, not a sampled estimate.
+
+    Output: one row (n_users_eval, n_hits, hit_rate) over users with
+    ≥1 train purchase and ≥1 test purchase.
+    """
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    cut = F.lit(cutoff).cast("timestamp")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & item.isNotNull()
+    ).select(F.col(user_col).alias("u"), item.alias("item"), F.col(ts_col))
+    train = purchases.filter(F.col(ts_col) < cut).select("u", "item").distinct()
+    test = purchases.filter(F.col(ts_col) >= cut).select("u", "item").distinct()
+    a = train.select(F.col("u"), F.col("item").alias("item_a"))
+    b = train.select(F.col("u"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, on="u")
+        .where(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("n_both").desc(), F.col("item_b").asc()
+    )
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("item_a", F.col("item_b").alias("rec"))
+    )
+    recs = (
+        train.join(top, on=F.col("item") == F.col("item_a"))
+        .select("u", "rec")
+        .distinct()
+    )
+    eval_users = train.select("u").distinct().join(
+        test.select("u").distinct(), on="u", how="left_semi"
+    )
+    hits = (
+        test.join(
+            recs, on=(test["u"] == recs["u"]) & (test["item"] == recs["rec"]),
+            how="left_semi",
+        )
+        .select("u")
+        .distinct()
+    )
+    n_users = eval_users.agg(F.count("*").alias("n_users_eval"))
+    n_hits = hits.agg(F.count("*").alias("n_hits"))
+    return n_users.crossJoin(F.broadcast(n_hits)).select(
+        "n_users_eval",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_users_eval"), 6).alias("hit_rate"),
+    )
+
+
 def kcore(
     edges: DataFrame,
     *,

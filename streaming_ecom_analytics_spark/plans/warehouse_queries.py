@@ -2332,3 +2332,54 @@ def q_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("max_lateness_us"),
     )
+
+
+_HITRATE_ORACLE = """
+    WITH p AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, ts
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    train AS (SELECT DISTINCT u, item FROM p WHERE ts < TIMESTAMP '2024-01-22'),
+    test  AS (SELECT DISTINCT u, item FROM p WHERE ts >= TIMESTAMP '2024-01-22'),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+      FROM train a JOIN train b ON a.u = b.u AND a.item <> b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    top AS (
+      SELECT item_a, item_b AS rec FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY item_a ORDER BY n_both DESC, item_b ASC
+        ) AS rn FROM pairs
+      ) WHERE rn <= 3
+    ),
+    recs AS (
+      SELECT DISTINCT t.u, top.rec
+      FROM train t JOIN top ON t.item = top.item_a
+    ),
+    eval_users AS (
+      SELECT DISTINCT u FROM train WHERE u IN (SELECT u FROM test)
+    ),
+    hits AS (
+      SELECT DISTINCT t.u FROM test t
+      WHERE EXISTS (SELECT 1 FROM recs r WHERE r.u = t.u AND r.rec = t.item)
+    )
+    SELECT (SELECT COUNT(*) FROM eval_users) AS n_users_eval,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM hits)
+                 / (SELECT COUNT(*) FROM eval_users), 6) AS hit_rate
+"""
+
+
+@register("cooccurrence_hitrate_eval", _HITRATE_ORACLE)
+def q_cooccurrence_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation: temporal split at Jan 22, top-3
+    co-occurrence recs from each user's train basket, hit-rate against
+    held-out purchases — the leak-free eval harness, exact ranks, one
+    engine-replayable summary row."""
+    return analytics.cooccurrence_hitrate(
+        catalog.events(spark, sf_dir), cutoff="2024-01-22", top_k=3, min_support=2
+    )

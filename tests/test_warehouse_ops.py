@@ -978,3 +978,31 @@ def test_out_of_order_window_semantics(spark):
     ).collect()[0]
     assert r.n_ooo == 1
     assert r.lat == 3 * 60 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_hitrate
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_hitrate_temporal_split(spark):
+    # Train: u1,u2 both buy {1,2} → rec(1)={2}, rec(2)={1}.
+    # Test: u1 buys 2 (HIT via rec of 1... u1 already owns both; the
+    # rec set for u1 is {1,2}); u2 buys 9 (miss); u3 test-only →
+    # excluded from eval.
+    rows = [
+        ("u1", 1, "2024-01-01T00:00:00"), ("u1", 2, "2024-01-02T00:00:00"),
+        ("u2", 1, "2024-01-03T00:00:00"), ("u2", 2, "2024-01-04T00:00:00"),
+        ("u1", 2, "2024-02-01T00:00:00"),
+        ("u2", 9, "2024-02-02T00:00:00"),
+        ("u3", 5, "2024-02-03T00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, "purchase", f'{{"k": {i}}}', _ts(t)) for u, i, t in rows],
+        "user_id string, event_type string, props string, ts timestamp",
+    )
+    r = analytics.cooccurrence_hitrate(
+        ev, cutoff="2024-01-15", top_k=3, min_support=2
+    ).collect()[0]
+    assert (r.n_users_eval, r.n_hits) == (2, 1)
+    assert r.hit_rate == 0.5
