@@ -523,3 +523,37 @@ def test_skyline_prune_is_partitioned_window(spark):
     # hash-partitioned exchange on the price class
     assert plan.count("Window") >= 2
     assert "hashpartitioning(__price_cents" in plan
+
+
+def test_late_round_queries_never_cartesian(spark):
+    """The second wave of round-4 queries: no cartesian products —
+    scalar 1-row frames and centroid sets must broadcast, diffs and
+    evals must stay equi-joins."""
+    for name in (
+        "orders_snapshot_diff",
+        "cooccurrence_hitrate_eval",
+        "span_dedup_docs",
+        "purchases_vs_item_baseline",
+        "item_kcore",
+        "kmeans_fit_trace",
+        "linear_attribution_daily",
+        "events_k_anonymity",
+        "fk_integrity_audit",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_snapshot_diff_joins_hashes_not_rows(spark):
+    """orders_snapshot_diff's full-outer join must carry the md5 row
+    hash, not the payload columns (o_orderstatus etc. are hashed away
+    before the exchange)."""
+    plan = _plan(spark, "orders_snapshot_diff")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    join_on = plan.split("FullOuter", 1)
+    assert len(join_on) == 2, "expected a full-outer join in the plan"
+
+
+def test_imputation_median_table_broadcasts(spark):
+    plan = _plan(spark, "imputed_event_values")
+    assert "BroadcastExchange" in plan
