@@ -1755,3 +1755,144 @@ def q_kmeans_fit_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_fit_trace(
         catalog.embeddings(spark, sf_dir), k=8, n_rounds=3
     )
+
+
+@register(
+    "knn_label_accuracy",
+    """
+    WITH x AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    probes AS (SELECT * FROM x WHERE vec_id < 20),
+    scored AS (
+      SELECT p.vec_id, p.label AS true_label, c.label AS pred_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY ROUND(list_dot_product(p.v, c.v)
+                     / (sqrt(list_dot_product(p.v, p.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                     c.vec_id ASC
+             ) AS rn
+      FROM probes p, x c WHERE p.vec_id != c.vec_id
+    )
+    SELECT vec_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           true_label = pred_label AS correct
+    FROM scored WHERE rn = 1
+    """,
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: 1-NN label prediction for 20 probe
+    vectors (exact cosine, deterministic ties) vs their true labels —
+    the quick 'are these embeddings worth anything' readout before a
+    training run commits to them."""
+    emb = catalog.embeddings(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 20)
+    nn = similarity.cosine_topk(emb, probes, k=1)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("__l"))
+    return (
+        nn.join(
+            labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "__l", "true_label"
+            ),
+            on="query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "__l", "pred_label"
+            ),
+            on="neighbor_id",
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "true_label",
+            "pred_label",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "label_centroid_separation",
+    """
+    WITH x AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS xv FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+      SELECT label, array_agg(cval ORDER BY dim_idx) AS cv FROM (
+        SELECT label, i AS dim_idx,
+               CAST(FLOOR(SUM(CAST(FLOOR(xv[i] * 1000000.0) AS BIGINT))
+                          / COUNT(*)) AS BIGINT) / 1000000.0 AS cval
+        FROM x, unnest(generate_series(1, len(xv))) AS u(i)
+        GROUP BY label, i
+      ) GROUP BY label
+    ),
+    d AS (
+      SELECT x.label AS xl, cent.label AS cl,
+             list_dot_product(xv, xv) - 2 * list_dot_product(xv, cv)
+               + list_dot_product(cv, cv) AS d2
+      FROM x, cent
+    )
+    SELECT CAST(xl AS BIGINT) AS label,
+           COUNT(CASE WHEN xl = cl THEN 1 END) AS n_members,
+           CAST(SUM(CASE WHEN xl = cl
+                 THEN CAST(FLOOR(d2 * 1000000.0) AS BIGINT) END) AS BIGINT)
+             AS intra_micros,
+           CAST(SUM(CASE WHEN xl <> cl
+                 THEN CAST(FLOOR(d2 * 1000000.0) AS BIGINT) END) AS BIGINT)
+             AS cross_micros
+    FROM d GROUP BY xl
+    """,
+)
+def q_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster-quality audit: exact integer-micro inertia of
+    each label's members against their OWN centroid (intra) vs all
+    other labels' centroids (cross) — the Fisher-style separation
+    readout, bit-replayable because centroids live on the micro grid
+    (same discipline as kmeans_fit_trace)."""
+    emb = catalog.embeddings(spark, sf_dir)
+    x = emb.select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("xv"),
+    )
+    cent = (
+        x.select("label", F.posexplode("xv").alias("pos", "val"))
+        .select(
+            "label",
+            F.col("pos").alias("dim_idx"),
+            F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("vm"),
+        )
+        .groupBy("label", "dim_idx")
+        .agg((F.floor(F.sum("vm") / F.count("*")) / F.lit(1000000.0)).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+    from streaming_ecom_analytics_spark.functions.similarity import _dot
+
+    d2 = (
+        _dot(F.col("xv"), F.col("xv"))
+        - F.lit(2.0) * _dot(F.col("xv"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    pairs = x.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "cv"))
+    ).select(
+        F.col("label"),
+        F.col("clabel"),
+        F.floor(d2 * F.lit(1000000.0)).cast("long").alias("dm"),
+    )
+    return pairs.groupBy("label").agg(
+        F.count(F.when(F.col("label") == F.col("clabel"), 1)).alias("n_members"),
+        F.sum(F.when(F.col("label") == F.col("clabel"), F.col("dm"))).alias(
+            "intra_micros"
+        ),
+        F.sum(F.when(F.col("label") != F.col("clabel"), F.col("dm"))).alias(
+            "cross_micros"
+        ),
+    )

