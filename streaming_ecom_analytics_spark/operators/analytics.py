@@ -809,8 +809,12 @@ def linear_attribution(
     """
     from streaming_ecom_analytics_spark.operators.interval import interval_join
 
+    # value > 0, not just non-null: negative amounts (refunds) would
+    # split via `div`/`%`, whose negative-operand semantics differ
+    # across engines (truncation vs floor) — refunds are a reversal
+    # flow, not an attribution input.
     conv = events.filter(
-        (F.col("event_type") == conversion_type) & F.col("value").isNotNull()
+        (F.col("event_type") == conversion_type) & (F.col("value") > 0)
     ).select(
         F.col("event_id").alias("conv_id"),
         F.col(user_col),
@@ -1108,7 +1112,11 @@ def cooccurrence_hitrate(
     return n_users.crossJoin(F.broadcast(n_hits)).select(
         "n_users_eval",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_users_eval"), 6).alias("hit_rate"),
+        # try_divide: zero eval users (degenerate split) must yield a
+        # NULL rate, not an ANSI DIVIDE_BY_ZERO job failure
+        F.round(F.try_divide(F.col("n_hits"), F.col("n_users_eval")), 6).alias(
+            "hit_rate"
+        ),
     )
 
 

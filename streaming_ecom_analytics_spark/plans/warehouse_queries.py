@@ -1835,7 +1835,7 @@ _ATTRIBUTION_ORACLE = """
     WITH p AS (
       SELECT event_id AS conv_id, user_id, ts AS pts,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      FROM events WHERE event_type = 'purchase' AND value > 0
     ),
     c AS (
       SELECT event_id AS touch_id, user_id, ts AS cts
