@@ -1896,3 +1896,65 @@ def q_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_micros"
         ),
     )
+
+
+@register(
+    "doc_novelty_scores",
+    """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 4, 1)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) AS n_novel,
+           ROUND(COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN first f ON f.shingle = sh.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (5-gram shingles, ingestion order =
+    doc_id): the fraction of a doc's shingles it introduced to the
+    corpus — low novelty flags boilerplate/recombination, the
+    curation signal next to quality and repetition. One shingle
+    explode, one min-aggregate on content, one ratio."""
+    docs = catalog.documents(spark, sf_dir)
+    k = 5
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {k - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, {k})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -498,3 +498,39 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_late_dlq_captures_what_watermark_would_drop(spark, events_dir, tmp_path):
+    """Drive the DLQ splitter through foreachBatch micro-batches: rows
+    behind (batch max event time − watermark) land in the DLQ parquet
+    with their batch id; on-time rows flow through to the sink."""
+    from streaming_ecom_analytics_spark.streaming.windows import (
+        late_dlq_splitter,
+    )
+
+    dlq = str(tmp_path / "dlq")
+    sink = str(tmp_path / "sink")
+    split = late_dlq_splitter(dlq, watermark="5 minutes")
+
+    def materialize(batch, bid):
+        on_time = split(batch, bid)
+        on_time.write.mode("append").parquet(sink)
+
+    q = (
+        _stream(spark, events_dir)
+        .writeStream.foreachBatch(materialize)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    captured = spark.read.parquet(dlq).collect()
+    passed = spark.read.parquet(sink).collect()
+    total = spark.read.parquet(events_dir + "/*").count()
+    # fixture batch 3 carries event 6 at 10:03 alongside event 7 at
+    # 10:13 — more than 5 minutes behind the batch high-water mark
+    assert {r.event_id for r in captured} == {6}
+    assert captured[0].dlq_batch_id is not None
+    assert len(passed) == total - 1
+    assert {r.event_id for r in passed} | {6} == set(range(1, total + 1))
