@@ -160,3 +160,67 @@ def kafka_sink(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def decode_events_with_dlq(
+    raw: DataFrame,
+    *,
+    value_col: str = "value",
+    schema: T.StructType | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """decode_events, but nothing is dropped silently: returns
+    ``(events, rejects)`` where rejects carries the ORIGINAL payload of
+    every row that failed JSON parsing or the producer's timestamp
+    gate, tagged with the reason — the ingest-side dead-letter queue
+    (sibling of the streaming late-row DLQ).
+
+    Both frames share one parse subplan; the reject payload survives
+    byte-for-byte for replay after a producer fix. At 100 TB the DLQ
+    write is append-only parquet partitioned by reject_reason.
+    """
+    wire_schema = T.StructType(
+        [
+            T.StructField("event_time", T.StringType(), True),
+            *[
+                f
+                for f in (schema or ECOM_EVENT_SCHEMA).fields
+                if f.name != "event_time"
+            ],
+            # PERMISSIVE from_json yields an all-null struct (not NULL)
+            # for malformed input; the corrupt-record column is the
+            # supported way to see the failure AND keep the bytes.
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    payload = F.col(value_col).cast("string")
+    tagged = raw.select(
+        payload.alias("__raw"),
+        F.from_json(
+            payload,
+            wire_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
+    ).withColumn(
+        "reject_reason",
+        F.when(
+            F.col("e").isNull() | F.col("e._corrupt_record").isNotNull(),
+            F.lit("unparseable_json"),
+        )
+        .when(
+            ~F.coalesce(
+                F.col("e.event_time").rlike(EVENT_TIME_PATTERN), F.lit(False)
+            ),
+            F.lit("bad_event_time"),
+        )
+        .otherwise(F.lit(None)),
+    )
+    events = (
+        tagged.filter(F.col("reject_reason").isNull())
+        .select("e.*")
+        .drop("_corrupt_record")
+        .withColumn("event_time", F.to_timestamp("event_time"))
+    )
+    rejects = tagged.filter(F.col("reject_reason").isNotNull()).select(
+        F.col("__raw").alias("raw_payload"), "reject_reason"
+    )
+    return events, rejects
