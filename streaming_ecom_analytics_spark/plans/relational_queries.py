@@ -1074,3 +1074,52 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         out_cols=["p_partkey", "p_retailprice", "p_size"],
     )
+
+
+@register(
+    "approx_user_overlap_sketched",
+    """
+    SELECT COUNT(*) AS exact_overlap, TRUE AS approx_ok FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def q_approx_user_overlap_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA: |viewers ∩ buyers| estimated by
+    inclusion-exclusion over three mergeable sketches (|A|+|B|−|A∪B|)
+    — no raw-data intersect, the scale path when both sides are
+    billions of users. Contract: within 10% of the exact INTERSECT
+    (HLL lg_k=12 ≈ 1.6% per-sketch error; the overlap here is a large
+    fraction of both sets, so inclusion-exclusion does not amplify it
+    past the bound). The exact count is the oracle-checked column."""
+    ev = catalog.events(spark, sf_dir)
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = ev.filter(F.col("event_type").isin("view", "purchase")).select("user_id")
+    a = viewers.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("a")
+    )
+    b = buyers.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("b")
+    )
+    u = both.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("u")
+    )
+    exact = viewers.intersect(buyers).agg(
+        F.count("*").alias("exact_overlap")
+    )
+    est = F.col("a") + F.col("b") - F.col("u")
+    return (
+        exact.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "exact_overlap",
+            (
+                F.abs(est - F.col("exact_overlap"))
+                <= F.lit(0.10) * F.col("exact_overlap")
+            ).alias("approx_ok"),
+        )
+    )
