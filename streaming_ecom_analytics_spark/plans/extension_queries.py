@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from streaming_ecom_analytics_spark import catalog
 from streaming_ecom_analytics_spark.functions import dedup, similarity, text
-from streaming_ecom_analytics_spark.plans.registry import register
+from streaming_ecom_analytics_spark.plans.registry import REGISTRY, register
 
 _JACCARD_ORACLE = """
     WITH w AS (
@@ -1956,5 +1956,64 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"),
                 6,
             ).alias("novelty"),
+        )
+    )
+
+
+_MANIFEST_HEAD, _MANIFEST_TAIL = _CURATED_ORACLE.format(
+    stops=", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)
+).rsplit("SELECT doc_id, text, lang, source, n_chars, quality_score", 1)
+
+_MANIFEST_ORACLE = (
+    _MANIFEST_HEAD
+    + ", curated AS (\n      SELECT doc_id, text, source, quality_score"
+    + _MANIFEST_TAIL
+    + """
+    ),
+    b AS (
+      SELECT doc_id,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+               AS bucket
+      FROM curated
+    )
+    SELECT CASE WHEN bucket < 10 THEN 'val'
+                WHEN bucket < 20 THEN 'test'
+                ELSE 'train' END AS split,
+           c.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(c.text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(CAST(FLOOR(c.quality_score * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS quality_micros
+    FROM curated c JOIN b USING (doc_id)
+    GROUP BY 1, 2
+"""
+)
+
+
+@register("training_export_manifest", _MANIFEST_ORACLE)
+def q_training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation CAPSTONE: the full curated corpus (quality gate →
+    exact dedup → MinHash near-dup removal) routed through the
+    deterministic md5 split and summarized per (split, source) — doc
+    counts, exact token totals, exact integer-micro quality mass: the
+    manifest a training run reads before it trusts an export. One lazy
+    composition over the registered curation plan."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    cur = REGISTRY["curated_documents"].fn(spark, sf_dir)
+    splits = curate.assign_splits(cur).select("doc_id", "split")
+    return (
+        cur.join(splits, on="doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ).cast("long").alias("n_tokens"),
+            F.sum(
+                F.floor(F.col("quality_score") * F.lit(1000000.0)).cast("long")
+            ).alias("quality_micros"),
         )
     )
