@@ -2383,3 +2383,89 @@ def q_cooccurrence_hitrate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cooccurrence_hitrate(
         catalog.events(spark, sf_dir), cutoff="2024-01-22", top_k=3, min_support=2
     )
+
+
+_XCORR_ORACLE = """
+    WITH daily AS (
+      SELECT event_type AS t,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             SUM(CAST(value AS DECIMAL(18,2))) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    j AS (
+      SELECT a.t AS type_a, b.t AS type_b, lags.lag,
+             a.y AS ya, b.y AS yb
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b ON b.x = a.x + lags.lag AND a.t < b.t
+    ),
+    s AS (
+      SELECT type_a, type_b, lag, COUNT(*) AS n,
+             CAST(SUM(ya) AS DOUBLE) AS sx, CAST(SUM(yb) AS DOUBLE) AS sy,
+             CAST(SUM(ya * yb) AS DOUBLE) AS sxy,
+             CAST(SUM(ya * ya) AS DOUBLE) AS sxx,
+             CAST(SUM(yb * yb) AS DOUBLE) AS syy
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           END AS xcorr
+    FROM s
+"""
+
+
+@register("event_type_lead_lag", _XCORR_ORACLE)
+def q_event_type_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type daily revenue
+    series (lags −3..+3 days): which signals lead which — the
+    time-series dependency scan. Sums stay exact DECIMAL until the
+    single closed-form double assembly (the daily_value_trend
+    discipline); zero-variance windows yield NULL, never a division
+    error. Daily series are tiny regardless of fact volume, so the
+    lag self-join is |types·days| rows."""
+    ev = catalog.events(spark, sf_dir).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("y"))
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a = daily.select(
+        F.col("t").alias("type_a"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("t").alias("type_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("xb") == F.col("xa") + F.col("lag"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+    )
+    s = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("ya").cast("double").alias("sx"),
+        F.sum("yb").cast("double").alias("sy"),
+        F.sum(F.col("ya") * F.col("yb")).cast("double").alias("sxy"),
+        F.sum(F.col("ya") * F.col("ya")).cast("double").alias("sxx"),
+        F.sum(F.col("yb") * F.col("yb")).cast("double").alias("syy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(d1) * F.sqrt(d2)
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        F.when((d1 > 0) & (d2 > 0), F.round(corr, 6)).alias("xcorr"),
+    )
