@@ -1927,7 +1927,12 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id): the fraction of a doc's shingles it introduced to the
     corpus — low novelty flags boilerplate/recombination, the
     curation signal next to quality and repetition. One shingle
-    explode, one min-aggregate on content, one ratio."""
+    explode, ONE content-keyed shuffle: the first-occurrence doc is a
+    min window over the shingle partition (measured faster than the
+    agg+join-back form — it scans the shingle frame once), then one
+    doc-keyed aggregate."""
+    from pyspark.sql import Window
+
     docs = catalog.documents(spark, sf_dir)
     k = 5
     sh = (
@@ -1942,9 +1947,10 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
-        sh.join(first, on="shingle")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
