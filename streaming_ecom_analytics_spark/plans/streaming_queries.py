@@ -480,3 +480,68 @@ def q_purchases_vs_item_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sjoins.enrich_purchases_with_baseline(
         ev, sjoins.item_value_baseline(ev)
     )
+
+
+_BOUNCE_ORACLE = """
+    WITH l AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY 1, 2
+    ),
+    entry AS (
+      SELECT user_id, sid, event_type AS entry_type FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, sid ORDER BY ts, event_id
+        ) AS rn FROM s
+      ) WHERE rn = 1
+    )
+    SELECT entry_type, COUNT(*) AS n_sessions,
+           COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+           ROUND(COUNT(CASE WHEN n_events = 1 THEN 1 END) / COUNT(*), 6)
+             AS bounce_rate
+    FROM sess JOIN entry USING (user_id, sid)
+    GROUP BY entry_type
+"""
+
+
+@register("session_bounce_rate", _BOUNCE_ORACLE)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: single-event sessions over
+    30-minute-gap sessionization, grouped by the session's first event
+    type (min_by over (ts, event_id) inside the same session_window
+    aggregate — entry selection costs no extra window or join). The
+    oracle replays sessions as gaps-and-islands SQL."""
+    ev = catalog.events(spark, sf_dir)
+    sess = (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("entry_type"),
+        )
+    )
+    return sess.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)) / F.count("*"), 6
+        ).alias("bounce_rate"),
+    )
