@@ -942,7 +942,8 @@ def skyline_2d(
 
     ``x_col`` must be integer-valued (the strict-predecessor frame is a
     RANGE offset, exact only on integers) — callers pass prices as
-    cents, not doubles.
+    cents, not doubles. Both axes must be non-NULL (dominance is
+    undefined on NULL; filter first).
 
     The textbook formulation is a quadratic NOT-EXISTS self-join (the
     oracle uses it). In 2D it collapses to two window minima:
