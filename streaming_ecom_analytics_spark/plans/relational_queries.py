@@ -1123,3 +1123,42 @@ def q_approx_user_overlap_sketched(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("approx_ok"),
         )
     )
+
+
+@register(
+    "full_assortment_customers",
+    """
+    WITH b AS (SELECT COUNT(DISTINCT p_brand) AS n_brands FROM part),
+    cb AS (
+      SELECT o.o_custkey AS c_custkey, COUNT(DISTINCT p.p_brand) AS n
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT c_custkey, n AS n_brands_bought
+    FROM cb CROSS JOIN b WHERE cb.n = b.n_brands
+    """,
+)
+def q_full_assortment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the 'bought ALL brands' shape): customers
+    whose purchases cover every brand in the catalog. Expressed as the
+    scalable count-distinct rewrite — distinct-brand count per
+    customer equals the (broadcast, single-row) catalog brand count —
+    never the textbook double-NOT-EXISTS, which plans as a nested
+    correlated anti join."""
+    orders = catalog.load_table(spark, "orders", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    part = catalog.load_dim(spark, "part", sf_dir)
+    n_brands = part.agg(F.countDistinct("p_brand").alias("n_brands"))
+    cb = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.countDistinct("p_brand").alias("n_brands_bought"))
+    )
+    return (
+        cb.crossJoin(F.broadcast(n_brands))
+        .where(F.col("n_brands_bought") == F.col("n_brands"))
+        .select("c_custkey", "n_brands_bought")
+    )
