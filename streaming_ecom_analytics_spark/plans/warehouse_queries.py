@@ -2469,3 +2469,61 @@ def q_event_type_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when((d1 > 0) & (d2 > 0), F.round(corr, 6)).alias("xcorr"),
     )
+
+
+_REPEAT_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id),
+    gaps AS (
+      SELECT date_diff('day', CAST(prev AS DATE), CAST(ts AS DATE)) AS gap_days
+      FROM p WHERE prev IS NOT NULL
+    )
+    SELECT (SELECT COUNT(*) FROM per_user) AS n_buyers,
+           (SELECT COUNT(*) FROM per_user WHERE n >= 2) AS n_repeat,
+           ROUND((SELECT COUNT(*) FROM per_user WHERE n >= 2)
+                 / (SELECT COUNT(*) FROM per_user), 6) AS repeat_rate,
+           (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)
+            FROM gaps) AS median_gap_days
+"""
+
+
+@register("repeat_purchase_rate", _REPEAT_ORACLE)
+def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase KPI: share of buyers with ≥2 purchases and the
+    exact median day gap between consecutive purchases (discrete
+    percentile over per-user lag gaps). One user-keyed window + two
+    scalar aggregates; the gap frame is |purchases| − |buyers| rows."""
+    from pyspark.sql.window import Window
+
+    p = catalog.events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    lagged = p.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev")
+    )
+    per_user = lagged.groupBy("user_id").agg(F.count("*").alias("n"))
+    buyers = per_user.agg(
+        F.count("*").alias("n_buyers"),
+        F.count(F.when(F.col("n") >= 2, 1)).alias("n_repeat"),
+    )
+    gaps = lagged.filter(F.col("prev").isNotNull()).select(
+        F.datediff(F.col("ts").cast("date"), F.col("prev").cast("date")).alias(
+            "gap_days"
+        )
+    )
+    med = gaps.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)").alias(
+            "median_gap_days"
+        )
+    )
+    return buyers.crossJoin(F.broadcast(med)).select(
+        "n_buyers",
+        "n_repeat",
+        F.round(F.col("n_repeat") / F.col("n_buyers"), 6).alias("repeat_rate"),
+        F.col("median_gap_days").cast("long").alias("median_gap_days"),
+    )
