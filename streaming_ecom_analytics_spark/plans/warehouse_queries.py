@@ -2527,3 +2527,103 @@ def q_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_repeat") / F.col("n_buyers"), 6).alias("repeat_rate"),
         F.col("median_gap_days").cast("long").alias("median_gap_days"),
     )
+
+
+_HHI_ORACLE = """
+    WITH cb AS (
+      SELECT o.o_custkey AS c_custkey, p.p_brand, COUNT(*) AS c
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey,
+           CAST(SUM(c) AS BIGINT) AS n_items,
+           COUNT(*) AS n_brands,
+           CAST(SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT)
+             AS hhi_micros
+    FROM cb GROUP BY c_custkey
+"""
+
+
+@register("customer_brand_concentration", _HHI_ORACLE)
+def q_customer_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer brand concentration as an exact integer-micro
+    Herfindahl index: (Σ c_b²)·10⁶ div (Σ c_b)² over the customer's
+    per-brand item counts — 10⁶ = single-brand loyalist, 10⁶/k = even
+    spread over k brands. Pure integer arithmetic end to end, so the
+    index is aggregation-order-free and engine-exact."""
+    orders = catalog.load_table(spark, "orders", sf_dir)
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    part = catalog.load_dim(spark, "part", sf_dir)
+    cb = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "p_brand")
+        .agg(F.count("*").alias("c"))
+    )
+    return cb.groupBy("c_custkey").agg(
+        F.sum("c").alias("n_items"),
+        F.count("*").alias("n_brands"),
+        F.expr("(SUM(c * c) * 1000000) div (SUM(c) * SUM(c))").alias(
+            "hhi_micros"
+        ),
+    )
+
+
+_NEW_RETURNING_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    first AS (
+      SELECT user_id, CAST(CAST(MIN(ts) AS DATE) AS TIMESTAMP) AS first_day
+      FROM p GROUP BY user_id
+    )
+    SELECT p.day,
+           COUNT(CASE WHEN p.day = f.first_day THEN 1 END) AS n_new_purchases,
+           COUNT(CASE WHEN p.day <> f.first_day THEN 1 END)
+             AS n_returning_purchases,
+           CAST(COALESCE(SUM(CASE WHEN p.day = f.first_day THEN v END), 0)
+                AS DOUBLE) AS new_revenue,
+           CAST(COALESCE(SUM(CASE WHEN p.day <> f.first_day THEN v END), 0)
+                AS DOUBLE) AS returning_revenue
+    FROM p JOIN first f USING (user_id)
+    GROUP BY p.day
+"""
+
+
+@register("daily_new_vs_returning", _NEW_RETURNING_ORACLE)
+def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue split between first-day and returning buyers
+    (acquisition vs retention): a purchase is 'new' iff it lands on
+    its user's first purchase day. One per-user min aggregate joined
+    back (broadcastable at |users| scale tiers), exact DECIMAL sums."""
+    ev = catalog.events(spark, sf_dir)
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    first = p.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    is_new = F.col("day") == F.col("first_day")
+    return (
+        p.join(first, on="user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(is_new, 1)).alias("n_new_purchases"),
+            F.count(F.when(~is_new, 1)).alias("n_returning_purchases"),
+            F.coalesce(F.sum(F.when(is_new, F.col("v"))), F.lit(0))
+            .cast("double")
+            .alias("new_revenue"),
+            F.coalesce(F.sum(F.when(~is_new, F.col("v"))), F.lit(0))
+            .cast("double")
+            .alias("returning_revenue"),
+        )
+    )
