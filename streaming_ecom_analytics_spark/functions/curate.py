@@ -85,6 +85,47 @@ def dedup_stream(
     )
 
 
+def split_exprs(
+    *,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+):
+    """The (bucket, split) column expressions behind the deterministic
+    md5 split — exposed so callers can attach the split INLINE on any
+    frame that carries the id column, instead of joining back to an
+    ``assign_splits`` frame. Both forms are the same bytes; the inline
+    form is a narrow projection (zero shuffle, zero join), which is
+    what a 100 TB curated frame wants."""
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * F.lit(256) + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return bucket.cast("long"), split
+
+
+def with_split(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Attach the deterministic split to ``docs`` as an inline column —
+    the join-free form of :func:`assign_splits`. Use this when the
+    frame being split is expensive to compute (e.g. the full curation
+    pipeline): the alternative ``cur.join(assign_splits(cur))`` plan
+    evaluates the curation subtree TWICE because the two join inputs
+    project different columns and ReuseExchange cannot merge them."""
+    _, split = split_exprs(id_col=id_col, val_pct=val_pct, test_pct=test_pct)
+    return docs.withColumn("split", split)
+
+
 def assign_splits(
     docs: DataFrame,
     *,
@@ -103,17 +144,11 @@ def assign_splits(
     shuffle; md5 is evaluated JVM-side and matches every engine that
     speaks md5 (the oracle recomputes the same bytes in DuckDB).
     """
-    h = F.md5(F.col(id_col).cast("string"))
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)) * F.lit(256) + F.ascii(F.substring(h, 2, 1))
-    ) % 100
+    bucket, split = split_exprs(id_col=id_col, val_pct=val_pct, test_pct=test_pct)
     return docs.select(
         F.col(id_col),
-        bucket.cast("long").alias("bucket"),
-        F.when(bucket < val_pct, F.lit("val"))
-        .when(bucket < val_pct + test_pct, F.lit("test"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        bucket.alias("bucket"),
+        split.alias("split"),
     )
 
 

@@ -2005,13 +2005,19 @@ def q_training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 split and summarized per (split, source) — doc
     counts, exact token totals, exact integer-micro quality mass: the
     manifest a training run reads before it trusts an export. One lazy
-    composition over the registered curation plan."""
+    composition over the registered curation plan.
+
+    The split is attached INLINE (``curate.with_split`` — a narrow md5
+    projection of doc_id), not via ``cur.join(assign_splits(cur))``:
+    the join form carries the full curation subtree on BOTH join inputs
+    and Catalyst cannot deduplicate them (different projections), so it
+    paid the engine's most expensive pipeline twice. Inline, the
+    curation plan appears exactly once (plan-asserted in test_plans)."""
     from streaming_ecom_analytics_spark.functions import curate
 
     cur = REGISTRY["curated_documents"].fn(spark, sf_dir)
-    splits = curate.assign_splits(cur).select("doc_id", "split")
     return (
-        cur.join(splits, on="doc_id")
+        curate.with_split(cur)
         .groupBy("split", "source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -557,3 +557,23 @@ def test_snapshot_diff_joins_hashes_not_rows(spark):
 def test_imputation_median_table_broadcasts(spark):
     plan = _plan(spark, "imputed_event_values")
     assert "BroadcastExchange" in plan
+
+
+def test_manifest_contains_curation_subtree_once(spark):
+    """training_export_manifest attaches the md5 split INLINE
+    (curate.with_split) on the curated frame. The old form —
+    cur.join(assign_splits(cur)) — duplicated the entire curation
+    subtree across both join inputs (ReuseExchange can't merge them),
+    paying the engine's most expensive pipeline twice. Pin: the
+    manifest plan scans the documents table exactly as many times as
+    the curation plan itself does, and adds NO doc_id join exchange
+    on top of it."""
+    manifest = _plan(spark, "training_export_manifest")
+    curated = _plan(spark, "curated_documents")
+    docs_scans = lambda p: p.count("documents.parquet")  # noqa: E731
+    assert docs_scans(curated) > 0
+    assert docs_scans(manifest) == docs_scans(curated)
+    # the split is a projection, not a join: no additional doc_id
+    # hash-partition exchanges beyond what curation itself needs
+    exch = lambda p: p.count("Exchange hashpartitioning(doc_id")  # noqa: E731
+    assert exch(manifest) <= exch(curated)
