@@ -2598,8 +2598,12 @@ _NEW_RETURNING_ORACLE = """
 def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily revenue split between first-day and returning buyers
     (acquisition vs retention): a purchase is 'new' iff it lands on
-    its user's first purchase day. One per-user min aggregate joined
-    back (broadcastable at |users| scale tiers), exact DECIMAL sums."""
+    its user's first purchase day. First-day is a ``min(ts) OVER
+    (PARTITION BY user_id)`` window — the SAME user-keyed exchange the
+    agg+join-back form needs, but exactly once and with no join; the
+    day rollup then re-shuffles on day. Exact DECIMAL sums."""
+    from pyspark.sql import Window
+
     ev = catalog.events(spark, sf_dir)
     p = ev.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
@@ -2609,13 +2613,11 @@ def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,2)").alias("v"),
         F.date_trunc("day", F.col("ts")).alias("day"),
     )
-    first = p.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("first_day")
-    )
+    w = Window.partitionBy("user_id")
+    p = p.withColumn("first_day", F.date_trunc("day", F.min("ts").over(w)))
     is_new = F.col("day") == F.col("first_day")
     return (
-        p.join(first, on="user_id")
-        .groupBy("day")
+        p.groupBy("day")
         .agg(
             F.count(F.when(is_new, 1)).alias("n_new_purchases"),
             F.count(F.when(~is_new, 1)).alias("n_returning_purchases"),

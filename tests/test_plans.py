@@ -559,6 +559,16 @@ def test_imputation_median_table_broadcasts(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_new_vs_returning_single_user_exchange(spark):
+    """daily_new_vs_returning derives first-purchase-day with a
+    min-over-window on the user partition — ONE user_id exchange and
+    zero joins, vs the agg+join-back form's two exchanges plus a
+    join on the same key."""
+    plan = _plan(spark, "daily_new_vs_returning")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
 def test_manifest_contains_curation_subtree_once(spark):
     """training_export_manifest attaches the md5 split INLINE
     (curate.with_split) on the curated frame. The old form —
