@@ -245,13 +245,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (Spark ML KMeans coarse quantizer + n_probe-list exact
     rerank) as a checkable recall assertion vs brute force — observed
-    mean recall ≥0.5 across testdata SFs, floor 0.30 leaves margin for
-    KMeans float-order jitter."""
+    mean recall 0.50/0.52/0.64 at sf0.001/0.01/0.1 (r5 measurement),
+    floor 0.45: tight to the observed minimum (margin for KMeans
+    float-order jitter only), and a 1-probe regression demonstrably
+    fails it (tests/test_similarity.py)."""
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.ivf_topk(emb, q, k=5)
     exact = similarity.cosine_topk_blas(emb, q, k=5)
-    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.30)
+    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.45)
 
 
 @register("ann_pq_topk", _ANN_RECALL_ORACLE)
@@ -260,14 +262,16 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace codebooks, Arrow-batched corpus encode to m=8 uint8
     codes (32x memory compression at dim=64), JVM-side ADC scoring,
     exact rerank of the top-4k candidates. Observed mean recall@5
-    0.78-0.94 across sf0.001/0.01/0.1; floor 0.50 fails on any real
-    regression. The oracle asserts the same single row; neighbor lists
-    and determinism are unit-tested."""
+    0.90/0.94/0.78 at sf0.001/0.01/0.1 (r5 measurement); floor 0.60
+    matches the LSH contract's rigor (same observed-minus-margin band)
+    and a deliberate regression (tiny rerank budget) demonstrably
+    fails it (tests/test_similarity.py). The oracle asserts the same
+    single row; neighbor lists and determinism are unit-tested."""
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.pq_topk(emb, q, k=5, dim=64)
     exact = similarity.cosine_topk_blas(emb, q, k=5)
-    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.50)
+    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.60)
 
 
 @register(

@@ -179,6 +179,33 @@ def test_pq_topk_recall_and_determinism(spark):
     assert len(pq & brute) / len(brute) >= 0.5
 
 
+def test_recall_floors_fail_on_deliberate_regression(spark):
+    """The registered ANN recall contracts must be FALSIFIABLE: a
+    crippled configuration (IVF probing 1 of 16 lists; PQ with 2
+    subspaces, 16 centroids, no rerank budget) must fail the floors
+    the registry asserts (IVF 0.45, PQ 0.60). Measured at sf0.001:
+    crippled IVF 0.28, crippled PQ 0.12, vs healthy 0.50 / 0.90 —
+    the floors separate, so a real regression turns the oracle row
+    red instead of staying silently green."""
+    from streaming_ecom_analytics_spark import catalog
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    q = emb.filter("vec_id < 10")
+    exact = similarity.cosine_topk_blas(emb, q, k=5)
+    bad_ivf = similarity.recall_vs_exact(
+        similarity.ivf_topk(emb, q, k=5, n_probe=1),
+        exact,
+        min_mean_recall=0.45,
+    ).collect()[0]
+    assert bad_ivf.mean_recall_ok is False
+    bad_pq = similarity.recall_vs_exact(
+        similarity.pq_topk(emb, q, k=5, dim=64, m=2, n_centroids=16, refine=1),
+        exact,
+        min_mean_recall=0.60,
+    ).collect()[0]
+    assert bad_pq.mean_recall_ok is False
+
+
 def test_pq_topk_rejects_indivisible_dim(spark, vectors):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_topk(vectors, vectors, dim=3, m=2)
