@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 from streaming_ecom_analytics_spark.functions import guards
 
 
+def _require_dim(dim: int | None, fn_name: str) -> None:
+    """The vector dimension is a required input for every function that
+    derives projection planes / codebooks at PLAN-BUILD time. Spark's
+    schema types the column as array<float> without an element count,
+    so inferring dim would mean a LIMIT-1 collect — a Spark job running
+    inside query construction, which is forbidden package-wide (the
+    no-plan-build-jobs listener tests pin this). Raise loudly instead
+    of probing silently."""
+    if dim is None:
+        raise ValueError(
+            f"{fn_name} requires dim=<vector length> (e.g. dim=64 for the "
+            "testdata embeddings). It is not inferred from the data: the "
+            "Spark schema does not carry array lengths, and probing a row "
+            "would run a Spark job during query construction."
+        )
+    if dim <= 0:
+        raise ValueError(f"{fn_name}: dim must be positive, got {dim}")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -135,13 +154,7 @@ def lsh_bucketed_topk(
     """
     import numpy as np
 
-    if dim is None:
-        # Prefer parquet scan metadata over running a job: an eager
-        # .first() at plan-build time is a driver round-trip inside query
-        # construction (round-2 verdict #4). Array element counts aren't
-        # in the Spark schema, so fall back to a LIMIT-1 probe only when
-        # the caller didn't (and couldn't) pass the dimension.
-        dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
+    _require_dim(dim, "lsh_bucketed_topk")
     rng = np.random.default_rng(seed)
     probes = n_planes if n_probes is None else n_probes
 
@@ -410,11 +423,7 @@ def _near_dup_candidates_lsh(
     import numpy as np
     import pandas as pd
 
-    if dim is None:
-        # Same contract as lsh_bucketed_topk: callers should pass the
-        # vector dimension so query CONSTRUCTION never runs a Spark job;
-        # the LIMIT-1 probe is a last-resort fallback only.
-        dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
+    _require_dim(dim, "embedding_near_dup_pairs(method='lsh')")
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * band_bits, dim))
     weights = (1 << np.arange(band_bits, dtype=np.uint64)).astype(np.uint64)
@@ -595,8 +604,7 @@ def pq_topk(
     """
     import numpy as np
 
-    if dim is None:
-        dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
+    _require_dim(dim, "pq_topk")
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
