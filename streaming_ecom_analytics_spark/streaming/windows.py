@@ -225,18 +225,25 @@ def late_dlq_splitter(
     """Late-row dead-letter capture: Structured Streaming silently
     DROPS rows behind the watermark once they reach a stateful
     operator — a silent-data-loss class at 100 TB ingest. This
-    foreachBatch pre-stage tees rows older than the micro-batch\'s own
-    event-time high-water mark minus ``watermark`` into an append-only
-    parquet DLQ (tagged with the batch id) and returns the on-time
-    subset for the downstream aggregate — so nothing is lost silently
-    and the DLQ feeds the batch reconciliation layer.
+    foreachBatch pre-stage tees rows behind the watermark into an
+    append-only parquet DLQ (tagged with the batch id) and returns the
+    on-time subset for the downstream aggregate — so nothing is lost
+    silently and the DLQ feeds the batch reconciliation layer.
 
-    The lateness rule mirrors Spark\'s watermark arithmetic (interval
-    subtracted from the observed max event time), so what this stage
-    quarantines is exactly what the stateful operator would have
-    dropped. Works identically on a batch frame (the batch twin the
-    test asserts against). Returns a ``(batch_df, batch_id) ->
-    on_time_df`` callable for materializer wiring.
+    The lateness rule mirrors Spark\'s watermark arithmetic EXACTLY:
+    Spark derives batch N\'s watermark from the max event time of
+    batches *before* N (the one-batch propagation lag), so the
+    splitter carries that high-water mark across batches in closure
+    state and judges each batch against the PRIOR mark, never its own
+    max — a row that arrives in the same batch that advances the clock
+    is on time, exactly as the stateful operator would treat it. The
+    per-batch cost is one scalar max (the same eventTimeStats pass
+    Spark runs internally). After a restart the carried mark reseeds
+    from the first post-restart batch, so that batch quarantines
+    nothing — conservative in the safe direction (rows pass through to
+    the stateful operator, which still applies its checkpointed
+    watermark). Returns a ``(batch_df, batch_id) -> on_time_df``
+    callable for materializer wiring.
     """
     from pyspark.sql import functions as F
 
@@ -245,20 +252,23 @@ def late_dlq_splitter(
     amount = int(parts[0])
     seconds = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
     delay_us = amount * seconds * 1_000_000
+    state: dict[str, int | None] = {"hw": None}
 
     def split_batch(batch, batch_id: int):
-        hw = batch.agg(F.max(F.unix_micros(F.col(ts_col))).alias("hw"))
-        tagged = batch.crossJoin(F.broadcast(hw)).withColumn(
-            "__late",
-            F.unix_micros(F.col(ts_col)) < F.col("hw") - F.lit(delay_us),
-        )
-        late = (
-            tagged.filter(F.col("__late"))
-            .drop("__late", "hw")
-            .withColumn("dlq_batch_id", F.lit(batch_id))
+        prev_hw = state["hw"]
+        ts_us = F.unix_micros(F.col(ts_col))
+        # advance the carried mark with THIS batch's max (one scalar)
+        cur = batch.agg(F.max(ts_us).alias("hw")).collect()[0].hw
+        if cur is not None:
+            state["hw"] = cur if prev_hw is None else max(prev_hw, cur)
+        if prev_hw is None:
+            return batch  # no watermark established yet — all on time
+        late_pred = ts_us < F.lit(prev_hw - delay_us)
+        late = batch.filter(late_pred).withColumn(
+            "dlq_batch_id", F.lit(batch_id)
         )
         if not late.isEmpty():
             late.write.mode("append").parquet(dlq_path)
-        return tagged.filter(~F.col("__late")).drop("__late", "hw")
+        return batch.filter(~late_pred)
 
     return split_batch

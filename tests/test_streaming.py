@@ -502,7 +502,8 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
 
 def test_late_dlq_captures_what_watermark_would_drop(spark, events_dir, tmp_path):
     """Drive the DLQ splitter through foreachBatch micro-batches: rows
-    behind (batch max event time − watermark) land in the DLQ parquet
+    behind (prior batches' max event time − watermark) — Spark's
+    actual watermark, which lags one batch — land in the DLQ parquet
     with their batch id; on-time rows flow through to the sink."""
     from streaming_ecom_analytics_spark.streaming.windows import (
         late_dlq_splitter,
@@ -529,8 +530,40 @@ def test_late_dlq_captures_what_watermark_would_drop(spark, events_dir, tmp_path
     passed = spark.read.parquet(sink).collect()
     total = spark.read.parquet(events_dir + "/*").count()
     # fixture batch 3 carries event 6 at 10:03 alongside event 7 at
-    # 10:13 — more than 5 minutes behind the batch high-water mark
+    # 10:13; prior batches' max is 10:12, so the 5-minute mark sits at
+    # 10:07 and only event 6 is quarantined
     assert {r.event_id for r in captured} == {6}
     assert captured[0].dlq_batch_id is not None
     assert len(passed) == total - 1
     assert {r.event_id for r in passed} | {6} == set(range(1, total + 1))
+
+
+def test_late_dlq_uses_prior_batch_mark_not_own_max(spark, tmp_path):
+    """The discriminating case for the watermark's one-batch lag: a
+    row 12 minutes behind its OWN batch's max but only 4 minutes
+    behind the PRIOR batches' max must pass through (Spark's stateful
+    operator would accept it — the watermark that gates batch N was
+    computed before batch N's data was seen). A same-age row in the
+    NEXT batch, once the clock has advanced, must be quarantined."""
+    from streaming_ecom_analytics_spark.streaming.windows import (
+        late_dlq_splitter,
+    )
+
+    dlq = str(tmp_path / "dlq2")
+    split = late_dlq_splitter(dlq, watermark="5 minutes")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)  # noqa: E731
+
+    b0 = split(mk([(1, _t(0), 1, "view", 1.0, "{}")]), 0)
+    assert {r.event_id for r in b0.collect()} == {1}  # no mark yet
+    # batch 1: max 10:12; prior mark 10:00 → threshold 09:55 — the
+    # 10:00-batch row at 10:00 is NOT behind it; the 10:00 row would be
+    # late vs this batch's own max (10:12 − 5m = 10:07) — the old rule
+    b1 = split(
+        mk([(2, _t(0), 1, "view", 1.0, "{}"), (3, _t(12), 2, "view", 1.0, "{}")]),
+        1,
+    )
+    assert {r.event_id for r in b1.collect()} == {2, 3}
+    # batch 2: prior mark 10:12 → threshold 10:07; a 10:00 row is late
+    b2 = split(mk([(4, _t(0), 3, "view", 1.0, "{}")]), 2)
+    assert b2.count() == 0
+    assert {r.event_id for r in spark.read.parquet(dlq).collect()} == {4}
