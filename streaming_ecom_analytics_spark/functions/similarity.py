@@ -794,8 +794,12 @@ def _assigned_pairs(
     vec_col: str,
 ) -> DataFrame:
     """Nearest-of-k-fixed-centroids assignment, shared by the K-means
-    step queries. Centroids are the k lowest-id vectors (deterministic,
-    derived in-plan — no driver action, no RNG). Squared distance uses
+    step queries. Centroids are the k lowest-id vectors — selected via
+    ORDER BY id LIMIT k (TakeOrdered over a tiny frame), which is
+    correct for ANY id distribution; the previous ``id < k`` filter
+    silently yielded fewer than k seeds on 1-based or sparse ids.
+    Deterministic, derived in-plan — no driver action, no RNG. Squared
+    distance uses
     the dot-product identity |x|²−2x·c+|c|², with both self-dots
     projected ONCE per row before the broadcast cross join (the naive
     form refolds them inside every pair). The argmin is a
@@ -805,9 +809,13 @@ def _assigned_pairs(
 
     Output: (vec_id, cluster_id, d2, xv).
     """
-    c = embeddings.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cluster_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("cluster_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cluster_id")
+        .limit(k)
     )
     c = c.withColumn("cc", _dot(F.col("cv"), F.col("cv")))
     x = embeddings.select(
@@ -913,8 +921,11 @@ def kmeans_fit_trace(
     - each round = one broadcast-centroid assignment (map-side
       combinable struct-min argmin, same kernel as
       kmeans_assign_fixed) + one explode/hash-agg mean update;
-    - centroid frames are eagerly localCheckpointed per round — the
-      round-over-round lineage rule shared with pagerank/kcore;
+    - each round's ASSIGNED frame is eagerly localCheckpointed — it
+      feeds both the inertia trace row and the mean update, so the
+      checkpoint makes the round's cross-join assignment run exactly
+      once (and truncates lineage, the round-over-round rule shared
+      with pagerank/kcore);
     - clusters that lose all members drop out (standard Lloyd on
       fixed data), so the trace also reports surviving cluster count.
 
@@ -928,9 +939,13 @@ def kmeans_fit_trace(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("xv"),
     ).withColumn("xx", _dot(F.col("xv"), F.col("xv")))
-    centroids = embeddings.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cluster_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    centroids = (
+        embeddings.select(
+            F.col(id_col).alias("cluster_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cluster_id")
+        .limit(k)
     )
     traces = []
     for rnd in range(1, n_rounds + 1):
@@ -947,6 +962,13 @@ def kmeans_fit_trace(
                 F.col("b.d2").alias("d2"),
                 F.col("b.xv").alias("xv"),
             )
+            # One assignment per round, computed ONCE: the frame feeds
+            # both the inertia trace row and the mean update, and the
+            # trace rows are re-evaluated at the final union — without
+            # this checkpoint every round's broadcast cross-join ran
+            # twice (round-4 advisor). Also truncates lineage, so the
+            # downstream centroid frame needs no checkpoint of its own.
+            .localCheckpoint(eager=True)
         )
         traces.append(
             assigned.agg(
@@ -973,15 +995,11 @@ def kmeans_fit_trace(
                 ).alias("cval")
             )
         )
-        centroids = (
-            means.groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
-                    lambda s: s["cval"],
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
+        centroids = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
         )
     out = traces[0]
     for t in traces[1:]:

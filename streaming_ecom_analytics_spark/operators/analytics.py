@@ -900,6 +900,11 @@ def key_skew_report(
     would hash them. Shares are single double divisions, rounded.
     Output: (key, n_rows, n_keys, max_key_rows, top_share, skew_ratio).
     """
+    if not key_cols:
+        raise ValueError(
+            "key_skew_report: key_cols must name at least one candidate "
+            "join-key column to profile"
+        )
     reports = []
     for key in key_cols:
         per_key = df.groupBy(F.col(key).alias("__k")).agg(

@@ -191,6 +191,11 @@ def fk_integrity_audit(
 
     Output: (link, n_child_rows, n_null_fk, n_orphans, ok) per link.
     """
+    if not pairs:
+        raise ValueError(
+            "fk_integrity_audit: pairs must name at least one "
+            "(name, child, fk_col, parent, pk_col) link to audit"
+        )
     reports = []
     for name, child, fk, parent, pk in pairs:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()

@@ -1565,7 +1565,7 @@ def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_ASSIGN_ORACLE_BODY = """
     WITH c AS (
       SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings ORDER BY vec_id LIMIT 8
     ),
     x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xv FROM embeddings),
     scored AS (
@@ -1706,7 +1706,7 @@ def _kmeans_trace_oracle(k: int = 8, n_rounds: int = 3) -> str:
     ),
     c1 AS MATERIALIZED (
       SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id < {k}
+      FROM embeddings ORDER BY vec_id LIMIT {k}
     )"""
     ]
     for r in range(1, n_rounds + 1):

@@ -947,6 +947,19 @@ def test_fk_integrity_orphans_and_nulls(spark):
     assert not r.ok
 
 
+def test_empty_audit_inputs_raise_clearly(spark):
+    """An empty link/key list is a caller bug — both audits must say
+    so instead of dying with IndexError on reports[0]."""
+    import pytest as _pytest
+
+    from streaming_ecom_analytics_spark.operators import validation
+
+    with _pytest.raises(ValueError, match="at least one"):
+        validation.fk_integrity_audit([])
+    with _pytest.raises(ValueError, match="at least one"):
+        analytics.key_skew_report(spark.range(1), [])
+
+
 # ---------------------------------------------------------------------------
 # out-of-order audit (registered query machinery, crafted frame)
 # ---------------------------------------------------------------------------
