@@ -158,15 +158,12 @@ def snapshot_diff(
     ]
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
-        row_hash = F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in cols
-                ],
-            )
-        )
+        # Hash the null-tagged JSON of a named struct, not a
+        # separator-joined concat: to_json omits null fields (so NULL
+        # is distinguishable from any real value, including literal
+        # sentinel strings) and JSON-escapes every character (so no
+        # embedded byte can alias values across column boundaries).
+        row_hash = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
         return df.select(*keys, row_hash.alias(f"__h_{tag}"))
 
     j = hashed(old, "old").join(hashed(new, "new"), on=keys, how="full_outer")

@@ -200,3 +200,23 @@ def test_snapshot_diff_null_safety(spark):
     }
     # NULL == NULL must read as unchanged; x -> NULL is a change
     assert got == {2: "changed"}
+
+
+def test_snapshot_diff_no_sentinel_or_separator_aliasing(spark):
+    """The row hash must not confuse NULL with any real value (the old
+    concat coalesced NULL to a '\\x00' sentinel string) nor alias
+    values shifted across column boundaries (the old '\\x1f' join
+    separator). Both classes must now read as 'changed'."""
+    from streaming_ecom_analytics_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "b"), (2, "a\x1fz", "b")], "k long, v1 string, v2 string"
+    )
+    new = spark.createDataFrame(
+        [(1, "\x00", "b"), (2, "a", "z\x1fb")], "k long, v1 string, v2 string"
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
