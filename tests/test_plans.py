@@ -559,6 +559,52 @@ def test_imputation_median_table_broadcasts(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_brand_concentration_two_phase_no_smj(spark):
+    """customer_brand_concentration: both dims reach the fact via
+    size-gated broadcasts (no sort-merge join at these dim sizes), the
+    (custkey, brand) count and the per-customer HHI are hash
+    aggregates, and only two hash-partition exchanges exist — the
+    group-by keys, nothing else."""
+    plan = _plan(spark, "customer_brand_concentration")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 4  # two-phase × two levels
+
+
+def test_full_assortment_division_shape(spark):
+    """full_assortment_customers (relational division): the divisor
+    cardinality is a broadcast scalar, joins stay broadcast-hash, and
+    the count-distinct rewrite keeps the exchanges to the three
+    grouping keys."""
+    plan = _plan(spark, "full_assortment_customers")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_session_bounce_rate_single_scan_two_exchanges(spark):
+    """session_bounce_rate: one events scan, sessionization plus the
+    bounce rollup in exactly two exchanges (user/session keys, then
+    the day grain), no joins."""
+    plan = _plan(spark, "session_bounce_rate")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_doc_novelty_single_scan_single_content_shuffle(spark):
+    """doc_novelty_scores: ONE pass over documents (no self-join of
+    the corpus), the first-seen resolution is a single content-keyed
+    window — not an agg+join-back — and no broadcast of anything
+    row-scaled."""
+    plan = _plan(spark, "doc_novelty_scores")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
 def test_new_vs_returning_single_user_exchange(spark):
     """daily_new_vs_returning derives first-purchase-day with a
     min-over-window on the user partition — ONE user_id exchange and
