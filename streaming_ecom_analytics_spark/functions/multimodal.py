@@ -244,6 +244,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("zcr_mean", T.DoubleType()),
         T.StructField("centroid_hz", T.DoubleType()),
         T.StructField("rolloff_hz", T.DoubleType()),
+        T.StructField("decode_status", T.StringType()),
     ]
 )
 
@@ -253,6 +254,9 @@ def audio_features(media: DataFrame, *, frame: int = 1024, hop: int = 512) -> Da
     centroid / rolloff) over mapInPandas — the audio twin of
     ``image_features``. Real decode (functions/audio.py); compressed
     codecs would raise, so filter on codec='wav' upstream when mixing.
+    Every row carries ``decode_status`` ("real:wav") — the same
+    provenance contract as image_features, so a mixed-provenance
+    corpus can always be audited downstream.
     """
     from streaming_ecom_analytics_spark.functions import audio as audiolib
 
@@ -272,6 +276,7 @@ def audio_features(media: DataFrame, *, frame: int = 1024, hop: int = 512) -> Da
                         fv["zcr_mean"],
                         fv["centroid_hz"],
                         fv["rolloff_hz"],
+                        "real:wav",
                     )
                 )
             yield pd.DataFrame(
@@ -338,6 +343,7 @@ VIDEO_FEATURES_SCHEMA = T.StructType(
         T.StructField("luma_mean", T.DoubleType()),
         T.StructField("luma_std", T.DoubleType()),
         T.StructField("motion_score", T.DoubleType()),
+        T.StructField("decode_status", T.StringType()),
     ]
 )
 
@@ -365,6 +371,7 @@ def video_features(media: DataFrame, *, sample_every: int = 1) -> DataFrame:
                         fv["luma_mean"],
                         fv["luma_std"],
                         fv["motion_score"],
+                        "real:y4m",
                     )
                 )
             yield pd.DataFrame(

@@ -692,6 +692,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zcr_mean", 6).alias("zcr_mean"),
         F.round("centroid_hz", 3).alias("centroid_hz"),
         F.round("rolloff_hz", 3).alias("rolloff_hz"),
+        "decode_status",
     )
 
 
@@ -1234,6 +1235,7 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("luma_mean", 6).alias("luma_mean"),
         F.round("luma_std", 6).alias("luma_std"),
         F.round("motion_score", 6).alias("motion_score"),
+        "decode_status",
     )
 
 

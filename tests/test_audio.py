@@ -105,6 +105,7 @@ def test_audio_features_pipeline(spark):
         assert r1 == r2  # deterministic across runs
         assert r1.sample_rate == 8000
         assert r1.rms_mean > 0
+        assert r1.decode_status == "real:wav"
     # media_id i has tone 110*(1+i%8): centroid must rank accordingly
     cents = {r.media_id: r.centroid_hz for r in out1}
     assert cents[0] < cents[7]

@@ -76,6 +76,7 @@ def test_video_features_pipeline(spark):
         assert r == out2[mid]  # deterministic
         meta = {m.media_id: m.meta for m in media.collect()}[mid]
         assert r.n_frames == meta.duration_ms // 100
+        assert r.decode_status == "real:y4m"
     # static clips (every 4th) have zero motion; moving ones don't
     assert out1[0].motion_score == 0.0 and out1[4].motion_score == 0.0
     assert out1[1].motion_score > 1.0
