@@ -162,6 +162,99 @@ def test_cdc_upsert_materializer_stream(spark, tmp_path):
     assert v0 == {1: "alice", 2: "bob"}
 
 
+def test_cdc_materializer_soak_with_restart_and_vacuum(spark, tmp_path):
+    """Long-horizon soak (round-4 verdict #7): 24 micro-batches of
+    interleaved upserts, deletes, and post-delete re-inserts over a
+    10-key space, with a full stop + restart from checkpoint after
+    batch 12. Asserts: (1) exactly one version per micro-batch — the
+    restart resumes, it does NOT reprocess; (2) the final snapshot
+    equals the batch twin (latest-change-per-key, deletes dropped)
+    computed over the whole change log at once; (3) vacuum(keep_last=5)
+    removes old version files while the retained tail stays readable."""
+    from streaming_ecom_analytics_spark.streaming.materialize import (
+        cdc_upsert_materializer,
+    )
+
+    schema = "id long, name string, op string, seq long"
+    n_batches, keys = 24, 10
+    batches, log, seq = [], [], 0
+    for b in range(n_batches):
+        rows = []
+        k_upd = b % keys
+        seq += 1
+        rows.append((k_upd, f"v{b}_{k_upd}", "U", seq))
+        if b % 5 == 4:  # delete a different key every 5th batch
+            k_del = (b + 3) % keys
+            seq += 1
+            rows.append((k_del, None, "D", seq))
+        if b % 7 == 6:  # re-insert a key deleted earlier
+            k_re = (b - 2 + 3) % keys
+            seq += 1
+            rows.append((k_re, f"back{b}_{k_re}", "U", seq))
+        batches.append(rows)
+        log.extend(rows)
+
+    src = tmp_path / "changes"
+
+    def write_batches(lo, hi):
+        for i in range(lo, hi):
+            spark.createDataFrame(batches[i], schema).coalesce(1).write.parquet(
+                str(src / f"batch_{i:03d}"), mode="overwrite"
+            )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(
+                cdc_upsert_materializer(
+                    str(tmp_path / "snap"), key_cols=("id",), seq_col="seq"
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_batches(0, 12)
+    run_stream()  # phase 1, then the query stops (availableNow)
+    table = VersionedTable(str(tmp_path / "snap"))
+    assert len(table.versions()) == 12
+    write_batches(12, 24)
+    run_stream()  # restart from checkpoint — must resume at batch 12
+    assert len(table.versions()) == 24  # one commit per batch, no replay
+
+    # batch twin: net effect of the whole change log in one pass
+    latest = {}
+    for k, name, op, s in log:
+        latest[k] = (s, op, name)
+    want = {k: v[2] for k, v in latest.items() if v[1] != "D"}
+    got = {r.id: r.name for r in table.read(spark).collect()}
+    assert got == want
+
+    # intermediate state is time-travelable mid-log: version 11 equals
+    # the twin over the first 12 batches
+    latest12 = {}
+    for k, name, op, s in [r for b in batches[:12] for r in b]:
+        latest12[k] = (s, op, name)
+    want12 = {k: v[2] for k, v in latest12.items() if v[1] != "D"}
+    got12 = {r.id: r.name for r in table.read(spark, version=11).collect()}
+    assert got12 == want12
+
+    removed = table.vacuum(keep_last=5)
+    assert removed and table.versions() == list(range(19, 24))
+    for p in removed:
+        assert not os.path.exists(p)
+    assert {r.id: r.name for r in table.read(spark).collect()} == want
+    with pytest.raises(FileNotFoundError):
+        table.manifest(11)
+
+
 def test_snapshot_diff_over_time_travel(spark, tmp_path):
     """snapshot_diff across two committed versions of a VersionedTable:
     the classified changes must match what the second commit wrote."""
