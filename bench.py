@@ -57,13 +57,25 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    timings: dict[str, float] = {}
-    for name, rq in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_tracked()  # caches don't accumulate across queries
+    # $SPARK_GRAFT_RUNS full passes (default 1 for the driver's
+    # per-round run); the committed BENCH_LOCAL artifact uses 3 and
+    # records the per-query MEDIAN, so round-over-round comparisons see
+    # plans, not single-pass machine-load noise (round-4 verdict #3).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "1")))
+    samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
+    for _ in range(runs):
+        for name, rq in sorted(REGISTRY.items()):
+            t0 = time.perf_counter()
+            rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+            release_tracked()  # caches don't accumulate across queries
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -73,6 +85,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs": runs,
+                "aggregation": "median" if runs > 1 else "single",
             }
         )
     )
