@@ -589,6 +589,7 @@ def ngram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     smoothing: float = 1.0,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-trained bigram language-model score per document — the
     CCNet-style quality signal: train add-k-smoothed bigram counts on
@@ -597,6 +598,12 @@ def ngram_lm_scores(
 
     Output: (doc_id, n_bigrams, lm_score) — lm_score NULL for docs
     with < 2 tokens.
+
+    ``train_docs`` (default: ``docs`` itself) is the corpus the counts
+    are estimated on — pass the train split to score held-out text:
+    bigrams/heads unseen in training fall back to their smoothed mass
+    ((0+a)/(0+aV)) via left joins, exactly the add-k backstop, so the
+    held-out score is well-defined for every doc.
 
     Scale shape: counts tables are vocab-sized (<< corpus); the
     score join shuffles doc-bigrams against bigram counts on the
@@ -607,29 +614,42 @@ def ngram_lm_scores(
     """
     toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-    # adjacent pairs via zipped shifted slices (empty when < 2 tokens —
-    # avoids sequence(0, -1), which Spark would expand DESCENDING)
-    bg = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "arrays_zip(slice(t, 1, greatest(size(t) - 1, 0)),"
-                "           slice(t, 2, greatest(size(t) - 1, 0)))"
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-    uni = base.select(F.explode("t").alias("w")).groupBy("w").agg(
+    train_base = (
+        base
+        if train_docs is None
+        else train_docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    )
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        # adjacent pairs via zipped shifted slices (empty when < 2
+        # tokens — avoids sequence(0, -1), which Spark would expand
+        # DESCENDING)
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    "           slice(t, 2, greatest(size(t) - 1, 0)))"
+                )
+            ).alias("p"),
+        ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+
+    bg = bigrams(base)
+    uni = train_base.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count("*").alias("c1")
     )
     vocab = uni.agg(F.count("*").cast("double").alias("v"))  # scalar, broadcast
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bgc = bigrams(train_base).groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     a = float(smoothing)
+    # left joins + zero-coalesce: a bigram/head unseen in training
+    # scores its smoothed backstop mass instead of dropping out
     logp = F.log(
-        (F.col("c2") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("v"))
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(a))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(a) * F.col("v"))
     )
     scored = (
-        bg.join(bgc, on=["w1", "w2"])
-        .join(uni.withColumnRenamed("w", "w1"), on="w1")
+        bg.join(bgc, on=["w1", "w2"], how="left")
+        .join(uni.withColumnRenamed("w", "w1"), on="w1", how="left")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.avg(logp).alias("lm_score"))

@@ -2035,3 +2035,326 @@ def q_training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quality_micros"),
         )
     )
+
+
+# ---- Model-evaluation audits over the embeddings table (round 5) ----
+#
+# The scores are exact INTEGER micros (squared distance to the
+# positive-label micro-grid centroid — the same bit-replayable
+# discipline as label_centroid_separation / kmeans_fit_trace), so
+# ranks, AUC, and decile assignments are pure integer arithmetic:
+# hash-identical across engines with no float-order caveats at all.
+
+
+def _micro_centroid_scores(spark: SparkSession, sf_dir: str, pos_label: int = 0):
+    """(vec_id, is_pos, dm): dm = floor(d2(x, centroid_of_pos)·10⁶),
+    centroid on the integer-micro grid. Centroid is |dim| rows →
+    broadcast scalar frame; the scoring pass is one corpus scan."""
+    from streaming_ecom_analytics_spark.functions.similarity import _dot
+
+    emb = catalog.embeddings(spark, sf_dir)
+    x = emb.select(
+        "vec_id",
+        (F.col("label") == pos_label).alias("is_pos"),
+        F.col("embedding").cast("array<double>").alias("xv"),
+    )
+    cent = (
+        x.filter("is_pos")
+        .select(F.posexplode("xv").alias("pos", "val"))
+        .select(
+            F.col("pos").alias("dim_idx"),
+            F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("vm"),
+        )
+        .groupBy("dim_idx")
+        .agg((F.floor(F.sum("vm") / F.count("*")) / F.lit(1000000.0)).alias("cval"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+    d2 = (
+        _dot(F.col("xv"), F.col("xv"))
+        - F.lit(2.0) * _dot(F.col("xv"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    return x.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "is_pos",
+        F.floor(d2 * F.lit(1000000.0)).cast("long").alias("dm"),
+    )
+
+
+_CENTROID_SCORE_SQL = """
+    x AS (
+      SELECT vec_id, label = 0 AS is_pos,
+             CAST(embedding AS DOUBLE[]) AS xv
+      FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+      SELECT array_agg(cval ORDER BY dim_idx) AS cv FROM (
+        SELECT i AS dim_idx,
+               CAST(FLOOR(SUM(CAST(FLOOR(xv[i] * 1000000.0) AS BIGINT))
+                          / COUNT(*)) AS BIGINT) / 1000000.0 AS cval
+        FROM x, unnest(generate_series(1, len(xv))) AS u(i)
+        WHERE is_pos GROUP BY i
+      )
+    ),
+    s AS (
+      SELECT vec_id, is_pos,
+             CAST(FLOOR((list_dot_product(xv, xv)
+                         - 2 * list_dot_product(xv, cv)
+                         + list_dot_product(cv, cv)) * 1000000.0) AS BIGINT)
+               AS dm
+      FROM x CROSS JOIN cent
+    )
+"""
+
+
+@register(
+    "embedding_centroid_auc",
+    f"""
+    WITH {_CENTROID_SCORE_SQL},
+    g AS (
+      SELECT dm, COUNT(*) AS n,
+             COUNT(CASE WHEN is_pos THEN 1 END) AS npos
+      FROM s GROUP BY dm
+    ),
+    r AS (
+      SELECT npos, n,
+             COALESCE(SUM(n) OVER (ORDER BY dm DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(SUM(npos * (2 * before + n + 1)) AS BIGINT) AS two_rpos,
+             CAST(SUM(npos) AS BIGINT) AS n_pos,
+             CAST(SUM(n - npos) AS BIGINT) AS n_neg
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           CAST((two_rpos - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micros
+    FROM agg
+    """,
+)
+def q_embedding_centroid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT one-vs-rest ROC-AUC of the centroid-distance classifier
+    (positive = label 0, score = distance to the positive centroid,
+    closer = more positive) via the average-rank Mann-Whitney
+    statistic. Everything after the scoring pass is integer
+    arithmetic over the SCORE HISTOGRAM: tie groups get their exact
+    average rank (2·avg_rank = 2·cum_before + n + 1 stays integral),
+    and the AUC rational is floored to micros with BIGINT division —
+    no float enters the statistic, so the oracle match is bit-exact.
+    Scale: the ordered window runs over distinct scores (≤ corpus,
+    usually ≪), never the corpus itself."""
+    from pyspark.sql import Window as W
+
+    scores = _micro_centroid_scores(spark, sf_dir)
+    g = scores.groupBy("dm").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("is_pos"), 1)).alias("npos"),
+    )
+    w = (
+        W.orderBy(F.desc("dm"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = g.withColumn("before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    agg = r.agg(
+        F.sum(
+            F.col("npos") * (F.lit(2) * F.col("before") + F.col("n") + F.lit(1))
+        ).cast("long").alias("two_rpos"),
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        # BIGINT `div` keeps the AUC rational exact end-to-end
+        F.expr(
+            "(two_rpos - n_pos * (n_pos + 1)) * 1000000 "
+            "div (2 * n_pos * n_neg)"
+        ).cast("long").alias("auc_micros"),
+    )
+
+
+@register(
+    "centroid_score_decile_lift",
+    f"""
+    WITH {_CENTROID_SCORE_SQL},
+    g AS (
+      SELECT dm, COUNT(*) AS n,
+             COUNT(CASE WHEN is_pos THEN 1 END) AS npos
+      FROM s GROUP BY dm
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g),
+    b AS (
+      SELECT LEAST(9, CAST(10 * COALESCE(SUM(n) OVER (ORDER BY dm ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // nt AS BIGINT)) AS bin,
+             n, npos, dm
+      FROM g CROSS JOIN tot
+    )
+    SELECT bin,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(npos) AS BIGINT) AS n_pos,
+           CAST(SUM(npos) * 1000000 // SUM(n) AS BIGINT) AS pos_rate_micros,
+           CAST(SUM(dm * n) // SUM(n) AS BIGINT) AS mean_dm
+    FROM b GROUP BY bin
+    """,
+)
+def q_centroid_score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-lift / calibration table for the centroid-distance
+    classifier: rows bucketed into 10 score deciles (closest decile
+    first), each reporting its exact positive rate — the monotone
+    decay of pos_rate across deciles is the lift curve a curation
+    pipeline reads before trusting a quality scorer as a filter.
+
+    Deciles are assigned on the SCORE HISTOGRAM (cumulative count per
+    distinct score, integer division by total), so tie groups land in
+    one bin deterministically and the global sort touches only the
+    distinct-score frame — never the corpus. All outputs are exact
+    integers (BIGINT div) — bit-identical to the SQL oracle."""
+    from pyspark.sql import Window as W
+
+    scores = _micro_centroid_scores(spark, sf_dir)
+    g = scores.groupBy("dm").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("is_pos"), 1)).alias("npos"),
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("nt"))
+    w = W.orderBy(F.asc("dm")).rowsBetween(W.unboundedPreceding, -1)
+    b = (
+        g.withColumn("before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.least(
+                F.lit(9), F.expr("10 * before div nt").cast("long")
+            ).alias("bin"),
+            "n",
+            "npos",
+            "dm",
+        )
+    )
+    return b.groupBy("bin").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.expr("sum(npos) * 1000000 div sum(n)").cast("long").alias(
+            "pos_rate_micros"
+        ),
+        F.expr("sum(dm * n) div sum(n)").cast("long").alias("mean_dm"),
+    )
+
+
+@register(
+    "lm_generalization_gap",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 10
+                  THEN 'val'
+                  WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 20
+                  THEN 'test' ELSE 'train' END AS split,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM d WHERE split = 'train') GROUP BY w
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bg AS (
+      SELECT doc_id, split, t[i] AS w1, t[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(t) - 1)) s(i)
+      WHERE len(t) >= 2
+    ),
+    bgc AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE split = 'train'
+      GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT b.doc_id, b.split,
+             CAST(FLOOR(ln((COALESCE(bc.c2, 0) + 1.0)
+                           / (COALESCE(u.c1, 0) + v.v)) * 1000000.0) AS BIGINT)
+               AS lpm
+      FROM bg b
+      LEFT JOIN bgc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      LEFT JOIN uni u ON u.w = b.w1
+      CROSS JOIN v
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lpm) AS BIGINT) AS sum_lp_micros,
+           CAST(SUM(lpm) // COUNT(*) AS BIGINT) AS mean_lp_micros
+    FROM scored GROUP BY split
+    """,
+)
+def q_lm_generalization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM generalization audit over the deterministic md5 split: train
+    an add-1 bigram LM on the TRAIN split only, score every split's
+    bigrams, and report per-split mean log-probability — the
+    train-vs-val gap is the memorization/leakage readout a pipeline
+    checks before trusting its dedup (a near-zero gap after dedup is
+    the expected state; a large one means the val split shares
+    near-duplicate text with train).
+
+    Unseen bigrams/heads score their add-1 backstop mass via left
+    joins (never dropped). Each bigram's log-prob is floored to
+    integer micros BEFORE summation, so the per-split totals are
+    addition-order-free and bit-comparable. Counts tables are
+    vocab-sized; the scoring join shuffles doc-bigrams once."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    docs = catalog.documents(spark, sf_dir)
+    _, split_col = curate.split_exprs(id_col="doc_id")
+    d = docs.select(
+        "doc_id",
+        split_col.alias("split"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ).alias("t"),
+    )
+    bg = d.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(t, 1, greatest(size(t) - 1, 0)),"
+                "           slice(t, 2, greatest(size(t) - 1, 0)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "split", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    train_bg = bg.filter(F.col("split") == "train")
+    uni = (
+        d.filter(F.col("split") == "train")
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    bgc = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lpm = F.floor(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        bg.join(bgc, on=["w1", "w2"], how="left")
+        .join(uni.withColumnRenamed("w", "w1"), on="w1", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "split", lpm.alias("lpm"))
+    )
+    return scored.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_bigrams"),
+        F.sum("lpm").cast("long").alias("sum_lp_micros"),
+        F.expr("sum(lpm) div count(*)").cast("long").alias("mean_lp_micros"),
+    )

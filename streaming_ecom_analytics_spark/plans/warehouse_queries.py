@@ -2629,3 +2629,140 @@ def q_daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_revenue"),
         )
     )
+
+
+@register(
+    "item_jaccard_topk",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    cnt AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
+    inter AS (
+      SELECT a.p AS pa, b.p AS pb, COUNT(*) AS i
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT pa, pb, i AS n_common,
+           CAST(i * 1000000 // (ca.c + cb.c - i) AS BIGINT) AS jaccard_micros
+    FROM inter JOIN cnt ca ON ca.p = pa JOIN cnt cb ON cb.p = pb
+    ORDER BY jaccard_micros DESC, pa ASC, pb ASC
+    LIMIT 25
+    """,
+)
+def q_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase similarity: top-25 part pairs by EXACT
+    Jaccard over their order sets (|A∩B| / |A∪B| as integer micros) —
+    the classic "bought together" candidate generator.
+
+    Scale shape: the pair blow-up is the per-order self-join, bounded
+    by (items per order)² — never |parts|²; the per-part counts join
+    is part-keyed (broadcastable at dimension tiers); the top-25
+    fuses to TakeOrderedAndProject. For catalogs with pathological
+    baskets, cap basket size upstream (the standard market-basket
+    guard)."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    cnt = op.groupBy("p").agg(F.count("*").alias("c"))
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    inter = (
+        a.join(b, on="o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        inter.join(cnt.select(F.col("p").alias("pa"), F.col("c").alias("ca")), on="pa")
+        .join(cnt.select(F.col("p").alias("pb"), F.col("c").alias("cb")), on="pb")
+        .select(
+            "pa",
+            "pb",
+            "n_common",
+            F.expr("n_common * 1000000 div (ca + cb - n_common)")
+            .cast("long")
+            .alias("jaccard_micros"),
+        )
+    )
+    return j.orderBy(
+        F.desc("jaccard_micros"), F.asc("pa"), F.asc("pb")
+    ).limit(25)
+
+
+@register(
+    "revenue_pareto",
+    """
+    WITH cr AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   COUNT(*) AS n_customers FROM cr),
+    c AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cr
+    )
+    SELECT MAX(n_customers) AS n_customers,
+           CAST((SELECT COUNT(*) FROM c CROSS JOIN tot
+                 WHERE 5 * (cum - cents) < 4 * t) AS BIGINT)
+             AS n_customers_80pct,
+           CAST((SELECT MAX(cents) * 1000000 // MAX(t)
+                 FROM cr CROSS JOIN tot) AS BIGINT) AS top1_share_ppm
+    FROM tot
+    """,
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration audit: how many customers (ranked by
+    lifetime order revenue) cover 80% of total revenue, plus the top
+    customer's revenue share — the 80/20 readout behind tiering and
+    skew decisions. A customer counts toward the 80% cohort iff the
+    revenue BEFORE them hasn't crossed the threshold (the cohort
+    includes the boundary-crossing customer — standard Pareto-count
+    semantics). Money is exact integer CENTS end to end; the 80%
+    comparison is the cross-multiplied integer inequality
+    5·(cum−rev) < 4·total and the share is floored integer ppm —
+    zero float anywhere. The running sum orders the per-customer
+    AGGREGATE (|customers| rows), never raw orders."""
+    from pyspark.sql import Window as W
+
+    orders = catalog.load_table(spark, "orders", sf_dir)
+    cr = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    tot = cr.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count("*").alias("n_customers"),
+    )
+    w = W.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = cr.withColumn("cum", F.sum("cents").over(w))
+    cohort = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(5) * (F.col("cum") - F.col("cents")) < F.lit(4) * F.col("t")
+        )
+        .agg(F.count("*").cast("long").alias("n_customers_80pct"))
+    )
+    top_share = cr.crossJoin(F.broadcast(tot)).agg(
+        F.expr("max(cents) * 1000000 div max(t)")
+        .cast("long")
+        .alias("top1_share_ppm")
+    )
+    return (
+        tot.select("n_customers")
+        .crossJoin(F.broadcast(cohort))
+        .crossJoin(F.broadcast(top_share))
+    )
