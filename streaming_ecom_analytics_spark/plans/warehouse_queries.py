@@ -2728,8 +2728,12 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is the cross-multiplied integer inequality
     5·(cum−rev) < 4·total and the share is floored integer ppm —
     zero float anywhere. The running sum orders the per-customer
-    AGGREGATE (|customers| rows), never raw orders."""
+    AGGREGATE (|customers| rows), never raw orders; that aggregate is
+    persisted so the three readouts (total, cohort, top share) scan
+    orders ONCE (plan-asserted)."""
     from pyspark.sql import Window as W
+
+    from streaming_ecom_analytics_spark.caching import persist_tracked
 
     orders = catalog.load_table(spark, "orders", sf_dir)
     cr = orders.groupBy("o_custkey").agg(
@@ -2741,6 +2745,7 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    cr = persist_tracked(cr)
     tot = cr.agg(
         F.sum("cents").cast("long").alias("t"),
         F.count("*").alias("n_customers"),

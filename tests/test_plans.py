@@ -559,6 +559,49 @@ def test_imputation_median_table_broadcasts(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_item_jaccard_topk_fuses_and_never_cartesian(spark):
+    """item_jaccard_topk: the pair blow-up is the per-order equi
+    self-join (bounded by basket size, never |parts|²), and the top-25
+    fuses to TakeOrderedAndProject — no global sort of the pair
+    space."""
+    plan = _plan(spark, "item_jaccard_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_revenue_pareto_windows_aggregate_reads_cache(spark):
+    """revenue_pareto: the global running-sum window runs over the
+    per-customer AGGREGATE, which is persisted so the three scalar
+    readouts share one orders scan; the scalar frames broadcast."""
+    plan = _plan(spark, "revenue_pareto")
+    assert "InMemoryTableScan" in plan  # cr persisted, scanned not recomputed
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eval_audit_windows_run_on_histograms(spark):
+    """embedding_centroid_auc / centroid_score_decile_lift: the ordered
+    rank window runs over the distinct-SCORE histogram (a post-
+    aggregate frame), so the plan is agg → window → agg with the
+    centroid broadcast — never a corpus-wide sort before aggregation,
+    and never a cartesian product."""
+    for name in ("embedding_centroid_auc", "centroid_score_decile_lift"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastExchange" in plan, name
+        # the window consumes the dm-histogram aggregate, not raw rows
+        assert plan.index("Window") < plan.index("FileScan"), name
+
+
+def test_lm_gap_counts_tables_shuffle_once(spark):
+    """lm_generalization_gap: one documents scan feeds tokens and
+    bigrams; the scoring joins shuffle doc-bigrams against vocab-sized
+    count tables; the vocab scalar broadcasts; no cartesian."""
+    plan = _plan(spark, "lm_generalization_gap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_brand_concentration_two_phase_no_smj(spark):
     """customer_brand_concentration: both dims reach the fact via
     size-gated broadcasts (no sort-merge join at these dim sizes), the
