@@ -2358,3 +2358,124 @@ def q_lm_generalization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lpm").cast("long").alias("sum_lp_micros"),
         F.expr("sum(lpm) div count(*)").cast("long").alias("mean_lp_micros"),
     )
+
+
+@register(
+    "contrastive_pairs",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) % 8 AS blk
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_pos
+      FROM x a JOIN x b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+    ),
+    anchors AS (
+      SELECT id_a AS anchor_id, id_b AS positive_id, cos_pos FROM pos
+      UNION ALL
+      SELECT id_b, id_a, cos_pos FROM pos
+    ),
+    cand AS (
+      SELECT an.anchor_id, an.positive_id, an.cos_pos,
+             c.vec_id AS negative_id,
+             ROUND(list_dot_product(a.v, c.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_neg
+      FROM anchors an
+      JOIN x a ON a.vec_id = an.anchor_id
+      JOIN x c ON c.blk = a.blk AND c.vec_id <> an.anchor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY anchor_id, positive_id
+               ORDER BY cos_neg DESC, negative_id ASC) AS rn
+      FROM cand WHERE cos_neg < 0.45
+    )
+    SELECT anchor_id, positive_id, negative_id, cos_pos, cos_neg
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet miner: every near-duplicate pair
+    (cos ≥ 0.45 on this corpus) becomes two (anchor, positive)
+    anchors, and each anchor gets its HARDEST negative — the most
+    similar vector that is NOT a positive — searched within the
+    anchor's deterministic md5 block. The (anchor, positive, hard
+    negative) triplets are what an embedding fine-tune consumes.
+
+    Scale: anchors are bounded by the near-dup count (≪ corpus); the
+    negative search is a block equi-join (corpus/8 candidates per
+    anchor, never all-pairs); the argmax is a partial-aggregable
+    struct max, not a window over the corpus. Cosines round to 6 dp
+    before the argmax so the tie order is engine-identical."""
+    from streaming_ecom_analytics_spark.functions.similarity import _dot, _norm
+
+    emb = catalog.embeddings(spark, sf_dir)
+    x = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (
+            F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1))
+            % 8
+        ).alias("blk"),
+    )
+    pos = similarity.embedding_near_dup_pairs(emb, threshold=0.45, dim=64)
+    anchors = pos.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        F.col("cosine").alias("cos_pos"),
+    ).unionByName(
+        pos.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("positive_id"),
+            F.col("cosine").alias("cos_pos"),
+        )
+    )
+    a = x.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("blk").alias("ablk"),
+    )
+    c = x.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("v").alias("cv"),
+        F.col("blk").alias("cblk"),
+    )
+    cos_neg = F.round(
+        _dot(F.col("av"), F.col("cv"))
+        / (_norm(F.col("av")) * _norm(F.col("cv"))),
+        6,
+    )
+    cand = (
+        anchors.join(a, on="anchor_id")
+        .join(c, F.col("cblk") == F.col("ablk"))
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "positive_id",
+            "cos_pos",
+            "negative_id",
+            cos_neg.alias("cos_neg"),
+        )
+        .filter(F.col("cos_neg") < 0.45)
+    )
+    best = cand.groupBy("anchor_id", "positive_id", "cos_pos").agg(
+        F.max(F.struct(F.col("cos_neg"), (-F.col("negative_id")).alias("nid"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "anchor_id",
+        "positive_id",
+        (-F.col("b.nid")).alias("negative_id"),
+        "cos_pos",
+        F.col("b.cos_neg").alias("cos_neg"),
+    )

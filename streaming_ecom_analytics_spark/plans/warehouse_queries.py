@@ -2771,3 +2771,57 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cohort))
         .crossJoin(F.broadcast(top_share))
     )
+
+
+@register(
+    "customer_spend_rank_profile",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    )
+    SELECT c_nationkey, o_custkey AS c_custkey, cents,
+           ROUND(percent_rank() OVER w, 6) AS spend_pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS spend_cume_dist,
+           CAST(ntile(10) OVER w AS BIGINT) AS spend_decile
+    FROM spend
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents DESC, o_custkey ASC)
+    """,
+)
+def q_customer_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer spend ranking profile — the rank-family
+    window functions (percent_rank / cume_dist / ntile) that tiering
+    and marketing-segment exports read. Partitioned by nation, so the
+    rank windows parallelize across partitions (no global sort); the
+    ORDER BY carries a custkey tiebreak so ntile is a total order and
+    the output is deterministic on both engines. Spend is exact
+    integer cents through DECIMAL(18,2)."""
+    from pyspark.sql import Window as W
+
+    orders = catalog.load_table(spark, "orders", sf_dir)
+    cust = catalog.load_dim(spark, "customer", sf_dir)
+    spend = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("cents"), F.asc("o_custkey"))
+    return spend.select(
+        "c_nationkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "cents",
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+        F.ntile(10).over(w).cast("long").alias("spend_decile"),
+    )
