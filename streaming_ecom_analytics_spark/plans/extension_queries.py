@@ -2479,3 +2479,97 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_pos",
         F.col("b.cos_neg").alias("cos_neg"),
     )
+
+
+@register(
+    "split_leakage_audit",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 10
+                  THEN 'val'
+                  WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 20
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ),
+    tagged AS (
+      SELECT LEAST(pa.split, pb.split) AS split_lo,
+             GREATEST(pa.split, pb.split) AS split_hi
+      FROM pairs
+      JOIN sp pa ON pa.doc_id = doc_a
+      JOIN sp pb ON pb.doc_id = doc_b
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_lo <> split_hi AS is_leak
+    FROM tagged GROUP BY split_lo, split_hi
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit: count near-duplicate pairs (the
+    exact ≥0.8 shingle-Jaccard set) whose two documents land in
+    DIFFERENT md5 splits. Cross-split rows (is_leak) are eval
+    contamination the deterministic split cannot prevent when the
+    corpus carries near-dups — the number this audit exists to drive
+    to zero via dedup-BEFORE-split. Split pairs are canonicalized
+    (lexicographic lo/hi) so each unordered split combination is one
+    row. The pair set reuses the banded-MinHash path (LSH candidates,
+    exact verify) — never all-pairs; the split tag is a narrow md5
+    projection of doc_id."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    docs = catalog.documents(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=3, num_perm=64, bands=16, threshold=0.8
+    ).select("doc_a", "doc_b")
+    _, split_col = curate.split_exprs(id_col="doc_id")
+    sp = docs.select("doc_id", split_col.alias("split"))
+    tagged = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            on="doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            on="doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    return tagged.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+    )
