@@ -2825,3 +2825,119 @@ def q_customer_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
         F.ntile(10).over(w).cast("long").alias("spend_decile"),
     )
+
+
+@register(
+    "revenue_forecast_baseline",
+    """
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT day, cents,
+             CAST(SUM(cents) OVER w // COUNT(*) OVER w AS BIGINT) AS forecast_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_hist
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, cents, forecast_cents,
+           ABS(cents - forecast_cents) AS abs_err_cents
+    FROM f WHERE n_hist = 7
+    """,
+)
+def q_revenue_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day moving-average revenue forecast with per-day
+    absolute error — the naive baseline every real forecaster must
+    beat, and the backbone of a forecast-eval harness. Only days with
+    a full 7-day history are scored (no cold-start noise). Money is
+    exact integer cents; the forecast is integer-floor mean, so the
+    error column is integer-exact on both engines. One day-grain
+    aggregate, one ordered window over |days| rows."""
+    from pyspark.sql import Window as W
+
+    ev = catalog.events(spark, sf_dir)
+    d = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.lit(100)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    f = d.select(
+        "day",
+        "cents",
+        F.expr(
+            "sum(cents) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+            " div "
+            "count(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+        ).cast("long").alias("forecast_cents"),
+        F.count("*").over(w).cast("long").alias("n_hist"),
+    )
+    return f.filter(F.col("n_hist") == 7).select(
+        "day",
+        "cents",
+        "forecast_cents",
+        F.abs(F.col("cents") - F.col("forecast_cents")).alias("abs_err_cents"),
+    )
+
+
+@register(
+    "weekly_revenue_wow",
+    """
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT week, cents,
+           lag(cents) OVER (ORDER BY week) AS prev_cents,
+           CAST((cents - lag(cents) OVER (ORDER BY week)) * 1000000
+                // lag(cents) OVER (ORDER BY week) AS BIGINT) AS wow_growth_ppm
+    FROM wk
+    """,
+)
+def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth in exact integer ppm (floored
+    rational of integer cents) — the trend tile next to the daily
+    revenue dashboard. NULL growth on the first week, by definition.
+    One week-grain aggregate + one lag over |weeks| rows."""
+    from pyspark.sql import Window as W
+
+    ev = catalog.events(spark, sf_dir)
+    wk = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.lit(100)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.orderBy("week")
+    prev = F.lag("cents").over(w)
+    return wk.select(
+        "week",
+        "cents",
+        prev.alias("prev_cents"),
+        F.expr(
+            "(cents - lag(cents) OVER (ORDER BY week)) * 1000000 "
+            "div lag(cents) OVER (ORDER BY week)"
+        ).cast("long").alias("wow_growth_ppm"),
+    )
