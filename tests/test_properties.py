@@ -363,3 +363,62 @@ def test_attribution_conserves_cents(spark, n_touches, cents):
     total = round(sum(r.attributed_revenue for r in out), 2)
     assert total == cents / 100.0 or total == round(cents / 100.0, 2)
     assert sum(r.n_touches for r in out) == n_touches
+
+
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 20), st.one_of(st.none(), st.text(max_size=4))),
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 20), st.one_of(st.none(), st.text(max_size=4))),
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_equals_bruteforce(spark, old_rows, new_rows):
+    """snapshot_diff must classify EXACTLY the keys whose rows differ
+    between two arbitrary snapshots — including NULLs, empty strings,
+    and any characters (the struct-JSON hash may never alias)."""
+    from streaming_ecom_analytics_spark.operators.cdc import snapshot_diff
+
+    schema = "k long, v string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    o, n = dict(old_rows), dict(new_rows)
+    want = {}
+    for k in o.keys() | n.keys():
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        elif o[k] != n[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(-(10**9), 10**9), max_size=25, unique=True))
+@settings(**_SETTINGS)
+def test_split_assignment_independent_of_corpus(spark, ids):
+    """The md5 split is a pure function of the id: restricting the
+    corpus to any subset never changes an id's assignment (the
+    stability property leakage audits depend on), and bucket stays in
+    [0, 100) with split consistent with its bucket."""
+    from streaming_ecom_analytics_spark.functions.curate import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    full = {r.doc_id: (r.bucket, r.split) for r in assign_splits(df).collect()}
+    half_ids = ids[: len(ids) // 2]
+    half = spark.createDataFrame([(i,) for i in half_ids], "doc_id long")
+    sub = {r.doc_id: (r.bucket, r.split) for r in assign_splits(half).collect()}
+    for i in half_ids:
+        assert sub[i] == full[i]
+    for b, s in full.values():
+        assert 0 <= b < 100
+        assert s == ("val" if b < 10 else "test" if b < 20 else "train")
