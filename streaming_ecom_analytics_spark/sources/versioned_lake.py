@@ -139,6 +139,21 @@ class VersionedTable:
 
     # ---- maintenance ---------------------------------------------------
 
+    def compact(self, spark: SparkSession, *, target_files: int = 1) -> int:
+        """Small-files compaction: rewrite the LATEST snapshot into
+        ``target_files`` parquet files and commit the result as a new
+        version (content-identical, fewer files). The append path
+        accumulates one-file-per-micro-batch at streaming cadence —
+        the classic small-files problem; compaction is the maintenance
+        pass that keeps scan parallelism healthy without breaking time
+        travel (old versions still reference the original files until
+        vacuum retires them). Returns the new version number."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        df = self.read(spark).coalesce(max(1, target_files))
+        return self.commit(df, mode="overwrite", message=f"compact v{v}")
+
     def vacuum(self, *, keep_last: int = 2) -> list[str]:
         """Delete data files referenced by NO retained manifest and drop
         manifests older than the last ``keep_last``. Returns removed

@@ -61,6 +61,33 @@ def test_vacuum_drops_unreferenced_files(spark, table):
         assert not os.path.exists(p)
 
 
+def test_compact_reduces_files_preserves_content_and_history(spark, table):
+    """Ten single-row appends → ten+ small files; compact() commits a
+    content-identical snapshot in one file, prior versions still
+    time-travel, and a later vacuum retires the small files."""
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        table.compact(spark)
+    for i in range(10):
+        table.commit(_df(spark, [f"r{i}"]), mode="append")
+    before = table.manifest(table.latest_version())["files"]
+    assert len(before) >= 10
+    v = table.compact(spark, target_files=1)
+    after = table.manifest(v)["files"]
+    assert len(after) == 1
+    assert sorted(r.v for r in table.read(spark).collect()) == sorted(
+        f"r{i}" for i in range(10)
+    )
+    # time travel to the pre-compact version still works
+    assert len(table.read(spark, version=v - 1).collect()) == 10
+    removed = table.vacuum(keep_last=1)
+    assert set(before) <= set(removed)  # small files gone, compact file kept
+    assert sorted(r.v for r in table.read(spark).collect()) == sorted(
+        f"r{i}" for i in range(10)
+    )
+
+
 def test_read_empty_table_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read(spark)
