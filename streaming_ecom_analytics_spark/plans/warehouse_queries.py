@@ -2941,3 +2941,109 @@ def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div lag(cents) OVER (ORDER BY week)"
         ).cast("long").alias("wow_growth_ppm"),
     )
+
+
+@register(
+    "revenue_forecast_anomalies",
+    """
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT day, cents,
+             CAST(SUM(cents) OVER w // COUNT(*) OVER w AS BIGINT)
+               AS forecast_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_hist
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    e AS (
+      SELECT day, cents, forecast_cents,
+             cents - forecast_cents AS err_cents
+      FROM f WHERE n_hist = 7
+    ),
+    med AS (
+      SELECT CAST(quantile_disc(err_cents, 0.5) AS BIGINT) AS m FROM e
+    ),
+    mad AS (
+      SELECT CAST(quantile_disc(abs(err_cents - m), 0.5) AS BIGINT) AS mad
+      FROM e CROSS JOIN med
+    )
+    SELECT e.day, e.cents, e.forecast_cents, e.err_cents,
+           abs(e.err_cents - m) > 3 * mad AS is_anomaly
+    FROM e CROSS JOIN med CROSS JOIN mad
+    """,
+)
+def q_revenue_forecast_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-residual anomaly labeling: days whose error against
+    the trailing-7-day baseline deviates from the median error by more
+    than 3 exact MADs — the robust (outlier-immune) gate that a naive
+    3-sigma rule gets wrong on heavy-tailed revenue. Everything is
+    integer cents: discrete-percentile medians are actual data values,
+    so the MAD gate is bit-identical across engines. The median/MAD
+    scalars broadcast back over the |days| frame."""
+    from pyspark.sql import Window as W
+
+    ev = catalog.events(spark, sf_dir)
+    d = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.lit(100)).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    f = d.select(
+        "day",
+        "cents",
+        F.expr(
+            "sum(cents) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+            " div "
+            "count(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+        ).cast("long").alias("forecast_cents"),
+        F.count("*").over(w).cast("long").alias("n_hist"),
+    )
+    e = f.filter(F.col("n_hist") == 7).select(
+        "day",
+        "cents",
+        "forecast_cents",
+        (F.col("cents") - F.col("forecast_cents")).alias("err_cents"),
+    )
+    med = e.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY err_cents)")
+        .cast("long")
+        .alias("m")
+    )
+    mad = (
+        e.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(err_cents - m))"
+            )
+            .cast("long")
+            .alias("mad")
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "cents",
+            "forecast_cents",
+            "err_cents",
+            (
+                F.abs(F.col("err_cents") - F.col("m")) > F.lit(3) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )
