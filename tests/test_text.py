@@ -202,6 +202,31 @@ def test_ngram_lm_scores_semantics(spark):
     assert out[1].lm_score == out[2].lm_score
 
 
+def test_ngram_lm_heldout_scores_unseen_via_backstop(spark):
+    """With a separate train corpus, bigrams/heads absent from
+    training must score their add-1 backstop mass — never drop out of
+    the per-doc average — and fully-unseen text must score strictly
+    below text the model has memorized."""
+    import math
+
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    score_docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zq xv qj")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.ngram_lm_scores(score_docs, train_docs=train).collect()
+    }
+    assert out[10].n_bigrams == 2 and out[11].n_bigrams == 2
+    assert out[10].lm_score > out[11].lm_score
+    # fully-unseen bigram with unseen head: p = 1 / (0 + V), V = 5
+    assert abs(out[11].lm_score - math.log(1.0 / 5.0)) < 1e-9
+
+
 def test_bpe_pair_counts_ranking(spark):
     from streaming_ecom_analytics_spark.functions import text as textops
 
