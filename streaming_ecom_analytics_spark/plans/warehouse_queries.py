@@ -3047,3 +3047,55 @@ def q_revenue_forecast_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "retention_day_n",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    f AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS first_day
+      FROM ud
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS cohort FROM ud)
+    SELECT CAST(day - first_day AS BIGINT) AS day_n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_retained,
+           CAST(MAX(cohort) AS BIGINT) AS cohort_size,
+           CAST(COUNT(DISTINCT user_id) * 1000000 // MAX(cohort) AS BIGINT)
+             AS retention_ppm
+    FROM f CROSS JOIN tot
+    WHERE day - first_day BETWEEN 0 AND 7
+    GROUP BY 1
+    """,
+)
+def q_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention curve: of all users ever seen, what fraction is
+    active exactly N days after their OWN first day (N = 0..7) — the
+    product-health readout next to the cohort matrix, but anchored
+    per-user rather than per-calendar-cohort. The per-user first day
+    is a min-over-window on the DISTINCT (user, day) frame (one
+    user-keyed exchange, |user·days| rows, never raw events); rates
+    are exact floored ppm."""
+    from pyspark.sql import Window as W
+
+    ev = catalog.events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = ud.withColumn(
+        "first_day", F.min("day").over(W.partitionBy("user_id"))
+    ).withColumn("day_n", F.datediff("day", "first_day"))
+    tot = ud.agg(F.countDistinct("user_id").alias("cohort"))
+    return (
+        f.filter(F.col("day_n").between(0, 7))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("day_n").cast("long").alias("day_n"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_retained"),
+            F.max("cohort").cast("long").alias("cohort_size"),
+            F.expr("count(DISTINCT user_id) * 1000000 div max(cohort)")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+    )
