@@ -3099,3 +3099,72 @@ def q_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_ppm"),
         )
     )
+
+
+@register(
+    "discount_banded_demand",
+    """
+    SELECT CAST(FLOOR(l_discount * 100) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000000 // COUNT(*)
+                AS BIGINT) AS qty_per_line_micros,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT)) // 100)
+                AS BIGINT) AS net_revenue_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_discount_banded_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand by discount band (whole percentage points): line counts,
+    total quantity, exact mean quantity per line (floored micros), and
+    net revenue — the table a pricing analyst reads before claiming
+    discounts move volume. One scan, one hash aggregate on an
+    11-value key. Net revenue is pure integer arithmetic:
+    price_cents · (100 − discount_pct) div 100 — floored to the cent
+    per line, so no engine's DECIMAL half-rounding rule (half-up vs
+    half-even at .xx5 boundaries) can leak into the totals."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    return li.groupBy(
+        F.floor(F.col("l_discount") * F.lit(100)).cast("long").alias(
+            "discount_pct"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        F.expr("sum(cast(l_quantity as bigint)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("qty_per_line_micros"),
+        F.sum(
+            F.expr(
+                "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+                " * (100 - cast(floor(l_discount * 100) as bigint)) div 100"
+            )
+        )
+        .cast("long")
+        .alias("net_revenue_cents"),
+    )
+
+
+@register(
+    "basket_size_distribution",
+    """
+    WITH b AS (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_items AS BIGINT) AS basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY n_items
+    """,
+)
+def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size histogram — the market-basket sanity check
+    behind every co-purchase join's cost model (the pair blow-up is
+    quadratic in THIS distribution's tail). Two hash aggregates,
+    second over |distinct sizes| rows."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    b = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return b.groupBy(F.col("n_items").cast("long").alias("basket_size")).agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
