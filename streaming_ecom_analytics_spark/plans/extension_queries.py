@@ -2313,6 +2313,8 @@ def q_lm_generalization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.documents(spark, sf_dir)
     _, split_col = curate.split_exprs(id_col="doc_id")
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
     d = docs.select(
         "doc_id",
         split_col.alias("split"),
@@ -2320,6 +2322,10 @@ def q_lm_generalization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
         ).alias("t"),
     )
+    # the tokenized frame feeds four branches (all-bigrams, train
+    # bigram counts, train unigram counts, vocab); persist so the
+    # documents scan + tokenize runs once, not per branch
+    d = persist_tracked(d)
     bg = d.select(
         "doc_id",
         "split",

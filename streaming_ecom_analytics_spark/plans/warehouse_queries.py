@@ -3081,8 +3081,12 @@ def q_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact floored ppm."""
     from pyspark.sql import Window as W
 
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
     ev = catalog.events(spark, sf_dir)
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud = persist_tracked(
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
     f = ud.withColumn(
         "first_day", F.min("day").over(W.partitionBy("user_id"))
     ).withColumn("day_n", F.datediff("day", "first_day"))
