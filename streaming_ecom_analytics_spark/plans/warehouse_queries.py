@@ -3172,3 +3172,75 @@ def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy(F.col("n_items").cast("long").alias("basket_size")).agg(
         F.count("*").cast("long").alias("n_orders")
     )
+
+
+@register(
+    "brand_price_quantity_corr",
+    """
+    WITH x AS (
+      SELECT p.p_brand,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(q) AS DOUBLE) AS sx,
+             CAST(SUM(c) AS DOUBLE) AS sy,
+             CAST(SUM(q * c) AS DOUBLE) AS sxy,
+             CAST(SUM(q * q) AS DOUBLE) AS sxx,
+             CAST(SUM(c * c) AS DOUBLE) AS syy,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM x GROUP BY p_brand
+    )
+    SELECT p_brand, n_lines,
+           CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6)
+           END AS corr_qty_price
+    FROM s
+    """,
+)
+def q_brand_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between line quantity and line
+    price, the distributed-safe way: ONE hash aggregate collects the
+    moment sums over EXACT integers (quantity, DECIMAL-derived price
+    cents; the squared-cents sum runs through DuckDB's int128 /
+    Spark's decimal accumulator, so nothing overflows or drifts), and
+    only the final closed form runs in doubles — identical IEEE ops on
+    identical inputs on both engines, so the rounded correlation is
+    deterministic and aggregation-order-free, unlike a naive corr()
+    over double partials. NULL on zero variance. One fact scan, part
+    broadcast, |brands| output rows."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    part = catalog.load_dim(spark, "part", sf_dir)
+    x = li.join(part, F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_brand",
+        F.col("l_quantity").cast("long").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * F.lit(100))
+        .cast("long")
+        .alias("c"),
+    )
+    dec = "decimal(38,0)"
+    s = x.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("q").cast("double").alias("sx"),
+        F.sum("c").cast("double").alias("sy"),
+        F.sum((F.col("q") * F.col("c")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).cast("double").alias("syy"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "p_brand",
+        "n_lines",
+        F.when((vx <= 0) | (vy <= 0), F.lit(None))
+        .otherwise(F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6))
+        .alias("corr_qty_price"),
+    )
