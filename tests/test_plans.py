@@ -602,6 +602,42 @@ def test_lm_gap_counts_tables_shuffle_once(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_round5_late_wave_never_cartesian(spark):
+    """retention / forecast / anomaly / discount / basket / corr /
+    rank-profile / WoW: no cartesian products; scalar frames and dims
+    broadcast where present."""
+    for name in (
+        "retention_day_n",
+        "revenue_forecast_baseline",
+        "revenue_forecast_anomalies",
+        "discount_banded_demand",
+        "basket_size_distribution",
+        "brand_price_quantity_corr",
+        "customer_spend_rank_profile",
+        "weekly_revenue_wow",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_corr_is_single_aggregate_with_broadcast_dim(spark):
+    """brand_price_quantity_corr: one fact scan, the part dim reaches
+    it as a broadcast-hash join, and the moment sums are one two-phase
+    hash aggregate — no second pass over lineitem for the closed
+    form."""
+    plan = _plan(spark, "brand_price_quantity_corr")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # brand agg only
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_discount_band_single_pass(spark):
+    plan = _plan(spark, "discount_banded_demand")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_brand_concentration_two_phase_no_smj(spark):
     """customer_brand_concentration: both dims reach the fact via
     size-gated broadcasts (no sort-merge join at these dim sizes), the
