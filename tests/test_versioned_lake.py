@@ -98,6 +98,85 @@ def test_rejects_unknown_mode(spark, table):
         table.commit(_df(spark, ["a"]), mode="merge")
 
 
+def test_versioned_materializer_soak_with_restart(spark, tmp_path):
+    """The overwrite-snapshot half of the materializer family, soaked
+    (round-4 verdict #7): 20 micro-batches of a complete-mode count
+    aggregate committed as versions, with a stop + checkpoint restart
+    after batch 10. One version per refresh (no replay), the final
+    snapshot equals the batch twin over all events, and every refresh
+    stays time-travelable."""
+    import datetime as dt
+
+    from streaming_ecom_analytics_spark.streaming.materialize import (
+        versioned_materializer,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    types = ["view", "cart", "purchase"]
+    batches = [
+        [
+            (
+                b * 2 + j,
+                dt.datetime(2024, 1, 1, 10, b, j),
+                (b + j) % 4,
+                types[(b + j) % 3],
+                1.0,
+                "{}",
+            )
+            for j in range(2)
+        ]
+        for b in range(20)
+    ]
+    src = tmp_path / "events"
+
+    def write(lo, hi):
+        for i in range(lo, hi):
+            spark.createDataFrame(batches[i], schema).coalesce(1).write.parquet(
+                str(src / f"batch_{i:02d}"), mode="overwrite"
+            )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        agg = stream.groupBy("event_type").count()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(versioned_materializer(str(tmp_path / "view")))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write(0, 10)
+    run()
+    table = VersionedTable(str(tmp_path / "view"))
+    assert len(table.versions()) == 10
+    write(10, 20)
+    run()  # restart from checkpoint
+    assert len(table.versions()) == 20
+
+    allrows = [r for b in batches for r in b]
+    want = {}
+    for r in allrows:
+        want[r[3]] = want.get(r[3], 0) + 1
+    got = {r.event_type: r["count"] for r in table.read(spark).collect()}
+    assert got == want
+    # version 9 is the complete-mode state after the first 10 batches
+    first10 = {}
+    for b in batches[:10]:
+        for r in b:
+            first10[r[3]] = first10.get(r[3], 0) + 1
+    got10 = {r.event_type: r["count"] for r in table.read(spark, version=9).collect()}
+    assert got10 == first10
+
+
 def test_versioned_materializer_streaming_refresh(spark, tmp_path):
     """A streaming aggregate materialized through versioned commits:
     the final snapshot equals the batch answer, and every micro-batch
