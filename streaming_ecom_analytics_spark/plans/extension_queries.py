@@ -2579,3 +2579,125 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
     )
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents WHERE length(text) > 0
+    ),
+    cc AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    tot AS (SELECT doc_id, SUM(n) AS t FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           CAST(MAX(t) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(CAST(FLOOR(-(CAST(n AS DOUBLE) / t)
+                                * ln(CAST(n AS DOUBLE) / t)
+                                / ln(2) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS entropy_bits_micros
+    FROM cc JOIN tot ON tot.doc_id = cc.doc_id
+    GROUP BY cc.doc_id
+    """,
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits) — the
+    cheapest gibberish/boilerplate detector in the curation stack:
+    natural prose sits near 4-4.5 bits, repeated-character spam and
+    base64 blobs fall far outside. Per-character-class terms are
+    floored to integer micros BEFORE the per-doc sum, so the entropy
+    is addition-order-free (each term is a deterministic double from
+    two exact integers). One explode, two hash aggregates on doc-keyed
+    frames."""
+    docs = catalog.documents(spark, sf_dir)
+    ch = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "")).alias("c"),
+        )
+        .filter(F.col("c") != "")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = cc.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    term = F.floor(-p * F.log(p) / F.lit(0.6931471805599453) * F.lit(1000000.0)).cast(
+        "long"
+    )
+    return (
+        cc.join(tot, on="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("t").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.sum(term).cast("long").alias("entropy_bits_micros"),
+        )
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS (
+      SELECT i - 1 AS dim_idx,
+             CAST(FLOOR(v[i] * 1000000.0) AS BIGINT) AS vm
+      FROM x, unnest(generate_series(1, len(v))) u(i)
+    )
+    SELECT dim_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vm) AS BIGINT) AS sum_micros,
+           CAST(SUM(vm) // COUNT(*) AS BIGINT) AS mean_micros,
+           CAST(MIN(vm) AS BIGINT) AS min_micros,
+           CAST(MAX(vm) AS BIGINT) AS max_micros,
+           CAST((SUM(vm * vm) - SUM(vm) * SUM(vm) // COUNT(*))
+                // COUNT(*) AS BIGINT) AS var_micros2
+    FROM e GROUP BY dim_idx
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health report: exact integer-micro
+    mean/min/max/variance for each of the 64 dimensions — the audit
+    that catches dead dims (zero variance), saturated dims, and
+    anisotropy drift after a bad fine-tune. Values quantize to the
+    micro grid first, so every statistic is pure integer arithmetic
+    (variance via the moment identity on int128 accumulators) —
+    bit-identical across engines and partitionings. One posexplode,
+    one hash aggregate on a 64-value key."""
+    emb = catalog.embeddings(spark, sf_dir)
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_idx", "val"
+        )
+    ).select(
+        "dim_idx",
+        F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("vm"),
+    )
+    dec = "decimal(38,0)"
+    return e.groupBy("dim_idx").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("sum_micros"),
+        F.expr("sum(vm) div count(*)").cast("long").alias("mean_micros"),
+        F.min("vm").cast("long").alias("min_micros"),
+        F.max("vm").cast("long").alias("max_micros"),
+        # explicit FLOOR at each division — Spark's decimal casts
+        # round half-up, DuckDB's // floors; only floor-floor agrees
+        F.floor(
+            (
+                F.sum((F.col("vm") * F.col("vm")).cast(dec))
+                - F.floor(
+                    F.sum("vm").cast(dec)
+                    * F.sum("vm").cast(dec)
+                    / F.count("*").cast(dec)
+                )
+            )
+            / F.count("*").cast(dec)
+        )
+        .cast("long")
+        .alias("var_micros2"),
+    )

@@ -3244,3 +3244,60 @@ def q_brand_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6))
         .alias("corr_qty_price"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_ppm
+    FROM t
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), exact floored ppm — the
+    behavioral fingerprint behind session simulation and bot
+    detection. One user-keyed exchange for the lead window (ts +
+    event_id total order), one hash aggregate on the |types|² key,
+    then the row-normalization window runs on the tiny matrix itself."""
+    from pyspark.sql import Window as W
+
+    ev = catalog.events(spark, sf_dir)
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    t = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.expr(
+            "n * 1000000 div sum(n) OVER (PARTITION BY from_type)"
+        ).cast("long").alias("p_ppm"),
+    )
