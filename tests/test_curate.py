@@ -96,6 +96,30 @@ def test_assign_splits_stable_under_growth(spark):
     assert all(b[i] == s[i] for i in s)  # growth never reassigns
 
 
+def test_with_split_equals_assign_splits(spark):
+    """The inline (join-free) split column must agree byte-for-byte
+    with the assign_splits frame — the manifest capstone's rewrite
+    depends on the two forms being THE SAME function of doc_id."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    df = spark.createDataFrame(
+        [(i, "t") for i in range(500)], "doc_id long, text string"
+    )
+    joined = {r.doc_id: r.split for r in curate.assign_splits(df).collect()}
+    inline = {r.doc_id: r.split for r in curate.with_split(df).collect()}
+    assert inline == joined
+    # non-default percentages thread through identically
+    j2 = {
+        r.doc_id: r.split
+        for r in curate.assign_splits(df, val_pct=30, test_pct=30).collect()
+    }
+    i2 = {
+        r.doc_id: r.split
+        for r in curate.with_split(df, val_pct=30, test_pct=30).collect()
+    }
+    assert i2 == j2 and set(j2.values()) == {"val", "test", "train"}
+
+
 def test_stratified_sample_caps_per_group(spark):
     from streaming_ecom_analytics_spark.functions import curate
 
