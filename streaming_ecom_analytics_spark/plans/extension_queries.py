@@ -2701,3 +2701,151 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_micros2"),
     )
+
+
+_EIG_ORACLE = """
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    vm AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS i,
+             CAST(FLOOR(v[i] * 1000000.0) AS BIGINT) AS m
+      FROM x, unnest(generate_series(1, len(v))) u(i)
+    ),
+    gram AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.m * b.m) AS HUGEINT) AS g
+      FROM vm a JOIN vm b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS HUGEINT) AS vj FROM vm),
+    w1 AS MATERIALIZED (
+      SELECT gram.i, CAST(SUM(g * vj) AS HUGEINT) AS w
+      FROM gram JOIN v0 ON v0.j = gram.j
+      GROUP BY gram.i
+    ),
+    v1 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(w) * 1000000 // (SELECT MAX(abs(w)) FROM w1)) AS vj
+      FROM w1
+    ),
+    w2 AS MATERIALIZED (
+      SELECT gram.i, CAST(SUM(g * vj) AS HUGEINT) AS w
+      FROM gram JOIN v1 ON v1.j = gram.j
+      GROUP BY gram.i
+    ),
+    v2 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(w) * 1000000 // (SELECT MAX(abs(w)) FROM w2)) AS vj
+      FROM w2
+    ),
+    w3 AS MATERIALIZED (
+      SELECT gram.i, CAST(SUM(g * vj) AS HUGEINT) AS w
+      FROM gram JOIN v2 ON v2.j = gram.j
+      GROUP BY gram.i
+    ),
+    v3 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(w) * 1000000 // (SELECT MAX(abs(w)) FROM w3)) AS vj
+      FROM w3
+    ),
+    w4 AS MATERIALIZED (
+      SELECT gram.i, CAST(SUM(g * vj) AS HUGEINT) AS w
+      FROM gram JOIN v3 ON v3.j = gram.j
+      GROUP BY gram.i
+    ),
+    v4 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(w) * 1000000 // (SELECT MAX(abs(w)) FROM w4)) AS vj
+      FROM w4
+    ),
+    w5 AS MATERIALIZED (
+      SELECT gram.i, CAST(SUM(g * vj) AS HUGEINT) AS w
+      FROM gram JOIN v4 ON v4.j = gram.j
+      GROUP BY gram.i
+    ),
+    v5 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(w) * 1000000 // (SELECT MAX(abs(w)) FROM w5)) AS vj
+      FROM w5
+    ),
+    w6 AS MATERIALIZED (
+      SELECT gram.i, CAST(SUM(g * vj) AS HUGEINT) AS w
+      FROM gram JOIN v5 ON v5.j = gram.j
+      GROUP BY gram.i
+    ),
+    v6 AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * (abs(w) * 1000000 // (SELECT MAX(abs(w)) FROM w6)) AS vj
+      FROM w6
+    )
+    SELECT CAST(j AS BIGINT) AS dim_idx, CAST(vj AS BIGINT) AS eig_micros
+    FROM v6"""
+
+
+@register("embedding_top_eigenvector", _EIG_ORACLE)
+def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, step one: the corpus gram matrix (one
+    vec_id-keyed self-join of the micro-quantized components — 64x64
+    exact integer entries, ONE pass over the embeddings) followed by
+    SIX power-iteration rounds toward the top eigenvector, entirely in
+    integer arithmetic: matvec products accumulate in decimal(38,0) /
+    int128, and each round renormalizes by sign(w) * (|w|*10^6 div
+    max|w|) so both engines floor identically. The result is the
+    bit-exact dominant principal direction on the micro grid — the
+    anisotropy axis an embedding-health audit removes before cosine
+    retrieval. The gram frame persists across rounds (one corpus
+    pass total); every round is a 4096-row join-agg, driver-free."""
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    emb = catalog.embeddings(spark, sf_dir)
+    vm = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "val"
+        ),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("m"),
+    )
+    dec = "decimal(38,0)"
+    a = vm.select("vec_id", F.col("i").alias("ai"), F.col("m").alias("am"))
+    b = vm.select("vec_id", F.col("i").alias("bi"), F.col("m").alias("bm"))
+    gram = persist_tracked(
+        a.join(b, on="vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
+        .agg(F.sum((F.col("am") * F.col("bm")).cast(dec)).alias("g"))
+    )
+    v = gram.select("j").distinct().select(
+        "j", F.lit(1000000).cast(dec).alias("vj")
+    )
+    for _ in range(6):
+        w = (
+            gram.join(v, on="j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("vj")).cast(dec).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                (
+                    F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1)).cast(dec)
+                    * F.floor(
+                        F.abs(F.col("w")) * F.lit(1000000).cast(dec) / F.col("mx")
+                    ).cast(dec)
+                ).alias("vj"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.col("j").cast("long").alias("dim_idx"),
+        F.col("vj").cast("long").alias("eig_micros"),
+    )

@@ -409,3 +409,37 @@ def test_label_separation_on_separable_labels(spark):
     ).collect()}
     for lbl in (0, 1):
         assert agg[lbl].intra * 100 < agg[lbl].cross
+
+
+def test_top_eigenvector_finds_dominant_direction(spark):
+    """Power iteration on a corpus with variance concentrated on one
+    axis must converge to that axis: the renormalized eigenvector's
+    max-magnitude entry (always ±10⁶ by construction) lands on the
+    dominant dimension, and other dims stay small."""
+    import numpy as np
+
+    from streaming_ecom_analytics_spark.plans import REGISTRY
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(80):
+        v = rng.standard_normal(8) * 0.05
+        v[2] += rng.choice([-1.0, 1.0]) * 2.0  # dominant axis = dim 2
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # drive the same plan the registered query builds, on the crafted
+    # frame: monkey-patch the catalog reader for this call
+    from streaming_ecom_analytics_spark import catalog as cat
+
+    orig = cat.embeddings
+    try:
+        cat.embeddings = lambda spark, sf_dir: df
+        out = {
+            r.dim_idx: r.eig_micros
+            for r in REGISTRY["embedding_top_eigenvector"].fn(spark, "unused").collect()
+        }
+    finally:
+        cat.embeddings = orig
+    assert abs(out[2]) == 1000000  # dominant axis carries the unit entry
+    assert all(abs(v) < 200000 for d, v in out.items() if d != 2)
