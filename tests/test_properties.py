@@ -422,3 +422,101 @@ def test_split_assignment_independent_of_corpus(spark, ids):
     for b, s in full.values():
         assert 0 <= b < 100
         assert s == ("val" if b < 10 else "test" if b < 20 else "train")
+
+
+@given(
+    revs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10**6)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_pareto_cohort_invariants(spark, revs):
+    """For arbitrary per-order revenues: the 80% cohort (1) is minimal
+    — the cohort WITHOUT its last (smallest) member covers < 80%; (2)
+    covers ≥ 80% of total revenue; (3) matches a brute-force greedy
+    count. Exercises the registered query's exact-cents inequality on
+    shapes the testdata never produces (ties, single customer, heavy
+    skew)."""
+    from streaming_ecom_analytics_spark.plans import REGISTRY
+    from streaming_ecom_analytics_spark import catalog as cat
+
+    rows = [
+        (i, k, float(cents) / 100.0, "1996-01-02", "O", 0, "c")
+        for i, (k, cents) in enumerate(revs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate string, o_orderstatus string, o_shippriority long, "
+        "o_comment string",
+    )
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda spark, name, sf_dir: df
+        got = REGISTRY["revenue_pareto"].fn(spark, "unused").collect()[0]
+    finally:
+        cat.load_table = orig
+
+    per = {}
+    for k, cents in revs:
+        per[k] = per.get(k, 0) + cents
+    total = sum(per.values())
+    ordered = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum, n80 = 0, 0
+    for _, c in ordered:
+        if 5 * cum >= 4 * total:
+            break
+        cum += c
+        n80 += 1
+    assert got.n_customers == len(per)
+    assert got.n_customers_80pct == n80
+    assert got.top1_share_ppm == ordered[0][1] * 1000000 // total
+    covered = sum(c for _, c in ordered[:n80])
+    assert 5 * covered >= 4 * total  # cohort really covers 80%
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_transition_matrix_rows_normalize(spark, rows):
+    """For arbitrary event streams: per-from-type probabilities are
+    floored ppm that sum to within |row| of 10⁶, transition counts
+    reproduce a brute-force per-user lead, and every probability is
+    positive."""
+    from streaming_ecom_analytics_spark.plans import REGISTRY
+    from streaming_ecom_analytics_spark import catalog as cat
+
+    df = spark.createDataFrame(
+        [(e, t, u, ty, v, "{}") for e, t, u, ty, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = cat.events
+    try:
+        cat.events = lambda spark, sf_dir: df
+        out = REGISTRY["event_transition_matrix"].fn(spark, "unused").collect()
+    finally:
+        cat.events = orig
+
+    by_user = {}
+    for e, t, u, ty, v in rows:
+        by_user.setdefault(u, []).append((t, e, ty))
+    # recompute transitions brute-force
+    want = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (t1, e1, a), (t2, e2, b) in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r.from_type, r.to_type): r.n_transitions for r in out}
+    assert got == want
+    from_totals = {}
+    for (a, _), n in want.items():
+        from_totals[a] = from_totals.get(a, 0) + n
+    by_from = {}
+    for r in out:
+        assert r.p_ppm == r.n_transitions * 1000000 // from_totals[r.from_type]
+        by_from.setdefault(r.from_type, []).append(r.p_ppm)
+    for a, ps in by_from.items():
+        assert all(p > 0 for p in ps)
+        assert 1000000 - len(ps) <= sum(ps) <= 1000000
