@@ -520,3 +520,47 @@ def test_transition_matrix_rows_normalize(spark, rows):
     for a, ps in by_from.items():
         assert all(p > 0 for p in ps)
         assert 1000000 - len(ps) <= sum(ps) <= 1000000
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc x", min_size=1, max_size=30), min_size=1, max_size=10
+    )
+)
+@settings(**_SETTINGS)
+def test_char_entropy_bounds(spark, texts):
+    """For arbitrary docs: 0 ≤ entropy ≤ log2(distinct chars), single-
+    character docs score exactly 0, and the floored-micro sum never
+    exceeds the true entropy (floor bias is strictly downward)."""
+    import math
+
+    from streaming_ecom_analytics_spark.plans import REGISTRY
+    from streaming_ecom_analytics_spark import catalog as cat
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = cat.documents
+    try:
+        cat.documents = lambda spark, sf_dir: df
+        out = {r.doc_id: r for r in REGISTRY["doc_char_entropy"].fn(spark, "x").collect()}
+    finally:
+        cat.documents = orig
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        r = out[i]
+        assert r.n_chars == len(t)
+        assert r.n_distinct_chars == len(set(t))
+        h = r.entropy_bits_micros / 1e6
+        # true entropy
+        from collections import Counter
+        cnt = Counter(t)
+        true_h = -sum(
+            (n / len(t)) * math.log2(n / len(t)) for n in cnt.values()
+        )
+        assert -1e-6 <= h <= true_h + 1e-9  # floor bias downward only
+        assert h <= math.log2(max(len(set(t)), 2)) + 1e-9
+        if len(set(t)) == 1:
+            assert r.entropy_bits_micros == 0
