@@ -564,3 +564,95 @@ def test_char_entropy_bounds(spark, texts):
         assert h <= math.log2(max(len(set(t)), 2)) + 1e-9
         if len(set(t)) == 1:
             assert r.entropy_bits_micros == 0
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_retention_curve_equals_bruteforce(spark, rows):
+    """Day-N retention vs a brute-force recomputation on arbitrary
+    event streams (duplicate days, single-user corpora, gaps)."""
+    from streaming_ecom_analytics_spark.plans import REGISTRY
+    from streaming_ecom_analytics_spark import catalog as cat
+
+    df = spark.createDataFrame(
+        [(e, t, u, ty, v, "{}") for e, t, u, ty, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = cat.events
+    try:
+        cat.events = lambda spark, sf_dir: df
+        out = {
+            r.day_n: (r.n_retained, r.cohort_size, r.retention_ppm)
+            for r in REGISTRY["retention_day_n"].fn(spark, "x").collect()
+        }
+    finally:
+        cat.events = orig
+
+    days = {}
+    for e, t, u, ty, v in rows:
+        days.setdefault(u, set()).add(t.date())
+    cohort = len(days)
+    want = {}
+    for u, ds in days.items():
+        first = min(ds)
+        for d in ds:
+            n = (d - first).days
+            if 0 <= n <= 7:
+                want.setdefault(n, set()).add(u)
+    for n, users in want.items():
+        assert out[n] == (len(users), cohort, len(users) * 1000000 // cohort)
+    assert set(out) == set(want)
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 8)),  # (orderkey, partkey)
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_item_jaccard_equals_bruteforce(spark, baskets):
+    """Co-purchase Jaccard vs brute force over arbitrary baskets
+    (duplicate lines must not inflate intersections — the DISTINCT
+    projection is load-bearing)."""
+    from streaming_ecom_analytics_spark.plans import REGISTRY
+    from streaming_ecom_analytics_spark import catalog as cat
+
+    rows = [
+        (o, p, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", "1996-01-02")
+        for i, (o, p) in enumerate(baskets)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    )
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda spark, name, sf_dir: df
+        got = {
+            (r.pa, r.pb): (r.n_common, r.jaccard_micros)
+            for r in REGISTRY["item_jaccard_topk"].fn(spark, "x").collect()
+        }
+    finally:
+        cat.load_table = orig
+
+    orders_by_part = {}
+    for o, p in set(baskets):
+        orders_by_part.setdefault(p, set()).add(o)
+    want = {}
+    parts = sorted(orders_by_part)
+    for ai, pa in enumerate(parts):
+        for pb in parts[ai + 1 :]:
+            inter = len(orders_by_part[pa] & orders_by_part[pb])
+            if inter:
+                union = len(orders_by_part[pa] | orders_by_part[pb])
+                want[(pa, pb)] = (inter, inter * 1000000 // union)
+    top = dict(
+        sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:25]
+    )
+    assert got == top
