@@ -567,3 +567,25 @@ def test_late_dlq_uses_prior_batch_mark_not_own_max(spark, tmp_path):
     b2 = split(mk([(4, _t(0), 3, "view", 1.0, "{}")]), 2)
     assert b2.count() == 0
     assert {r.event_id for r in spark.read.parquet(dlq).collect()} == {4}
+
+
+def test_late_dlq_empty_batch_keeps_mark(spark, tmp_path):
+    """An empty micro-batch must neither crash the splitter nor
+    regress the carried high-water mark: a late row after an empty
+    batch is still judged against the pre-gap mark."""
+    from streaming_ecom_analytics_spark.streaming.windows import (
+        late_dlq_splitter,
+    )
+
+    dlq = str(tmp_path / "dlq3")
+    split = late_dlq_splitter(dlq, watermark="5 minutes")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)  # noqa: E731
+    empty = spark.createDataFrame([], SCHEMA)
+
+    split(mk([(1, _t(12), 1, "view", 1.0, "{}")]), 0)  # establishes mark
+    out_empty = split(empty, 1)
+    assert out_empty.count() == 0  # no rows, no crash
+    # 10:00 row vs mark 10:12 - 5m = 10:07 -> still late after the gap
+    out = split(mk([(2, _t(0), 2, "view", 1.0, "{}")]), 2)
+    assert out.count() == 0
+    assert {r.event_id for r in spark.read.parquet(dlq).collect()} == {2}
