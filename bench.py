@@ -1,11 +1,20 @@
 """Benchmark harness: times every registered query at the bench scale
-factor and prints ONE JSON line for the driver
-({"metric", "value", "unit", "queries", "sf"}).
+factor and prints ONE compact JSON line for the driver
+({"metric", "value", "unit", "queries", "sf", ...}).
 
 - Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 - Parallelism: local[$SPARK_GRAFT_CPUS] (default 32)
 - Each query materializes through the noop sink — full execution, no
   driver collect, no disk write in the timing.
+- The final stdout line is deliberately SMALL (~300 bytes): five rounds
+  of driver artifacts recorded ``"parsed": null`` because the ~8 KB
+  per-query map overflowed the driver's capture window and truncated the
+  JSON from the left (round-5 verdict #1). The stdout ``queries`` field
+  now carries only the slowest 5 queries as a health signal; the full
+  per-query median map is written to ``BENCH_LOCAL_r6.json`` next to
+  this file (override with $SPARK_GRAFT_BENCH_OUT).
+- Default is median of 3 full passes ($SPARK_GRAFT_RUNS to override) so
+  the driver's own artifact benefits from noise suppression too.
 """
 
 from __future__ import annotations
@@ -61,7 +70,7 @@ def main() -> None:
     # per-round run); the committed BENCH_LOCAL artifact uses 3 and
     # records the per-query MEDIAN, so round-over-round comparisons see
     # plans, not single-pass machine-load noise (round-4 verdict #3).
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "1")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in REGISTRY}
     for _ in range(runs):
         for name, rq in sorted(REGISTRY.items()):
@@ -77,19 +86,44 @@ def main() -> None:
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "runs": runs,
-                "aggregation": "median" if runs > 1 else "single",
-            }
-        )
+
+    # Full per-query map goes to a file, NOT stdout — the driver's stdout
+    # capture window is small and an 8 KB line gets truncated into
+    # unparseable JSON (round-5 verdict #1).
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "runs": runs,
+        "aggregation": "median" if runs > 1 else "single",
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", str(REPO / "BENCH_LOCAL_r6.json")
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: stdout summary still works
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,  # top-5 only; full map in BENCH_LOCAL (see above)
+        "sf": float(sf),
+        "runs": runs,
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(1, len(timings)), 3),
+        "full_map": os.path.basename(out_path),
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

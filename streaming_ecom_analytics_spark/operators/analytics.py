@@ -687,37 +687,144 @@ def scale_features(
     )
 
 
+def _hash60(col) -> Column:
+    """First 60 bits of md5 as a non-negative signed long — the
+    engine-portable uniform hash (DuckDB twin:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def negative_candidates(
+    interactions: DataFrame,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    n_draws: int = 24,
+    bucket_target: int = 32,
+) -> DataFrame:
+    """Constant-work-per-user candidate draws for negative sampling:
+    every user gets at most ``n_draws`` candidate items, regardless of
+    catalog size, via hash-bucketed draws (no user×catalog product).
+
+    Scheme (deterministic, no RNG state, identical on any md5-speaking
+    engine — the DuckDB oracle recomputes it bit-for-bit):
+
+    1. The distinct catalog is hashed into ``B = ceil(M / bucket_target)``
+       buckets (``md5(item) mod B``); B is derived IN-PLAN from a
+       broadcast 1-row count frame — no driver collect, no plan-build
+       Spark job.
+    2. Each user draws ``n_draws`` buckets: ``md5(user#t) mod B`` for
+       t = 1..n_draws, then the draw resolves to the single item in the
+       bucket minimizing ``md5(user#t#item)`` — a rerun-stable uniform
+       pick of ~one item per draw.
+
+    Work per user is ``n_draws × bucket_target`` candidate rows — the
+    round-5 verdict's scale fix for the former
+    ``users.crossJoin(broadcast(items))`` which materialized
+    |users|×|catalog| pairs (10¹³ rows at 10⁷ users × 10⁶ items). The
+    only nested-loop joins are against the broadcast 1-row B frame; the
+    catalog join is a bucket-keyed equi-join.
+
+    Returns (user, __t, item): the resolved draws in draw order. NULL
+    items are excluded from catalog and draws (md5(NULL) is NULL — they
+    could never be drawn consistently across engines).
+    """
+    pos = (
+        interactions.where(F.col(item_col).isNotNull())
+        .select(user_col, item_col)
+        .distinct()
+    )
+    items = pos.select(item_col).distinct()
+    users = pos.select(user_col).distinct()
+
+    b = items.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.count("*") / F.lit(float(bucket_target))).cast("long"),
+        ).alias("__b")
+    )
+
+    bucketed = items.crossJoin(F.broadcast(b)).select(
+        item_col,
+        (_hash60(F.col(item_col).cast("string")) % F.col("__b")).alias("__bkt"),
+    )
+
+    draw_key = F.concat_ws(
+        "#", F.col(user_col).cast("string"), F.col("__t").cast("string")
+    )
+    draws = (
+        users.crossJoin(F.broadcast(b))
+        .select(
+            user_col,
+            F.explode(F.sequence(F.lit(1), F.lit(int(n_draws)))).alias("__t"),
+            "__b",
+        )
+        .select(user_col, "__t", (_hash60(draw_key) % F.col("__b")).alias("__bkt"))
+    )
+
+    pick = F.md5(
+        F.concat_ws(
+            "#",
+            F.col(user_col).cast("string"),
+            F.col("__t").cast("string"),
+            F.col(item_col).cast("string"),
+        )
+    )
+    pick_w = Window.partitionBy(user_col, "__t").orderBy(
+        pick.asc(), F.col(item_col).asc()
+    )
+    return (
+        draws.join(bucketed, on="__bkt")
+        .withColumn("__pn", F.row_number().over(pick_w))
+        .where(F.col("__pn") == 1)
+        .select(user_col, "__t", item_col)
+    )
+
+
 def negative_samples(
     interactions: DataFrame,
     *,
     user_col: str = "user_id",
     item_col: str = "item",
     n_neg: int = 3,
+    oversample: int = 8,
+    bucket_target: int = 32,
 ) -> DataFrame:
     """Deterministic negative sampling for recommender / contrastive
-    training: for every user, draw ``n_neg`` items the user never
-    interacted with, pseudo-randomly but rerun-stable (ranked by
-    md5(user|item) — no RNG state, identical on any engine).
+    training: for every user, draw up to ``n_neg`` items the user never
+    interacted with, pseudo-randomly but rerun-stable (hash-bucketed
+    draws ranked by draw order — no RNG state, identical on any engine).
 
-    Plan: the distinct item catalog is broadcast (catalogs are small
-    relative to interactions — document/override if not), each user's
-    candidate set is generated with a broadcast nested-loop against it,
-    the user's own positives are removed with a left_anti join on the
-    (user, item) key, and a per-user row_number window keeps ``n_neg``.
-    Shuffles touch (user, item) id pairs only — never payloads. Skew is
-    bounded: every user has exactly |catalog| candidate rows.
+    Plan: ``negative_candidates`` produces ``oversample × n_neg``
+    constant-work draws per user (bucket-keyed equi-joins only — never
+    a user×catalog product), the user's own positives are removed with
+    a left_anti join on the (user, item) key, duplicate draws of the
+    same item collapse to their earliest draw, and a per-user
+    row_number window over draw order keeps ``n_neg``. Shuffles touch
+    (user, item) id pairs only — never payloads. Skew is bounded: every
+    user has at most ``oversample × n_neg`` candidate rows. A user who
+    interacted with nearly the whole catalog may receive fewer than
+    ``n_neg`` negatives (the draws are a fixed budget, not a scan of
+    the complement) — the documented trade for constant work per user
+    at 100 TB.
     """
-    pos = interactions.select(user_col, item_col).distinct()
-    items = pos.select(item_col).distinct()
-    users = pos.select(user_col).distinct()
-    candidates = users.crossJoin(F.broadcast(items))
-    negatives = candidates.join(pos, on=[user_col, item_col], how="left_anti")
-    draw = F.md5(
-        F.concat_ws("|", F.col(user_col).cast("string"), F.col(item_col).cast("string"))
+    pos = (
+        interactions.where(F.col(item_col).isNotNull())
+        .select(user_col, item_col)
+        .distinct()
     )
-    w = Window.partitionBy(user_col).orderBy(draw.asc(), F.col(item_col).asc())
+    picked = negative_candidates(
+        interactions,
+        user_col=user_col,
+        item_col=item_col,
+        n_draws=int(oversample) * int(n_neg),
+        bucket_target=bucket_target,
+    )
+    fresh = picked.join(pos, on=[user_col, item_col], how="left_anti")
+    firsts = fresh.groupBy(user_col, item_col).agg(F.min("__t").alias("__t"))
+    w = Window.partitionBy(user_col).orderBy(F.col("__t").asc())
     return (
-        negatives.withColumn("__rn", F.row_number().over(w))
+        firsts.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_neg)
         .select(user_col, item_col, (F.col("__rn")).cast("long").alias("neg_rank"))
     )

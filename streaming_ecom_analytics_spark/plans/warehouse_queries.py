@@ -901,33 +901,61 @@ def q_scaled_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEG_ORACLE = """
     WITH pos AS (
       SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS item
-      FROM events WHERE event_type = 'purchase'
+      FROM events
+      WHERE event_type = 'purchase'
+        AND json_extract_string(props, '$.k') IS NOT NULL
     ),
     items AS (SELECT DISTINCT item FROM pos),
     users AS (SELECT DISTINCT user_id FROM pos),
-    neg AS (
-      SELECT c.user_id, c.item
-      FROM (SELECT u.user_id, i.item FROM users u CROSS JOIN items i) c
-      ANTI JOIN pos p ON p.user_id = c.user_id AND p.item = c.item
-    )
+    bparam AS (
+      SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) AS b FROM items
+    ),
+    bucketed AS (
+      SELECT item,
+             CAST(('0x' || substr(md5(item), 1, 15)) AS UBIGINT)
+               % (SELECT b FROM bparam) AS bkt
+      FROM items
+    ),
+    draws AS (
+      SELECT u.user_id, t.t,
+             CAST(('0x' || substr(md5(CONCAT(CAST(u.user_id AS VARCHAR), '#',
+                                             CAST(t.t AS VARCHAR))), 1, 15))
+                  AS UBIGINT) % (SELECT b FROM bparam) AS bkt
+      FROM users u CROSS JOIN (SELECT unnest(range(1, 25)) AS t) t
+    ),
+    picked AS (
+      SELECT user_id, t, item FROM (
+        SELECT d.user_id, d.t, bk.item,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.user_id, d.t
+                 ORDER BY md5(CONCAT(CAST(d.user_id AS VARCHAR), '#',
+                                     CAST(d.t AS VARCHAR), '#', bk.item)),
+                          bk.item
+               ) AS pn
+        FROM draws d JOIN bucketed bk ON bk.bkt = d.bkt
+      ) WHERE pn = 1
+    ),
+    fresh AS (
+      SELECT p.user_id, p.item, p.t FROM picked p
+      ANTI JOIN pos ON pos.user_id = p.user_id AND pos.item = p.item
+    ),
+    firsts AS (SELECT user_id, item, MIN(t) AS t FROM fresh GROUP BY user_id, item)
     SELECT user_id, item, CAST(rn AS BIGINT) AS neg_rank
     FROM (
       SELECT user_id, item,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id
-               ORDER BY md5(CONCAT(CAST(user_id AS VARCHAR), '|', item)), item
-             ) AS rn
-      FROM neg
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) AS rn
+      FROM firsts
     ) WHERE rn <= 3
 """
 
 
 @register("purchase_negative_samples", _NEG_ORACLE)
 def q_purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three deterministic negative items per purchasing user (items
-    the user never bought, ranked by md5(user|item) — rerun-stable,
-    no RNG state), the contrastive-training counterpart of the
-    positive interaction set."""
+    """Up to three deterministic negative items per purchasing user
+    (items the user never bought, picked by constant-work hash-bucketed
+    draws — rerun-stable, no RNG state, never a user×catalog product),
+    the contrastive-training counterpart of the positive interaction
+    set."""
     pos = (
         catalog.events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")

@@ -360,14 +360,20 @@ def test_rolling_features_single_user_exchange(spark):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_negative_sampling_broadcasts_catalog(spark):
-    """purchase_negative_samples: the item catalog rides a broadcast
-    nested loop (the only acceptable 'cartesian'); the positives are
-    removed by a broadcast/shuffled anti join, never re-scanned."""
+def test_negative_sampling_constant_work_no_catalog_nested_loop(spark):
+    """purchase_negative_samples (round-5 verdict #2): the user×catalog
+    product is gone. The ONLY nested-loop joins are against the
+    broadcast 1-row bucket-count frame (one for the catalog bucketing,
+    one for the user draws); the catalog itself joins via a bucket-keyed
+    equi-join, and positives are removed by an anti join."""
     plan = _plan(spark, "purchase_negative_samples")
-    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+    # exactly the two scalar-B cross joins — a third would mean the
+    # full catalog is back on a nested loop
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # the catalog joins on the hash bucket, as an equi-join
+    assert "__bkt" in plan
 
 
 def test_bm25_shuffles_postings_not_vocabulary(spark):
