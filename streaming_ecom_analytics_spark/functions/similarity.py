@@ -520,6 +520,51 @@ def recall_vs_exact(
     )
 
 
+def _lloyd_np(sub, k: int, rng, iters: int = 12):
+    """Deterministic numpy Lloyd over one (already-prepared) matrix:
+    seeded choice init, fixed iteration count, empty clusters re-seeded
+    from the rng stream. Returns (k_eff, centroids)."""
+    n = sub.shape[0]
+    k_eff = min(k, n)
+    cent = sub[rng.choice(n, size=k_eff, replace=False)].copy()
+    for _ in range(iters):
+        # (n, k) squared distances via the expanded form; argmin
+        # assignment; empty clusters re-seeded deterministically
+        d2 = (
+            (sub * sub).sum(1, keepdims=True)
+            - 2.0 * sub @ cent.T
+            + (cent * cent).sum(1)
+        )
+        assign = d2.argmin(1)
+        for c in range(k_eff):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sub[mask].mean(0)
+            else:
+                cent[c] = sub[rng.integers(0, n)]
+    return k_eff, cent
+
+
+def _train_codebooks_mat(mat, m: int, n_centroids: int, seed: int, iters: int = 12):
+    """Per-subspace k-means codebooks over a prepared (n, dim) float64
+    matrix — no normalization applied here, so callers can train on raw
+    unit vectors (flat PQ) or on coarse residuals (IVFPQ). Returns an
+    array of shape (m, n_centroids, dim//m)."""
+    import numpy as np
+
+    n, dim = mat.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        k_eff, cent = _lloyd_np(sub, n_centroids, rng, iters)
+        if k_eff < n_centroids:  # tiny corpora: pad by repeating
+            cent = np.vstack([cent, cent[: n_centroids - k_eff]])
+        books.append(cent)
+    return np.stack(books)  # (m, n_centroids, dsub)
+
+
 def _pq_train_codebooks(sample, m: int, n_centroids: int, seed: int, iters: int = 12):
     """Per-subspace k-means codebooks over a bounded, already-collected
     training sample (numpy Lloyd, deterministic seed). Returns an array
@@ -528,33 +573,7 @@ def _pq_train_codebooks(sample, m: int, n_centroids: int, seed: int, iters: int 
 
     mat = np.asarray(sample, dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    n, dim = mat.shape
-    dsub = dim // m
-    rng = np.random.default_rng(seed)
-    books = []
-    for j in range(m):
-        sub = mat[:, j * dsub : (j + 1) * dsub]
-        k_eff = min(n_centroids, n)
-        cent = sub[rng.choice(n, size=k_eff, replace=False)].copy()
-        for _ in range(iters):
-            # (n, k) squared distances via the expanded form; argmin
-            # assignment; empty clusters re-seeded deterministically
-            d2 = (
-                (sub * sub).sum(1, keepdims=True)
-                - 2.0 * sub @ cent.T
-                + (cent * cent).sum(1)
-            )
-            assign = d2.argmin(1)
-            for c in range(k_eff):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(0)
-                else:
-                    cent[c] = sub[rng.integers(0, n)]
-        if k_eff < n_centroids:  # tiny corpora: pad by repeating
-            cent = np.vstack([cent, cent[: n_centroids - k_eff]])
-        books.append(cent)
-    return np.stack(books)  # (m, n_centroids, dsub)
+    return _train_codebooks_mat(mat, m, n_centroids, seed, iters)
 
 
 def pq_topk(
@@ -688,7 +707,25 @@ def pq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    # --- exact rerank of the small candidate set ---
+    return _exact_rerank(
+        embeddings, queries, cand, id_col=id_col, vec_col=vec_col, k=k
+    )
+
+
+def _exact_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine rerank of a small (query_id, neighbor_id) candidate
+    set — the standard ANN refine step shared by PQ and IVFPQ. The
+    candidate frame broadcasts (it is per-query bounded); true vectors
+    are fetched by equi-join, scored with the fixed-fold double
+    expression, and the per-query top-k kept."""
     v = F.col(vec_col).cast("array<double>")
     nbr = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -712,6 +749,188 @@ def pq_topk(
         scored.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 256,
+    seed: int = 42,
+    dim: int | None = None,
+    train_rows: int = 8192,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF+PQ composed ANN (the FAISS IVFPQ shape, Jégou et al. TPAMI
+    2011 §IV): coarse quantizer partitions the corpus into inverted
+    lists, product quantization encodes each vector's RESIDUAL against
+    its coarse centroid, and a query scans only its n_probe nearest
+    lists' codes. This is the actual 100 TB ANN posture: flat PQ still
+    ADC-scans every code (compute-bound at corpus scale) and IVF with
+    raw floats keeps the full float corpus alive (memory-bound); IVFPQ
+    touches n_probe/n_lists of the data AND stores 8 bytes/vector.
+
+    Spark realization:
+    - TRAIN driver-side on one bounded deterministic sample
+      (``train_rows`` rows, one job — the bounded-training policy of
+      ivf_topk/pq_topk): numpy Lloyd coarse centroids (seed), then
+      per-subspace codebooks on the sample's coarse RESIDUALS (seed+1).
+      Both become plan literals / Arrow-closure constants.
+    - ENCODE the corpus in one Arrow-batched mapInPandas pass:
+      normalize, assign nearest coarse list, PQ-encode the residual →
+      (neighbor_id, list_id, codes). At scale this is the lake-resident
+      index, naturally partitionable BY list_id — a query's probe join
+      prunes to n_probe partitions.
+    - SEARCH: each query emits n_probe rows (list_id, q·c_list, LUT of
+      m×n_centroids residual-codebook dot products); candidates join
+      the coded corpus on list_id — a bucket-keyed EQUI-join, not
+      pq_topk's full crossJoin. ADC score = q·c_list +
+      Σ_j lut[j][codes[j]], a pure JVM higher-order fold (score(q,x) =
+      q·(c+r̂) decomposes exactly because the codebooks quantize
+      residuals).
+    - REFINE: exact rerank of the per-query ADC top ``k*refine``.
+
+    Deterministic via ``seed`` (id-sorted sample, fixed-iteration
+    Lloyd). Approximate by design → recall-contract checks, same as
+    LSH/IVF/PQ.
+    """
+    import numpy as np
+    import pandas as pd
+
+    _require_dim(dim, "ivfpq_topk")
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    # --- train (bounded sample; ORDER BY id makes the sample stable) ---
+    sample = [
+        r[0]
+        for r in embeddings.select(vec_col)
+        .orderBy(id_col)
+        .limit(train_rows)
+        .collect()
+    ]
+    mat = np.asarray(sample, dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_lists_eff, coarse = _lloyd_np(mat, n_lists, rng)  # (n_lists_eff, dim)
+    d2 = (
+        (mat * mat).sum(1, keepdims=True)
+        - 2.0 * mat @ coarse.T
+        + (coarse * coarse).sum(1)
+    )
+    resid = mat - coarse[d2.argmin(1)]
+    books = _train_codebooks_mat(resid, m, n_centroids, seed + 1)  # (m, K, dsub)
+
+    # --- encode corpus: list assignment + residual PQ codes ---
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            dd = (
+                (vecs * vecs).sum(1, keepdims=True)
+                - 2.0 * vecs @ coarse.T
+                + (coarse * coarse).sum(1)
+            )
+            lists = dd.argmin(1)
+            res = vecs - coarse[lists]
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                dj = (
+                    (sub * sub).sum(1, keepdims=True)
+                    - 2.0 * sub @ cent.T
+                    + (cent * cent).sum(1)
+                )
+                codes[:, j] = dj.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": ids,
+                    "list_id": lists.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema="neighbor_id long, list_id int, codes array<int>"
+    )
+
+    # --- per-query probes: n_probe (list_id, q·c, residual LUT) rows ---
+    n_probe_eff = min(n_probe, n_lists_eff)
+
+    def build_probes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            qs = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            qs /= np.maximum(np.linalg.norm(qs, axis=1, keepdims=True), 1e-12)
+            qdotc = qs @ coarse.T  # (nq, n_lists_eff)
+            out_q, out_l, out_d, out_luts = [], [], [], []
+            for i in range(len(ids)):
+                # one LUT per query — the residual codebooks are global,
+                # so only the q·c term varies across probed lists
+                lut = [
+                    (books[j] @ qs[i, j * dsub : (j + 1) * dsub]).tolist()
+                    for j in range(m)
+                ]
+                order = np.argsort(-qdotc[i], kind="stable")[:n_probe_eff]
+                for l in order:
+                    out_q.append(ids[i])
+                    out_l.append(int(l))
+                    out_d.append(float(qdotc[i, l]))
+                    out_luts.append(lut)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "list_id": out_l,
+                    "qdotc": out_d,
+                    "luts": out_luts,
+                }
+            )
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        build_probes,
+        schema="query_id long, list_id int, qdotc double, luts array<array<double>>",
+    )
+
+    # --- ADC over probed lists only: bucket-keyed equi-join + JVM fold ---
+    adc = (
+        coded.join(F.broadcast(probes), on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("qdotc")
+                + F.expr(
+                    f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE),"
+                    " (acc, j) -> acc + luts[j][codes[j]])"
+                )
+            ).alias("score_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(
+        embeddings, queries, cand, id_col=id_col, vec_col=vec_col, k=k
     )
 
 

@@ -246,14 +246,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (Spark ML KMeans coarse quantizer + n_probe-list exact
     rerank) as a checkable recall assertion vs brute force — observed
     mean recall 0.50/0.52/0.64 at sf0.001/0.01/0.1 (r5 measurement),
-    floor 0.45: tight to the observed minimum (margin for KMeans
-    float-order jitter only), and a 1-probe regression demonstrably
-    fails it (tests/test_similarity.py)."""
+    floor 0.40: observed minimum minus a 0.10 margin, because Spark ML
+    KMeans training order/parallelism is float-nondeterministic across
+    Spark versions and hardware (r5 advisor note — 0.45 left only 0.05
+    of headroom); a 1-probe regression still demonstrably fails it
+    (tests/test_similarity.py)."""
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.ivf_topk(emb, q, k=5)
     exact = similarity.cosine_topk_blas(emb, q, k=5)
-    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.45)
+    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.40)
+
+
+@register("ann_ivfpq_topk", _ANN_RECALL_ORACLE)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (similarity.ivfpq_topk, the FAISS IVFPQ
+    shape): numpy-Lloyd coarse quantizer + per-subspace codebooks on
+    coarse residuals, Arrow-batched corpus encode to (list_id, m=8
+    codes), probe-pruned bucket-keyed equi-join + JVM-side ADC, exact
+    rerank — the 100 TB posture where flat PQ is compute-bound (scans
+    every code) and raw-float IVF is memory-bound. Observed mean
+    recall@5 0.64/0.50/0.62 at sf0.001/0.01/0.1 (r6 measurement;
+    bounded above by the n_probe=4/16 IVF probing recall, which is why
+    it tracks ann_ivf_topk, not ann_pq_topk); floor 0.40 = observed
+    minimum minus 0.10 margin (training is bit-deterministic numpy
+    Lloyd, but the margin keeps the LSH/IVF contract convention), and
+    a 1-probe + tiny-rerank regression demonstrably fails it
+    (tests/test_similarity.py). The oracle asserts the same single
+    row; neighbor lists are unit-tested."""
+    emb = catalog.embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.ivfpq_topk(emb, q, k=5, dim=64)
+    exact = similarity.cosine_topk_blas(emb, q, k=5)
+    return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.40)
 
 
 @register("ann_pq_topk", _ANN_RECALL_ORACLE)

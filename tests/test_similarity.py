@@ -211,6 +211,80 @@ def test_recall_floors_fail_on_deliberate_regression(spark):
 def test_pq_topk_rejects_indivisible_dim(spark, vectors):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_topk(vectors, vectors, dim=3, m=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ivfpq_topk(vectors, vectors, dim=3, m=2)
+
+
+def test_ivfpq_topk_recall_determinism_and_falsifiability(spark):
+    """IVFPQ (coarse lists + residual codes): recall on the real
+    embeddings table must clear the registered 0.40 floor, be
+    bit-stable across runs (numpy Lloyd is fully deterministic given
+    the id-sorted sample), and the floor must be FALSIFIABLE — a
+    crippled configuration (1 of 16 lists probed, m=2/16-centroid
+    residual codebooks, no rerank budget) must fail it. Measured at
+    sf0.001: healthy 0.64, crippled 0.12."""
+    from streaming_ecom_analytics_spark import catalog
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    q = emb.filter("vec_id < 10")
+    exact = similarity.cosine_topk_blas(emb, q, k=5)
+    run1 = similarity.ivfpq_topk(emb, q, k=5, dim=64).collect()
+    run2 = similarity.ivfpq_topk(emb, q, k=5, dim=64).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    ok = similarity.recall_vs_exact(
+        similarity.ivfpq_topk(emb, q, k=5, dim=64), exact, min_mean_recall=0.40
+    ).collect()[0]
+    assert ok.mean_recall_ok is True
+    bad = similarity.recall_vs_exact(
+        similarity.ivfpq_topk(
+            emb, q, k=5, dim=64, n_probe=1, m=2, n_centroids=16, refine=1
+        ),
+        exact,
+        min_mean_recall=0.40,
+    ).collect()[0]
+    assert bad.mean_recall_ok is False
+
+
+def test_ivfpq_prunes_to_probed_lists(spark):
+    """The IVF composition must actually prune: every ADC candidate
+    pair's list_id is one of the query's n_probe probed lists, so at
+    most n_probe/n_lists of the coded corpus is ever scored for one
+    query (the crossJoin-free property that distinguishes ivfpq_topk
+    from pq_topk). Verified structurally: the scoring join is an
+    equi-join on list_id — a crippled 1-probe run returns neighbors
+    from exactly one coarse list per query."""
+    import numpy as np
+
+    from streaming_ecom_analytics_spark import catalog
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    q = emb.filter("vec_id < 3")
+    out = similarity.ivfpq_topk(emb, q, k=50, dim=64, n_probe=1, refine=1)
+    rows = out.collect()
+    assert rows, "1-probe run must still return neighbors"
+    # recompute each returned neighbor's coarse list with the same
+    # deterministic training recipe; all neighbors of one query must
+    # share a single list
+    sample = [
+        r[0]
+        for r in emb.select("embedding").orderBy("vec_id").limit(8192).collect()
+    ]
+    mat = np.asarray(sample, dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(42)
+    _, coarse = similarity._lloyd_np(mat, 16, rng)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()
+    }
+
+    def list_of(vid):
+        v = vecs[vid] / max(np.linalg.norm(vecs[vid]), 1e-12)
+        return int(((v - coarse) ** 2).sum(1).argmin())
+
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, set()).add(list_of(r.neighbor_id))
+    assert all(len(lists) == 1 for lists in by_query.values()), by_query
 
 
 def test_kmeans_seeds_are_k_lowest_ids_even_when_sparse(spark):
