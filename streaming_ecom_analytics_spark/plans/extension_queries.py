@@ -2711,7 +2711,11 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vm").cast("long").alias("min_micros"),
         F.max("vm").cast("long").alias("max_micros"),
         # explicit FLOOR at each division — Spark's decimal casts
-        # round half-up, DuckDB's // floors; only floor-floor agrees
+        # round half-up, while DuckDB's // (like Spark's div) TRUNCATES
+        # toward zero (-7 // 2 = -3, not -4). FLOOR-vs-trunc agree only
+        # because both quotients here are provably non-negative
+        # (sum(vm)^2/n ≤ sum(vm^2) by Cauchy-Schwarz); a query with
+        # possibly-negative quotients must NOT pair F.floor with //
         F.floor(
             (
                 F.sum((F.col("vm") * F.col("vm")).cast(dec))

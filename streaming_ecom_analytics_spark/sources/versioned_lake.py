@@ -21,8 +21,13 @@ needs no jar, so this module implements the minimal version of it:
 
 Single-writer per table (the reference's Airflow DAG serializes writes
 the same way); what the manifest buys is reader-vs-writer isolation and
-history, not multi-writer OCC — documented boundary, same spirit as
-KAFKA.md.
+history, not full multi-writer OCC — documented boundary, same spirit
+as KAFKA.md. Two loud guards cover the realistic violations of that
+boundary (r5 advisor finding — maintenance jobs racing the ingest
+writer): ``commit(expect_version=...)`` rejects a commit derived from a
+stale snapshot, and the commit point itself is a link(2), so two
+writers racing to the same version number get ``ConcurrentCommitError``
+instead of one silently clobbering the other's manifest.
 
 Scale: a commit's driver-side cost is listing the files it just wrote
 (one object-store LIST of the staging prefix) + one small JSON PUT +
@@ -38,6 +43,11 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between deriving a snapshot and
+    committing its result — the caller must re-derive and retry."""
 
 
 class VersionedTable:
@@ -88,11 +98,24 @@ class VersionedTable:
         *,
         mode: str = "overwrite",
         message: str = "",
+        expect_version: int | None | str = "any",
     ) -> int:
         """Write ``df``'s files immutably and atomically commit a new
         snapshot. ``mode='overwrite'`` → the new snapshot is exactly the
         new files; ``mode='append'`` → new files plus the previous
-        snapshot's files (no data rewrite either way)."""
+        snapshot's files (no data rewrite either way).
+
+        ``expect_version`` is optimistic concurrency control (the
+        Delta/Iceberg commit contract): pass the snapshot version the
+        write was derived from and the commit raises
+        ``ConcurrentCommitError`` if another commit landed in between —
+        instead of silently clobbering it (r5 advisor finding: a
+        maintenance compaction racing the ingest writer dropped the
+        interleaved append from the new snapshot). The default ``"any"``
+        keeps the documented single-writer fast path. Same-version
+        manifest collisions are loud regardless: the commit point is a
+        link(2), which fails on an existing manifest rather than
+        overwriting it."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, not {mode!r}")
         staging = os.path.join(self._data_dir, uuid.uuid4().hex)
@@ -103,6 +126,12 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
         prev = self.latest_version()
+        if expect_version != "any" and prev != expect_version:
+            raise ConcurrentCommitError(
+                f"commit derived from version {expect_version!r} but latest "
+                f"is now {prev!r} — another writer committed in between; "
+                "re-derive from the current snapshot and retry"
+            )
         if mode == "append" and prev is not None:
             files = self.manifest(prev)["files"] + files
         version = 0 if prev is None else prev + 1
@@ -118,7 +147,14 @@ class VersionedTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         final = os.path.join(self._manifest_dir, f"v{version}.json")
-        os.rename(tmp, final)  # the atomic commit point
+        try:
+            os.link(tmp, final)  # the atomic commit point — loud on collision
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently at {final}"
+            ) from None
+        os.unlink(tmp)
         return version
 
     # ---- read path -----------------------------------------------------
@@ -151,8 +187,12 @@ class VersionedTable:
         v = self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        df = self.read(spark).coalesce(max(1, target_files))
-        return self.commit(df, mode="overwrite", message=f"compact v{v}")
+        df = self.read(spark, version=v).coalesce(max(1, target_files))
+        # expect_version: an append landing between this read and the
+        # overwrite commit fails loudly instead of being clobbered
+        return self.commit(
+            df, mode="overwrite", message=f"compact v{v}", expect_version=v
+        )
 
     def vacuum(self, *, keep_last: int = 2) -> list[str]:
         """Delete data files referenced by NO retained manifest and drop

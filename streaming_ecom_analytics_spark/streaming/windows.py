@@ -242,7 +242,15 @@ def late_dlq_splitter(
     from the first post-restart batch, so that batch quarantines
     nothing — conservative in the safe direction (rows pass through to
     the stateful operator, which still applies its checkpointed
-    watermark). Returns a ``(batch_df, batch_id) -> on_time_df``
+    watermark).
+
+    NULL event times are quarantined to the DLQ in EVERY batch (r5
+    advisor finding): a three-valued late predicate would silently
+    exclude them from both the late and the on-time side, and a NULL
+    event-time row is unusable downstream anyway — a watermarked
+    windowed aggregate can never emit its (NULL-window) group in
+    append mode, which is exactly the silent-loss class this operator
+    exists to catch. Returns a ``(batch_df, batch_id) -> on_time_df``
     callable for materializer wiring.
     """
     from pyspark.sql import functions as F
@@ -261,14 +269,16 @@ def late_dlq_splitter(
         cur = batch.agg(F.max(ts_us).alias("hw")).collect()[0].hw
         if cur is not None:
             state["hw"] = cur if prev_hw is None else max(prev_hw, cur)
-        if prev_hw is None:
-            return batch  # no watermark established yet — all on time
-        late_pred = ts_us < F.lit(prev_hw - delay_us)
-        late = batch.filter(late_pred).withColumn(
+        # NULL ts can never be judged on time — always quarantined, so
+        # the predicate below is never three-valued on the kept side
+        quarantine = F.col(ts_col).isNull()
+        if prev_hw is not None:
+            quarantine = quarantine | (ts_us < F.lit(prev_hw - delay_us))
+        late = batch.filter(quarantine).withColumn(
             "dlq_batch_id", F.lit(batch_id)
         )
         if not late.isEmpty():
             late.write.mode("append").parquet(dlq_path)
-        return batch.filter(~late_pred)
+        return batch.filter(~quarantine)
 
     return split_batch

@@ -589,3 +589,39 @@ def test_late_dlq_empty_batch_keeps_mark(spark, tmp_path):
     out = split(mk([(2, _t(0), 2, "view", 1.0, "{}")]), 2)
     assert out.count() == 0
     assert {r.event_id for r in spark.read.parquet(dlq).collect()} == {2}
+
+
+def test_late_dlq_null_event_time_quarantined_not_lost(spark, tmp_path):
+    """NULL event-time rows must not vanish (r5 advisor finding): a
+    three-valued late predicate excluded them from BOTH the on-time
+    and the DLQ side. Contract now: NULL ts rows land in the DLQ in
+    every batch — including the first, pre-mark one — and the on-time
+    side never contains them."""
+    from streaming_ecom_analytics_spark.streaming.windows import (
+        late_dlq_splitter,
+    )
+
+    dlq = str(tmp_path / "dlq_null")
+    split = late_dlq_splitter(dlq, watermark="5 minutes")
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)  # noqa: E731
+
+    # batch 0: no mark yet — real rows pass, NULL ts still quarantined
+    b0 = split(
+        mk([(1, _t(12), 1, "view", 1.0, "{}"), (2, None, 1, "view", 1.0, "{}")]),
+        0,
+    )
+    assert {r.event_id for r in b0.collect()} == {1}
+    # batch 1: mark established — NULL ts and a genuinely late row both
+    # quarantine; the on-time row survives
+    b1 = split(
+        mk(
+            [
+                (3, _t(13), 2, "view", 1.0, "{}"),
+                (4, None, 2, "view", 1.0, "{}"),
+                (5, _t(0), 3, "view", 1.0, "{}"),
+            ]
+        ),
+        1,
+    )
+    assert {r.event_id for r in b1.collect()} == {3}
+    assert {r.event_id for r in spark.read.parquet(dlq).collect()} == {2, 4, 5}

@@ -88,6 +88,33 @@ def test_compact_reduces_files_preserves_content_and_history(spark, table):
     )
 
 
+def test_stale_snapshot_commit_fails_loudly(spark, table):
+    """Optimistic concurrency (r5 advisor finding): a commit derived
+    from snapshot N must raise if another commit landed in between —
+    never silently clobber it. The compact() path passes the snapshot
+    it read, so a racing append makes compaction fail loudly and the
+    append survives."""
+    from streaming_ecom_analytics_spark.sources.versioned_lake import (
+        ConcurrentCommitError,
+    )
+
+    table.commit(_df(spark, ["a"]))
+    derived = table.read(spark, version=0)  # maintenance job reads v0
+    table.commit(_df(spark, ["b"]), mode="append")  # ingest lands v1
+    with pytest.raises(ConcurrentCommitError, match="latest is now 1"):
+        table.commit(derived, mode="overwrite", expect_version=0)
+    # the interleaved append is intact; default "any" still commits
+    assert sorted(r.v for r in table.read(spark).collect()) == ["a", "b"]
+    assert table.commit(derived, mode="overwrite") == 2
+
+
+def test_commit_expect_version_matching_passes(spark, table):
+    table.commit(_df(spark, ["a"]))
+    v = table.compact(spark)  # no interleaved writer: succeeds
+    assert v == 1
+    assert sorted(r.v for r in table.read(spark).collect()) == ["a"]
+
+
 def test_read_empty_table_raises(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read(spark)
