@@ -5,11 +5,22 @@ The plan IS the product at 100 TB — this artifact makes the shapes
 reviewable without running Spark: pushed filters, read schemas,
 broadcast-vs-shuffle choices, codegen spans, exchange counts.
 
-Usage: python scripts/dump_plans.py [sf_dir] > PLANS.md
+Usage:
+    python scripts/dump_plans.py [sf_dir] > PLANS.md
+    python scripts/dump_plans.py --hashes [sf_dir] > PLANSHASH_r6.json
+
+``--hashes`` emits a canonicalized plan-shape fingerprint for EVERY
+registered query (round-5 verdict #5): node kinds in tree order with
+expression ids/literals stripped, plus join-strategy and exchange
+counts, md5-hashed — so plan regressions (a broadcast join silently
+becoming sort-merge, a new exchange) diff exactly like value hashes:
+one changed entry per changed query.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import re
 import sys
 from pathlib import Path
@@ -47,7 +58,79 @@ EXTRA = [
 ]
 
 
+_NODE_RE = re.compile(r"^[\s:+\-*()\d]*([A-Za-z][A-Za-z0-9_]*)")
+
+
+def plan_fingerprint(plan: str) -> dict:
+    """Canonical shape fingerprint of one executed-plan string.
+
+    Keeps: node kinds in tree order; Exchange partitioning flavor;
+    join type qualifiers (Inner/LeftAnti/...) on join nodes; scan
+    format. Strips: expression ids (#123), codegen stage ids, literal
+    values, column names inside expressions — anything that churns
+    without the SHAPE changing. The md5 of the canonical node list is
+    the regression key; the counters make a diff human-readable."""
+    nodes: list[str] = []
+    for raw in plan.splitlines():
+        m = _NODE_RE.match(raw)
+        if not m:
+            continue
+        kind = m.group(1)
+        if kind in ("Arguments", "Output", "Input", "Condition", "ReadSchema"):
+            continue
+        tag = kind
+        if kind == "Exchange":
+            flavor = re.search(r"(hashpartitioning|SinglePartition|rangepartitioning|RoundRobinPartitioning)", raw)
+            tag += ":" + (flavor.group(1) if flavor else "other")
+        elif "Join" in kind:
+            jt = re.search(
+                r"\b(Inner|FullOuter|LeftOuter|RightOuter|LeftSemi|LeftAnti|Cross|ExistenceJoin)\b",
+                raw,
+            )
+            side = re.search(r"\b(BuildLeft|BuildRight)\b", raw)
+            tag += ":" + (jt.group(1) if jt else "?") + (
+                ":" + side.group(1) if side else ""
+            )
+        elif kind == "FileScan":
+            fmt = re.search(r"FileScan (\w+)", raw)
+            tag += ":" + (fmt.group(1) if fmt else "?")
+        nodes.append(tag)
+    canonical = "\n".join(nodes)
+    return {
+        "hash": hashlib.md5(canonical.encode()).hexdigest()[:16],
+        "n_nodes": len(nodes),
+        "n_exchanges": sum(n.startswith("Exchange") for n in nodes),
+        "n_broadcast_hash_joins": sum(
+            n.startswith("BroadcastHashJoin") for n in nodes
+        ),
+        "n_sort_merge_joins": sum(n.startswith("SortMergeJoin") for n in nodes),
+        "n_bnl_joins": sum(n.startswith("BroadcastNestedLoopJoin") for n in nodes),
+        "n_cartesian": sum(n.startswith("CartesianProduct") for n in nodes),
+        "n_scans": sum(n.startswith("FileScan") for n in nodes),
+        "n_windows": sum(n == "Window" for n in nodes),
+    }
+
+
+def dump_hashes(sf_dir: str) -> int:
+    from streaming_ecom_analytics_spark.caching import release_tracked
+    from streaming_ecom_analytics_spark.plans import REGISTRY
+    from streaming_ecom_analytics_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_hashes")
+    out: dict[str, dict] = {}
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        release_tracked()
+        out[name] = plan_fingerprint(plan)
+    json.dump({"sf_dir": sf_dir, "plans": out}, sys.stdout, indent=1)
+    sys.stdout.write("\n")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--hashes":
+        return dump_hashes(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from streaming_ecom_analytics_spark.caching import release_tracked
     from streaming_ecom_analytics_spark.plans import REGISTRY

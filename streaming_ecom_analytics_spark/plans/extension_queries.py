@@ -2458,7 +2458,14 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 8
         ).alias("blk"),
     )
-    pos = similarity.embedding_near_dup_pairs(emb, threshold=0.45, dim=64)
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    # the near-dup subtree (block-Gram candidates + exact verify) is by
+    # far the expensive part and BOTH union branches below consume it —
+    # persist so it executes once, not twice (r6 plan-assertion wave)
+    pos = persist_tracked(
+        similarity.embedding_near_dup_pairs(emb, threshold=0.45, dim=64)
+    )
     anchors = pos.select(
         F.col("id_a").alias("anchor_id"),
         F.col("id_b").alias("positive_id"),

@@ -33,3 +33,37 @@ def test_rows_only_queries_run(spark, name):
     df = rq.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# The deliberate, enumerated oracle-exempt set: media decode (no SQL
+# oracle exists for pixel/PCM bytes) and the learned-BPE loop (greedy
+# recurrence, path-equivalence unit-tested instead). A query silently
+# LOSING its oracle — rq.oracle regressing to None — lands here and
+# fails the assertion below (round-5 verdict #7: driver-sample rotation
+# insurance).
+EXPECTED_ROWS_ONLY = {
+    "audio_features",
+    "audio_near_dups",
+    "bpe_learned_merges",
+    "bpe_learned_token_counts",
+    "image_features",
+    "image_near_dups",
+    "video_features",
+    "video_near_dups",
+}
+
+
+def test_driver_contract_stays_one_to_one_with_registry():
+    """queries() and oracle_sql() must mirror REGISTRY exactly: every
+    registered query is exported, every oracle belongs to a registered
+    query, and the rows-only residue is exactly the enumerated
+    by-design set — no silent oracle loss, no orphan oracles, no
+    unregistered queries."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(qs) == set(REGISTRY)
+    assert set(oracles) <= set(qs), "orphan oracle without a query"
+    assert set(qs) - set(oracles) == EXPECTED_ROWS_ONLY
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())

@@ -27,6 +27,39 @@ def _plan(spark, name: str) -> str:
     )
 
 
+def test_plan_fingerprint_sensitive_to_join_strategy_only(spark):
+    """The PLANSHASH ledger's fingerprint (scripts/dump_plans.py) must
+    change when a broadcast join becomes sort-merge, and must NOT
+    change when only expression ids / literals churn — that's what
+    makes PLANSHASH_r*.json diff like value hashes."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_plans", Path(__file__).resolve().parents[1] / "scripts" / "dump_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = (
+        "*(2) HashAggregate(keys=[k#12], functions=[sum(v#13)])\n"
+        "+- Exchange hashpartitioning(k#12, 32)\n"
+        "   +- BroadcastHashJoin [k#12], [k#14], Inner, BuildRight, false\n"
+        "      :- FileScan parquet db.t1[k#12,v#13]\n"
+        "      +- FileScan parquet db.t2[k#14]\n"
+    )
+    ids_churned = base.replace("#12", "#99").replace("#13", "#71").replace("32", "200")
+    smj = base.replace(
+        "BroadcastHashJoin [k#12], [k#14], Inner, BuildRight, false",
+        "SortMergeJoin [k#12], [k#14], Inner",
+    )
+    fp_base = mod.plan_fingerprint(base)
+    assert fp_base == mod.plan_fingerprint(ids_churned)
+    fp_smj = mod.plan_fingerprint(smj)
+    assert fp_base["hash"] != fp_smj["hash"]
+    assert fp_smj["n_sort_merge_joins"] == 1 and fp_smj["n_broadcast_hash_joins"] == 0
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """daily_revenue's event_type filter must be pushed to parquet."""
     plan = _plan(spark, "daily_revenue")
@@ -688,6 +721,80 @@ def test_doc_novelty_single_scan_single_content_shuffle(spark):
     assert plan.count("Window") == 1
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_split_leakage_audit_split_is_projection_not_second_pipeline(spark):
+    """split_leakage_audit: the split tag must be a narrow md5
+    PROJECTION of doc_id (exactly two ascii(md5) projections, one per
+    pair side) — never a join back to a second curation pipeline —
+    and the pair set must come from the banded-LSH path (band-hash
+    equi-joins, persisted/reused subtrees), with no cartesian
+    anywhere."""
+    plan = _plan(spark, "split_leakage_audit")
+    assert "CartesianProduct" not in plan
+    # the split tag is the inline ascii(md5(doc_id)) bucket expression
+    # (rendered up to 8x across the two pair-side projections), never a
+    # join key to a separately-curated frame
+    assert 2 <= plan.count("ascii(") <= 8
+    assert "band_hash" in plan  # banded candidates, not all-pairs
+    assert "InMemoryTableScan" in plan  # shared subtrees cached once
+    # a second curation pipeline would add document scans beyond the
+    # LSH pipeline's own
+    assert plan.count("FileScan parquet") <= 16
+
+
+def test_contrastive_pairs_persists_neardup_and_blocks_negative_search(spark):
+    """contrastive_pairs: the near-dup positive set is persisted and
+    consumed by BOTH anchor directions (InMemoryTableScan x2 — removing
+    the persist recomputes the block-Gram subtree twice and fails
+    here), the hard-negative search is a blk equi-join (never
+    all-pairs), and the only nested-loop is the bounded block-pair
+    frame inside the near-dup candidate generator."""
+    plan = _plan(spark, "contrastive_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "ablk" in plan and "cblk" in plan  # block-keyed equi-join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_retention_day_n_single_window_cached_distinct(spark):
+    """retention_day_n: per-user first day is ONE user-partitioned
+    window over the cached DISTINCT (user, day) frame (reused by the
+    cohort scalar — InMemoryTableScan x2), the cohort total rides a
+    broadcast scalar nested-loop, and no sort-merge join or cartesian
+    appears."""
+    plan = _plan(spark, "retention_day_n")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # broadcast cohort scalar
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_lm_generalization_gap_token_frame_shared_once(spark):
+    """lm_generalization_gap: the tokenized documents frame feeds four
+    branches (all-bigrams, train bigram counts, train unigram counts,
+    vocab) through ONE persisted subtree — re-deriving it per branch
+    drops the InMemoryTableScans and fails here. Scoring joins stay
+    broadcast (counts tables are vocab-sized); vocab is a broadcast
+    scalar."""
+    plan = _plan(spark, "lm_generalization_gap")
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # broadcast vocab scalar
+
+
+def test_brand_price_corr_single_agg_broadcast_dim(spark):
+    """brand_price_quantity_corr: one fact scan + one broadcast dim
+    join, ONE brand-keyed exchange, two-phase hash aggregation of the
+    exact moment sums — the closed form is a projection, not another
+    shuffle."""
+    plan = _plan(spark, "brand_price_quantity_corr")
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2
 
 
 def test_new_vs_returning_single_user_exchange(spark):
