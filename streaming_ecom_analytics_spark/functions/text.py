@@ -806,6 +806,7 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 12,
     max_local_vocab: int = 200_000,
+    batch_merges: int = 8,
 ) -> list:
     """Learn ``n_merges`` BPE merges over the corpus — the tokenizer-
     TRAINING loop (bpe_pair_counts is one round's count step; this
@@ -818,10 +819,15 @@ def train_bpe(
     driver (≤ ``max_local_vocab`` rows — tokenizer trainers are
     single-node over the frequency table in practice) collects once
     and loops locally, avoiding n_merges × job-scheduling overhead; a
-    web-scale vocab stays distributed — each round re-segments the
-    cached vocab (Arrow-batched), sums weighted pair counts (two-phase
-    agg), and the driver takes the argmax. Both paths implement the
-    identical greedy recurrence (asserted equal in tests).
+    web-scale vocab stays distributed — each counting round re-segments
+    the cached vocab (Arrow-batched), sums weighted pair counts
+    (two-phase agg), and the driver accepts up to ``batch_merges``
+    merges from the round's top candidates via the greedy-EXACT
+    multi-merge rule (see ``_accept_merge_batch``: symbol-disjoint
+    prefix, trimmed strictly above the first non-accepted candidate —
+    provably identical to single-merge greedy, ~batch× fewer job
+    waves). Both paths produce the identical greedy merge sequence
+    (asserted equal in tests).
 
     Returns [(rank, left, right, count), ...], deterministic
     (count desc, left asc, right asc tiebreak).
@@ -850,7 +856,7 @@ def train_bpe(
         return merges
 
     merges = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
 
         def count_pairs(batches, ranks=ranks):
@@ -866,19 +872,87 @@ def train_bpe(
                         columns=["left", "right", "c"],
                     )
 
+        fetch = batch_merges + 1
         top = (
             vocab.mapInPandas(count_pairs, schema="left string, right string, c long")
             .groupBy("left", "right")
             .agg(F.sum("c").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(fetch)
             .collect()
         )
         if not top:
             break
-        r = top[0]
-        merges.append((rank, r.left, r.right, int(r.pair_count)))
+        cands = [(r.left, r.right, int(r.pair_count)) for r in top]
+        for l, r, c in _accept_merge_batch(cands, exhausted=len(top) < fetch):
+            if len(merges) < n_merges:
+                merges.append((len(merges), l, r, c))
     return merges
+
+
+def _accept_merge_batch(cands, *, exhausted: bool):
+    """Greedy-EXACT multi-merge acceptance (round-5 verdict #6): from
+    the sorted top candidates of one counting round, accept a prefix
+    guaranteed to equal what single-merge greedy would pick over the
+    same number of rounds — cutting driver round-trips ~batch× with
+    bit-identical output.
+
+    Why this is exact and not the usual drift-prone multi-merge:
+    sequential greedy could diverge only if (a) a pair sharing a symbol
+    with an earlier accepted merge changes count, or (b) a merge
+    CREATES a pair that outranks the next candidate. Both are bounded:
+    (a) the accept loop stops at the first candidate sharing a symbol
+    (incl. the concatenated new symbol) with any accepted pair, so
+    every sharing pair ranks at/below that stop candidate; (b) a
+    created pair (x, ab)'s count is at most the pre-merge count of
+    (x, a). Because accepted pairs are pairwise symbol-disjoint, that
+    bounding pair (x, a) can itself be an ACCEPTED pair only when
+    x = a = b — i.e. only a SELF-pair (a, a) can create pairs
+    ((aa, a) from runs of a's) that escape the cutoff bound, so the
+    batch closes immediately after accepting one; every other
+    bounding pair is a non-accepted sharing pair ranking at/below the
+    stop candidate. Trimming the accepted prefix to counts STRICTLY
+    above the first non-accepted candidate then leaves no room for any
+    changed or created pair to interleave. ``exhausted`` means the
+    candidate list IS the whole pair table: no sharing pair exists
+    outside it at all (one would have triggered the stop), so no
+    cutoff trim is needed (the self-pair rule still applies — created
+    pairs are new rows the table never saw).
+
+    Verified against brute-force sequential greedy over randomized
+    corpora in tests (conflicts, ties, created-pair interleavings,
+    self-pair runs, exhausted tables).
+    """
+    if not cands:
+        return []
+    first = cands[0]
+    accepted = [first]
+    used = {first[0], first[1], first[0] + first[1]}
+    stop_idx = len(cands)
+    if first[0] != first[1]:
+        for i in range(1, len(cands)):
+            l, r, _ = cands[i]
+            if l in used or r in used or (l + r) in used:
+                stop_idx = i
+                break
+            accepted.append(cands[i])
+            used |= {l, r, l + r}
+            if l == r:  # self-pair: created (ll, l) pairs are unbounded
+                stop_idx = i + 1
+                break
+        else:
+            stop_idx = len(cands)
+    else:
+        stop_idx = 1  # first accepted is a self-pair: close the batch
+    if stop_idx == len(cands) and not exhausted:
+        # no conflict seen but pairs may exist below the fetch horizon:
+        # the last fetched candidate becomes the cutoff, not a merge
+        accepted = accepted[:-1]
+        stop_idx = len(cands) - 1
+    if stop_idx < len(cands):
+        c_cut = cands[stop_idx][2]
+        accepted = [accepted[0]] + [p for p in accepted[1:] if p[2] > c_cut]
+    return accepted
 
 
 def bpe_token_counts(

@@ -155,8 +155,9 @@ def test_train_bpe_deterministic(spark):
 
 
 def test_train_bpe_local_and_distributed_paths_agree(spark):
-    """The size-gated driver-local loop and the distributed per-round
-    loop implement the same greedy recurrence — identical merges."""
+    """The size-gated driver-local loop and the distributed batched
+    loop implement the same greedy recurrence — identical merges
+    (the batched accept rule is greedy-EXACT, not approximate)."""
     from streaming_ecom_analytics_spark import catalog
     from streaming_ecom_analytics_spark.functions import text as textops
 
@@ -164,3 +165,99 @@ def test_train_bpe_local_and_distributed_paths_agree(spark):
     local = textops.train_bpe(docs, n_merges=4)
     dist = textops.train_bpe(docs, n_merges=4, max_local_vocab=0)
     assert local == dist
+    # batching disabled must give the same sequence too
+    dist1 = textops.train_bpe(docs, n_merges=4, max_local_vocab=0, batch_merges=1)
+    assert local == dist1
+
+
+def test_train_bpe_batched_rounds_cut_job_waves(spark):
+    """Round-5 verdict #6: the distributed trainer must pay FEWER
+    driver round-trips than one per merge. Counted via the status
+    tracker: batched (batch_merges=8) must launch strictly fewer jobs
+    than single-merge (batch_merges=1) for the same n_merges, with
+    identical output."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = catalog.documents(spark, "/root/testdata/sf0.001")
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        before = len(tracker.getJobIdsForGroup(None))
+        out = fn()
+        return out, len(tracker.getJobIdsForGroup(None)) - before
+
+    single, n_single = jobs_during(
+        lambda: textops.train_bpe(docs, n_merges=8, max_local_vocab=0, batch_merges=1)
+    )
+    batched, n_batched = jobs_during(
+        lambda: textops.train_bpe(docs, n_merges=8, max_local_vocab=0, batch_merges=8)
+    )
+    assert batched == single
+    assert n_batched < n_single, (n_batched, n_single)
+
+
+def test_accept_merge_batch_matches_sequential_greedy_brute_force(spark):
+    """Property check of the exactness theorem: over randomized tiny
+    corpora, running the batched accept rule round-by-round must yield
+    the SAME merge sequence as pure sequential greedy (one merge per
+    full recount). Exercises conflicts, ties, created-pair
+    interleaving, and exhausted candidate tables."""
+    import random
+
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    def sequential(words, n_merges):
+        merges = []
+        for rank in range(n_merges):
+            ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+            agg = {}
+            for word, n in words:
+                syms = textops._bpe_apply_word(word, ranks)
+                for pair in zip(syms, syms[1:]):
+                    agg[pair] = agg.get(pair, 0) + n
+            if not agg:
+                break
+            (left, right), count = min(
+                agg.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, count))
+        return merges
+
+    def batched(words, n_merges, batch):
+        merges = []
+        while len(merges) < n_merges:
+            ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+            agg = {}
+            for word, n in words:
+                syms = textops._bpe_apply_word(word, ranks)
+                for pair in zip(syms, syms[1:]):
+                    agg[pair] = agg.get(pair, 0) + n
+            if not agg:
+                break
+            fetch = batch + 1
+            cands = sorted(
+                ((l, r, c) for (l, r), c in agg.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )[:fetch]
+            got = textops._accept_merge_batch(cands, exhausted=len(cands) < fetch)
+            for l, r, c in got:
+                if len(merges) < n_merges:
+                    merges.append((len(merges), l, r, c))
+        return merges
+
+    rng = random.Random(7)
+    for trial in range(200):
+        n_words = rng.randint(1, 8)
+        words = [
+            (
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 7))),
+                rng.randint(1, 5),
+            )
+            for _ in range(n_words)
+        ]
+        n_merges = rng.randint(1, 6)
+        batch = rng.choice([2, 3, 8])
+        exp = sequential(words, n_merges)
+        got = batched(words, n_merges, batch)
+        assert got == exp, (words, n_merges, batch, exp, got)
