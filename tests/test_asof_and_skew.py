@@ -133,6 +133,110 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
 
 
+def test_salted_join_hot_key_agrees_and_spreads(spark):
+    """Injected hot key (90% of 50k rows on one key): the salted and
+    unsalted joins must agree row-for-row in aggregate, and the salt
+    must actually SPREAD the hot key — the max (key, salt) reducer
+    group is a fraction of the hot key's row count, so no single
+    reducer owns the hot partition (round-5 verdict #8)."""
+    n, n_salts = 50_000, 16
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(64).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plain = (
+        big.join(small, on="k")
+        .agg(F.count("*").alias("c"), F.sum(F.col("v") + F.col("w")).alias("s"))
+        .collect()[0]
+    )
+    salted = (
+        salted_join(big, small, on="k", n_salts=n_salts)
+        .agg(F.count("*").alias("c"), F.sum(F.col("v") + F.col("w")).alias("s"))
+        .collect()[0]
+    )
+    assert (plain.c, plain.s) == (salted.c, salted.s) and plain.c >= int(n * 0.9)
+    # the hot key's rows must spread across many salt sub-keys: no
+    # (key, salt) group may hold more than ~3x the ideal 1/n_salts share
+    hot = int(n * 0.9)
+    spread = (
+        big.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        )
+        .where(F.col("k") == 0)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) == n_salts
+    assert max(r["count"] for r in spread) < 3 * hot / n_salts
+
+
+def test_aqe_skew_join_splits_injected_hot_partition(spark):
+    """AQE's skew-join path (on by default in session.py) is the
+    automatic counterpart of salting — lock it the way broadcast
+    gating is locked: with thresholds tuned down and broadcast off, a
+    join against an injected hot key must execute as a SortMergeJoin
+    the adaptive planner marks skew=true (i.e. the oversized shuffle
+    partition was actually split), and the answer must match the
+    same join with skew handling off."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+
+        def skew_join():
+            big = spark.range(200_000).select(
+                F.when(F.col("id") % 10 < 9, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                F.col("id").alias("v"),
+            )
+            small = spark.range(4_000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+            )
+            return big.join(small, on="k")
+
+        j = skew_join()
+        with_skew = j.agg(
+            F.count("*").alias("c"), F.sum(F.col("v") + F.col("w")).alias("s")
+        ).collect()[0]
+        # execute THIS DataFrame's own query execution so AQE finalizes
+        # its plan (a .write spawns a separate execution whose final
+        # plan isn't visible on j)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, plan[:2000]
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        no_skew = (
+            skew_join()
+            .agg(F.count("*").alias("c"), F.sum(F.col("v") + F.col("w")).alias("s"))
+            .collect()[0]
+        )
+        assert (with_skew.c, with_skew.s) == (no_skew.c, no_skew.s)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_interval_join_basic(spark):
     from datetime import datetime
 
