@@ -176,6 +176,49 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str | Column],
+    sensitive: str | Column,
+    *,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit — the companion to k-anonymity: a
+    class can be large (k-anonymous) yet still leak if every member
+    shares the same SENSITIVE value, so each equivalence class must
+    also contain ≥ l distinct sensitive values (Machanavajjhala et al.,
+    ICDE 2006, distinct variant).
+
+    One two-key hash aggregate (quasi grid × sensitive) then a rollup
+    to the class grain — the sensitive column never leaves the
+    aggregate, so the audit itself is release-safe. NULL sensitive
+    values don't count toward diversity (COUNT(DISTINCT) semantics:
+    an all-NULL class has zero diversity and is maximally unsafe).
+
+    Output: single row (n_rows, n_classes, n_undiverse_classes,
+    n_exposed_rows, min_diversity, l_diverse) — l_diverse TRUE iff
+    every class carries ≥ l distinct sensitive values.
+    """
+    cols = [
+        c if isinstance(c, Column) else F.col(c) for c in quasi_identifiers
+    ]
+    s = sensitive if isinstance(sensitive, Column) else F.col(sensitive)
+    classes = df.groupBy(*cols).agg(
+        F.count("*").alias("__n"),
+        F.countDistinct(s).alias("__div"),
+    )
+    return classes.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.count(F.when(F.col("__div") < l, 1)).alias("n_undiverse_classes"),
+        F.coalesce(
+            F.sum(F.when(F.col("__div") < l, F.col("__n"))), F.lit(0)
+        ).alias("n_exposed_rows"),
+        F.min("__div").alias("min_diversity"),
+        (F.min("__div") >= l).alias("l_diverse"),
+    )
+
+
 def fk_integrity_audit(
     pairs: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

@@ -2885,3 +2885,330 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("dim_idx"),
         F.col("vj").cast("long").alias("eig_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 wave: encoding audit, Zipf fit, LSH-skew observability,
+# tokenizer health, mixture budgeting
+# ---------------------------------------------------------------------------
+
+
+_ENC_AUDIT_ORACLE = r"""
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_nonascii,
+             length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_control
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_nonascii AS BIGINT) AS n_nonascii,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(FLOOR(CAST(n_ws AS DOUBLE) / n_chars * 1000000.0) AS BIGINT)
+             AS ws_ratio_micros,
+           CAST(FLOOR(CAST(n_digit AS DOUBLE) / n_chars * 1000000.0) AS BIGINT)
+             AS digit_ratio_micros,
+           CAST(FLOOR(CAST(n_alpha AS DOUBLE) / n_chars * 1000000.0) AS BIGINT)
+             AS alpha_ratio_micros,
+           n_nonascii = 0 AND n_control = 0 AS encoding_clean
+    FROM c
+"""
+
+
+@register("doc_encoding_audit", _ENC_AUDIT_ORACLE)
+def q_doc_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding/char-class audit — the curation gate that
+    catches mojibake, control-character garbage, and binary-pasted
+    blobs before they reach a tokenizer: counts of non-ASCII and
+    control characters plus whitespace/digit/alpha ratios (floored
+    micros of exact integer counts — bit-stable on any engine).
+    Char-class counts are length-minus-stripped-length, the one regex
+    idiom whose semantics agree across regex engines (no count/overlap
+    ambiguity). One scan, pure projection — no shuffle at all."""
+    docs = catalog.documents(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    t = F.col("text")
+    n = F.length(t)
+
+    def stripped(pattern: str):
+        return n - F.length(F.regexp_replace(t, pattern, ""))
+
+    n_nonascii = stripped(r"[^\x00-\x7F]")
+    n_control = stripped(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+
+    def ratio_micros(cnt):
+        return F.floor(cnt.cast("double") / n * F.lit(1000000.0)).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        n_nonascii.cast("long").alias("n_nonascii"),
+        n_control.cast("long").alias("n_control"),
+        ratio_micros(stripped(r"\s")).alias("ws_ratio_micros"),
+        ratio_micros(stripped(r"[0-9]")).alias("digit_ratio_micros"),
+        ratio_micros(stripped(r"[A-Za-z]")).alias("alpha_ratio_micros"),
+        ((n_nonascii == 0) & (n_control == 0)).alias("encoding_clean"),
+    )
+
+
+_ZIPF_ORACLE = r"""
+    WITH tf AS (
+      SELECT w, COUNT(*) AS f
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+      )
+      WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r FROM tf
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      FROM ranked WHERE r <= 200
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n / 1000000.0, 6) AS intercept_ln
+    FROM m
+"""
+
+
+@register("term_zipf_fit", _ZIPF_ORACLE)
+def q_term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus term distribution: OLS slope of
+    ln(frequency) on ln(rank) for the top 200 terms — natural language
+    sits near −1; generated spam, templated boilerplate, and synthetic
+    word soup drift far off, so the slope is a one-number corpus
+    fingerprint. Each (ln rank, ln freq) point floors to integer
+    micros BEFORE the moment sums, making the regression inputs exact
+    integers — the closed form is then identical IEEE double math on
+    both engines (the brand_price_quantity_corr recipe). One term
+    aggregate, one 200-row top-k, scalar moments."""
+    tf = (
+        catalog.documents(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = tf.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("f"), F.asc("w")))
+    ).where(F.col("r") <= 200)
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") / 1000000.0, 6
+        ).alias("intercept_ln"),
+    )
+
+
+_HOT_SHINGLES_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM sh)
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / MAX(nd) * 1000000.0) AS BIGINT)
+             AS df_ratio_micros
+    FROM sh CROSS JOIN tot
+    GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle ASC
+    LIMIT 20
+"""
+
+
+@register("hot_shingles", _HOT_SHINGLES_ORACLE)
+def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency hot list — the SKEW health check for
+    the MinHash/LSH dedup pipeline: a shingle present in a large
+    fraction of documents (boilerplate, templates) both bloats
+    candidate generation (its postings join everything) and marks
+    text worth stripping before dedup. Exactly the shingle convention
+    dedup.shingles uses (3-gram words, per-doc distinct), so the
+    numbers read directly against near_dup_minhash_lsh's cost. Top-20
+    fuses to TakeOrderedAndProject; the doc-count scalar broadcasts."""
+    sh = dedup.shingles(catalog.documents(spark, sf_dir), k=3)
+    tot = sh.agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shingle",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.floor(
+                F.col("doc_freq").cast("double") / F.col("nd") * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("df_ratio_micros"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+_TOKLEN_ORACLE = r"""
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT CAST(length(w) AS BIGINT) AS token_len,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+    FROM t WHERE w <> ''
+    GROUP BY length(w)
+    ORDER BY token_len
+"""
+
+
+@register("token_length_histogram", _TOKLEN_ORACLE)
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram with per-length distinct-type counts —
+    the tokenizer-health readout (a long tail of 50-char 'tokens'
+    means unsplit URLs/base64; a spike at 1 means over-splitting).
+    One explode + one aggregate on a small integer key."""
+    t = (
+        catalog.documents(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        t.groupBy(F.length("w").cast("long").alias("token_len"))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("w").cast("long").alias("n_distinct_tokens"),
+        )
+        .orderBy("token_len")
+    )
+
+
+_BUDGET_ORACLE = r"""
+    WITH per AS (
+      SELECT source AS domain, COUNT(*) AS n_docs,
+             SUM(greatest(len(regexp_split_to_array(trim(text), '\s+')), 0)) AS n_tokens
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+      GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS tt FROM per),
+    wm AS (
+      SELECT domain, n_docs, n_tokens,
+             CAST(FLOOR(POW(CAST(n_tokens AS DOUBLE) / tt, 0.7)
+                        * 1000000.0) AS BIGINT) AS w_micros
+      FROM per CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(w_micros) AS zm FROM wm)
+    SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(w_micros AS BIGINT) AS weight_micros,
+           CAST(w_micros * 10000000 // zm AS BIGINT) AS budget_tokens,
+           CAST((w_micros * 10000000 // zm) * 1000000 // n_tokens AS BIGINT)
+             AS epochs_micros
+    FROM wm CROSS JOIN z
+    ORDER BY domain
+"""
+
+
+@register("mixture_token_budget", _BUDGET_ORACLE)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token budgeting: temperature-scaled (alpha=0.7)
+    domain weights turned into an actual per-domain token budget for a
+    10M-token training run, plus the implied epochs over each domain's
+    data (epochs > 1 marks domains the sampler will repeat — the
+    overfitting watchlist). Integer-exact end to end: each raw weight
+    floors to micros BEFORE the normalizer sum, so the normalizer is
+    an exact integer and the budget split is integer division — no
+    float summation-order dependence anywhere (the weakness the
+    rounded-double domain_mixture_weights query tolerates)."""
+    per = (
+        catalog.documents(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(0)
+                )
+            ).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tt"))
+    wm = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double") / F.col("tt"), F.lit(0.7))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("w_micros"),
+    )
+    z = wm.agg(F.sum("w_micros").alias("zm"))
+    budget = F.expr("w_micros * 10000000 div zm")
+    return (
+        wm.crossJoin(F.broadcast(z))
+        .select(
+            "domain",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("w_micros").cast("long").alias("weight_micros"),
+            budget.cast("long").alias("budget_tokens"),
+            F.expr("(w_micros * 10000000 div zm) * 1000000 div n_tokens")
+            .cast("long")
+            .alias("epochs_micros"),
+        )
+        .orderBy("domain")
+    )

@@ -1,5 +1,5 @@
-"""TPC-H deep-cut shapes (Q2/Q4/Q7/Q9/Q10/Q11/Q12/Q13/Q15/Q16/Q21/Q22
-flavors) adapted to the testdata's column subset.
+"""TPC-H deep-cut shapes (Q2/Q4/Q7/Q9/Q10/Q11/Q12/Q13/Q15/Q16/Q20/Q21/
+Q22 flavors) adapted to the testdata's column subset.
 
 Together with relational_queries.py's Q1/Q3/Q5/Q6/Q8/Q14/Q17/Q18/Q19
 flavors this covers every distinct PLAN SHAPE in the TPC-H suite:
@@ -720,4 +720,83 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("unit_price", 6).alias("unit_price"),
         )
         .orderBy("partkey", "suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 flavor — correlated half-of-total gate + double semi-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH per_sp AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    per_p AS (SELECT partkey, SUM(sq) AS tq FROM per_sp GROUP BY partkey),
+    promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    dom AS (
+      SELECT sp.suppkey, sp.partkey, sp.sq, p.tq
+      FROM per_sp sp
+      JOIN per_p p ON p.partkey = sp.partkey
+      SEMI JOIN promo ON promo.p_partkey = sp.partkey
+      WHERE sp.sq * 2 > p.tq
+    )
+    SELECT s.s_name AS supplier,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+           CAST(SUM(sq) AS BIGINT) AS dominated_qty
+    FROM dom JOIN supplier s ON s.s_suppkey = dom.suppkey
+    GROUP BY s.s_name
+    ORDER BY supplier
+    """,
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess availability of promo
+    parts, availability > half the shipped quantity — reference has no
+    partsupp table, so shipped-quantity share stands in for availqty,
+    keeping the plan shape: correlated scalar-per-part gate + semi-join
+    into a filtered part list + supplier projection). Integer-exact:
+    the quantity sums and the ×2 comparison run on BIGINT, so the
+    'more than half' predicate has no float edge.
+
+    Plan: the (part, supplier) rollup and the per-part total share one
+    shuffle key (partkey) — the second aggregate reuses the first's
+    partitioning; the promo-part filter rides a broadcast semi-join;
+    the supplier name lookup is a broadcast dim join."""
+    li = _t(spark, "lineitem", sf_dir)
+    promo = _dim(
+        spark,
+        _t(spark, "part", sf_dir)
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey"),
+        "part",
+        sf_dir,
+    )
+    s = _dim(
+        spark,
+        _t(spark, "supplier", sf_dir).select("s_suppkey", "s_name"),
+        "supplier",
+        sf_dir,
+    )
+    per_sp = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    per_p = per_sp.groupBy("partkey").agg(F.sum("sq").alias("tq"))
+    dom = (
+        per_sp.join(per_p, on="partkey")
+        .join(promo, F.col("p_partkey") == F.col("partkey"), "left_semi")
+        .filter(F.col("sq") * 2 > F.col("tq"))
+    )
+    return (
+        dom.join(s, F.col("s_suppkey") == F.col("suppkey"))
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(
+            F.count("*").cast("long").alias("n_dominated_parts"),
+            F.sum("sq").cast("long").alias("dominated_qty"),
+        )
+        .orderBy("supplier")
     )

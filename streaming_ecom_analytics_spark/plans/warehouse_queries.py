@@ -2099,6 +2099,41 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_ORACLE = """
+    WITH cls AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             COUNT(*) AS n,
+             COUNT(DISTINCT FLOOR(value / 50.0)) AS div
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           COUNT(CASE WHEN div < 3 THEN 1 END) AS n_undiverse_classes,
+           CAST(COALESCE(SUM(CASE WHEN div < 3 THEN n END), 0) AS BIGINT)
+             AS n_exposed_rows,
+           MIN(div) AS min_diversity,
+           MIN(div) >= 3 AS l_diverse
+    FROM cls
+"""
+
+
+@register("events_l_diversity", _LDIV_ORACLE)
+def q_events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=3) of the events table: under the
+    (event_type, day) quasi-identifier grid, every class must carry at
+    least 3 distinct value-bands — the homogeneity-attack companion to
+    events_k_anonymity (a 1000-row class whose values all share one
+    band still leaks the band to anyone who can place a user in the
+    class)."""
+    ev = catalog.events(spark, sf_dir)
+    return validation.l_diversity_audit(
+        ev,
+        [F.col("event_type"), F.date_trunc("day", F.col("ts"))],
+        F.floor(F.col("value") / 50.0),
+        l=3,
+    )
+
+
 _FK_ORACLE = """
     SELECT 'orders->customer' AS link,
            (SELECT COUNT(*) FROM orders) AS n_child_rows,
