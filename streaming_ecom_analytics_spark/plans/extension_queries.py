@@ -3212,3 +3212,218 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+_LANGID_CONF_ORACLE_TEMPLATE = """
+    WITH pred AS ({pred_sql}),
+    cells AS (
+      SELECT coalesce(d.lang, 'und') AS lang_true, p.lang_pred,
+             COUNT(*) AS n_docs
+      FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT lang_true, lang_pred, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(FLOOR(CAST(n_docs AS DOUBLE)
+                      / SUM(n_docs) OVER (PARTITION BY lang_true)
+                      * 1000000.0) AS BIGINT) AS row_share_micros
+    FROM cells
+"""
+
+
+@register(
+    "language_id_confusion",
+    _LANGID_CONF_ORACLE_TEMPLATE.format(pred_sql=_language_id_oracle()),
+)
+def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION against the corpus's labeled ``lang``
+    column: the (true, predicted) confusion matrix with per-true-label
+    row shares — the readout that turns the language_id heuristic from
+    a black box into a measured component (which languages it confuses,
+    how much lands in 'und'). The predictor subtree is the registered
+    language_id query verbatim; shares floor to micros of exact
+    integer counts. |langs|² output rows."""
+    from pyspark.sql import Window as W
+
+    docs = catalog.documents(spark, sf_dir)
+    pred = text.language_id(docs).select("doc_id", "lang_pred")
+    lab = docs.select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang_true")
+    )
+    cells = (
+        lab.join(pred, on="doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(W.partitionBy("lang_true"))
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(F.col("n_docs").cast("double") / tot * F.lit(1000000.0))
+        .cast("long")
+        .alias("row_share_micros"),
+    )
+
+
+_JBAND_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    sh AS (SELECT sh0.* FROM sh0 SEMI JOIN keep ON keep.shingle = sh0.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT LEAST(CAST(FLOOR(ROUND(CAST(n_inter AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_inter), 6) * 10) AS BIGINT), 9) AS band
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    hist AS (SELECT band, COUNT(*) AS n_pairs FROM j GROUP BY band)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM hist
+    ORDER BY band
+"""
+
+
+@register("jaccard_band_histogram", _JBAND_ORACLE)
+def q_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning observability for the dedup pipeline: the
+    distribution of exact 3-shingle Jaccard over all shingle-sharing
+    doc pairs, bucketed into 10 bands, with the cumulative pair count
+    at-or-above each band — read it to see what any near-dup threshold
+    would sweep in BEFORE running the dedup (the 0.8 bar of
+    near_dup_minhash_lsh lands directly on this curve).
+
+    Scale: 'pairs sharing a shingle' is quadratic in hot shingles, so
+    shingles with document frequency > 100 are excluded first (the
+    standard df-cap; hot_shingles reports exactly what gets cut) —
+    pair generation is then bounded by df_cap²/2 per shingle. Jaccard
+    is computed over the capped shingle sets on both engines
+    identically."""
+    sh0 = dedup.shingles(catalog.documents(spark, sf_dir), k=3)
+    keep = sh0.groupBy("shingle").agg(F.count("*").alias("dfc")).where(
+        F.col("dfc") <= 100
+    )
+    sh = sh0.join(keep.select("shingle"), on="shingle", how="left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        6,
+    )
+    bands = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            on="doc_b",
+        )
+        .select(
+            F.least(F.floor(jac * 10).cast("long"), F.lit(9).cast("long")).alias(
+                "band"
+            )
+        )
+    )
+    hist = bands.groupBy("band").agg(F.count("*").alias("n_pairs"))
+    from pyspark.sql import Window as W
+
+    cum = F.sum("n_pairs").over(
+        W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
+    )
+    return hist.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        cum.cast("long").alias("n_pairs_at_or_above"),
+    ).orderBy("band")
+
+
+_FILEPLAN_ORACLE = """
+    WITH sp AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 10
+                  THEN 'val'
+                  WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 20
+                  THEN 'test' ELSE 'train' END AS split,
+             source
+      FROM documents
+    ),
+    per AS (
+      SELECT split, source, COUNT(*) AS n_docs,
+             SUM(n_chars) AS total_bytes
+      FROM sp GROUP BY split, source
+    )
+    SELECT split, source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST(CEIL(CAST(total_bytes AS DOUBLE) / 262144.0) AS BIGINT) AS n_files,
+           CAST(CEIL(CAST(n_docs AS DOUBLE)
+                     / CEIL(CAST(total_bytes AS DOUBLE) / 262144.0)) AS BIGINT)
+             AS docs_per_file
+    FROM per
+    ORDER BY split, source
+"""
+
+
+@register("export_file_plan", _FILEPLAN_ORACLE)
+def q_export_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer planning for the training export: per (split, source)
+    partition, how many output files a target file size implies and
+    how many docs land in each — the repartition(n) plan that prevents
+    both the small-files problem (thousands of KB-files from
+    over-parallel writers) and unsplittable monoliths. Target here is
+    256 KB to stay non-degenerate at test scale; at 100 TB the same
+    arithmetic runs with 128 MB. Uses the same md5 split as
+    train_val_test_split, derived inline as a projection."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    _, split_col = curate.split_exprs(id_col="doc_id")
+    per = (
+        catalog.documents(spark, sf_dir)
+        .select(split_col.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_bytes"),
+        )
+    )
+    n_files = F.ceil(F.col("total_bytes").cast("double") / F.lit(262144.0))
+    return per.select(
+        "split",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        n_files.cast("long").alias("n_files"),
+        F.ceil(F.col("n_docs").cast("double") / n_files)
+        .cast("long")
+        .alias("docs_per_file"),
+    ).orderBy("split", "source")
