@@ -1056,3 +1056,132 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(top_k)
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_word_frac: tuple[int, int] = (4, 5),
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    the published heuristic battery most LLM curation stacks start
+    from), adapted to this corpus (no line structure → no bullet/
+    ellipsis line rules) and made INTEGER-EXACT so every flag is
+    bit-identical on any engine:
+
+    - word_count_ok:      min_words ≤ n_words ≤ max_words
+    - mean_word_len_ok:   min ≤ Σlen(word)/n_words ≤ max, compared as
+      cross-multiplied integers (min·n ≤ Σlen ≤ max·n — no division)
+    - alpha_word_frac_ok: ≥ 4/5 of words contain an alphabetic char,
+      again cross-multiplied (5·n_alpha_words ≥ 4·n_words)
+    - stopword_ok:        ≥ min_distinct_stopwords DISTINCT English
+      stopwords appear (the 'natural prose' signal)
+    - gopher_pass:        all of the above
+
+    One scan; the per-word reductions fold JVM-side over the split
+    array (no explode, no shuffle — a pure projection). Empty/NULL
+    text fails word_count_ok and therefore gopher_pass.
+    """
+    toks = F.filter(_tokens(text_col), lambda w: w != F.lit(""))
+    low = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(low, lambda w: w.isin(list(ENGLISH_STOPWORDS)))
+        )
+    )
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    a, b = min_alpha_word_frac
+    mean_len_ok = (sum_len >= F.lit(min_mean_word_len) * n_words) & (
+        sum_len <= F.lit(max_mean_word_len) * n_words
+    )
+    alpha_ok = F.lit(b) * n_alpha >= F.lit(a) * n_words
+    stop_ok = n_stop >= min_distinct_stopwords
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        sum_len.cast("long").alias("sum_word_len"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_distinct_stopwords"),
+        F.coalesce(word_count_ok, F.lit(False)).alias("word_count_ok"),
+        F.coalesce(mean_len_ok, F.lit(False)).alias("mean_word_len_ok"),
+        F.coalesce(alpha_ok, F.lit(False)).alias("alpha_word_frac_ok"),
+        F.coalesce(stop_ok, F.lit(False)).alias("stopword_ok"),
+        F.coalesce(
+            word_count_ok & mean_len_ok & alpha_ok & stop_ok, F.lit(False)
+        ).alias("gopher_pass"),
+    )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the CCNet/Gopher-family
+    gibberish detector SQL cannot express: heavily repeated text
+    compresses far below natural prose (ratio ≪ 0.4), while random or
+    encrypted blobs refuse to compress (ratio ≈ 1). Deterministic for
+    a pinned zlib level, so results are rerun-stable; no SQL oracle
+    exists (DuckDB has no DEFLATE), so the registered query is
+    rows-only with value-pinning unit tests.
+
+    Arrow-batched mapInPandas; output ratio in floored micros of
+    compressed_len/raw_len. NULL/empty text yields NULL ratio.
+    """
+    import pandas as pd
+    import zlib
+
+    def comp(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw_lens, comp_lens = [], []
+            for t in pdf[text_col]:
+                if t is None or len(t) == 0:
+                    raw_lens.append(0)
+                    comp_lens.append(None)
+                else:
+                    b = t.encode("utf-8")
+                    raw_lens.append(len(b))
+                    comp_lens.append(len(zlib.compress(b, level)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "raw_bytes": raw_lens,
+                    "compressed_bytes": comp_lens,
+                }
+            )
+            yield out
+
+    scored = docs.select(id_col, text_col).mapInPandas(
+        comp, schema="doc_id long, raw_bytes long, compressed_bytes long"
+    )
+    return scored.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        F.when(
+            F.col("raw_bytes") > 0,
+            F.floor(
+                F.col("compressed_bytes").cast("double")
+                / F.col("raw_bytes")
+                * F.lit(1000000.0)
+            ).cast("long"),
+        ).alias("compression_ratio_micros"),
+    )

@@ -3427,3 +3427,67 @@ def q_export_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_per_file"),
     ).orderBy("split", "source")
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> w <> '') AS toks,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS low
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+               AS sum_word_len,
+             len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha_words,
+             len(list_distinct(list_filter(low, w -> w IN ({stops}))))
+               AS n_distinct_stopwords
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_word_len AS BIGINT) AS sum_word_len,
+           CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           CAST(n_distinct_stopwords AS BIGINT) AS n_distinct_stopwords,
+           n_words BETWEEN 50 AND 100000 AS word_count_ok,
+           sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+             AS mean_word_len_ok,
+           5 * n_alpha_words >= 4 * n_words AS alpha_word_frac_ok,
+           n_distinct_stopwords >= 2 AS stopword_ok,
+           (n_words BETWEEN 50 AND 100000)
+             AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+             AND 5 * n_alpha_words >= 4 * n_words
+             AND n_distinct_stopwords >= 2 AS gopher_pass
+    FROM m
+"""
+
+
+@register("gopher_quality_flags", _gopher_oracle())
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1) per
+    document: word-count band, mean-word-length band, alphabetic-word
+    fraction, distinct-stopword floor, and the combined pass flag —
+    every rule compared as cross-multiplied INTEGERS (no division
+    anywhere), so all five booleans are bit-identical on any engine.
+    min_words=50 keeps the flag non-degenerate on this corpus (the
+    published 50/100k band). Zero-shuffle projection."""
+    return text.gopher_quality_flags(
+        catalog.documents(spark, sf_dir), min_words=50
+    )
+
+
+@register("doc_compression_ratio", None)
+def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (CCNet/Gopher-family
+    gibberish detector): repeated/templated text compresses ≪ natural
+    prose, random blobs ≈ 1. Rows-only by design — no DEFLATE in SQL;
+    determinism (pinned zlib level 6) and planted-value behavior are
+    unit-tested (tests/test_text.py)."""
+    return text.compression_ratio(catalog.documents(spark, sf_dir))

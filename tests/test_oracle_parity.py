@@ -46,6 +46,7 @@ EXPECTED_ROWS_ONLY = {
     "audio_near_dups",
     "bpe_learned_merges",
     "bpe_learned_token_counts",
+    "doc_compression_ratio",  # no DEFLATE in SQL; zlib level pinned, unit-tested
     "image_features",
     "image_near_dups",
     "video_features",

@@ -297,3 +297,59 @@ def test_bigram_pmi_single_token_doc_yields_no_bigrams(spark):
     out = text.bigram_pmi(docs, min_count=1, top_k=10).collect()
     assert {(r.w1, r.w2) for r in out} == {("hello", "hello")}
     assert out[0].n_big == 1
+
+
+def test_gopher_quality_flags_each_rule_fires(spark):
+    """Each Gopher rule must be independently falsifiable: a crafted
+    doc per failure mode plus one passing doc."""
+    good = "the quick brown fox jumps over a lazy dog and it runs on in " * 5
+    short = "the cat sat"                     # fails word count
+    longwords = ("supercalifragilistic " * 60)  # mean word len > 10
+    symbols = ("### $$$ %%% " * 30)           # alpha fraction < 4/5
+    nostops = ("lorem ipsum dolor sit amet " * 12)  # < 2 distinct stopwords
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, longwords), (4, symbols), (5, nostops)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.gopher_quality_flags(docs, min_words=20).collect()}
+    assert out[1].gopher_pass is True
+    assert out[2].word_count_ok is False and out[2].gopher_pass is False
+    assert out[3].mean_word_len_ok is False and out[3].gopher_pass is False
+    assert out[4].alpha_word_frac_ok is False and out[4].gopher_pass is False
+    assert out[5].stopword_ok is False and out[5].gopher_pass is False
+
+
+def test_gopher_quality_flags_null_and_empty_fail_closed(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.gopher_quality_flags(docs).collect()}
+    for i in (1, 2, 3):
+        assert out[i].gopher_pass is False
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    """The whole point of the signal: heavily repeated text compresses
+    far below incompressible noise, and the op is rerun-stable."""
+    import random
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(4000))
+    repeated = "spam ham " * 500
+    docs = spark.createDataFrame(
+        [(1, repeated), (2, noise), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.compression_ratio(docs).collect()}
+    assert out[1].compression_ratio_micros < 100_000      # < 0.1
+    assert out[2].compression_ratio_micros > 500_000      # noise barely compresses
+    assert out[3].compression_ratio_micros is None
+    assert out[4].compression_ratio_micros is None
+    again = {r.doc_id: r.compression_ratio_micros for r in text.compression_ratio(docs).collect()}
+    assert again == {k: v.compression_ratio_micros for k, v in out.items()}
+    # ratio arithmetic pins to zlib level 6 exactly
+    import zlib
+
+    b = repeated.encode()
+    assert out[1].compressed_bytes == len(zlib.compress(b, 6))
+    assert out[1].raw_bytes == len(b)
