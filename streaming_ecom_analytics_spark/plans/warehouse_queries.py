@@ -3364,3 +3364,192 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n * 1000000 div sum(n) OVER (PARTITION BY from_type)"
         ).cast("long").alias("p_ppm"),
     )
+
+
+_CUPED_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END),
+                  0) AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END),
+                  0) AS BIGINT) AS y,
+             CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM u
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS vx, CAST(SUM(y) AS BIGINT) AS vy
+      FROM u GROUP BY variant
+    )
+    SELECT variant, n_users,
+           ROUND(CAST(vy AS DOUBLE) / n_users, 6) AS mean_post_cents,
+           ROUND(CAST(vx AS DOUBLE) / n_users, 6) AS mean_pre_cents,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+           ROUND(CAST(vy AS DOUBLE) / n_users
+                 - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   * (CAST(vx AS DOUBLE) / n_users - sx / n), 6)
+             AS adjusted_mean_cents
+    FROM v CROSS JOIN pooled
+    ORDER BY variant
+"""
+
+
+@register("cuped_adjusted_ab", _CUPED_ORACLE)
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013):
+    per-user purchase cents split into a pre-period covariate (days
+    1-15) and the experiment metric (days 16-30), a deterministic md5
+    coin assigns variants, pooled theta = cov(x,y)/var(x) comes from
+    EXACT integer moment sums (cents and cents² in HUGEINT/DECIMAL),
+    and each variant's adjusted mean uses the closed form
+    mean_y_v − θ·(mean_x_v − mean_x) — identical IEEE doubles on
+    identical integers, so the rounded readout is engine-exact. One
+    user-grain aggregate, one broadcast scalar of the pooled moments,
+    |variants| output rows."""
+    ev = catalog.events(spark, sf_dir)
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).withColumn(
+        "variant",
+        F.when(
+            F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 2
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    dec = "decimal(38,0)"
+    pooled = u.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).cast("double").alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).cast("double").alias("sxx"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("vx"),
+        F.sum("y").cast("long").alias("vy"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_y = F.col("vy").cast("double") / F.col("n_users")
+    mean_x = F.col("vx").cast("double") / F.col("n_users")
+    return (
+        v.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            "n_users",
+            F.round(mean_y, 6).alias("mean_post_cents"),
+            F.round(mean_x, 6).alias("mean_pre_cents"),
+            F.round(theta, 6).alias("theta"),
+            F.round(
+                mean_y - theta * (mean_x - F.col("sx") / F.col("n")), 6
+            ).alias("adjusted_mean_cents"),
+        )
+        .orderBy("variant")
+    )
+
+
+_CUSUM_ORACLE = """
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (SELECT COUNT(*) AS n, SUM(cents) AS tot FROM d),
+    p AS (
+      SELECT day, cents,
+             SUM(CAST(n AS HUGEINT) * cents - tot)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pref
+      FROM d CROSS JOIN m
+    ),
+    s AS (
+      SELECT day, cents, pref,
+             MIN(pref) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS lo,
+             MAX(pref) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS hi
+      FROM p
+    )
+    SELECT day, cents,
+           CAST(pref - lo AS BIGINT) AS cusum_up_scaled,
+           CAST(hi - pref AS BIGINT) AS cusum_down_scaled,
+           5 * CAST(GREATEST(pref - lo, hi - pref) AS HUGEINT)
+             > (SELECT tot FROM m) AS drift
+    FROM s ORDER BY day
+"""
+
+
+@register("revenue_cusum_drift", _CUSUM_ORACLE)
+def q_revenue_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection over the daily-revenue series,
+    integer-exact end to end: deviations are scaled by the day count
+    (D_t = n·x_t − Σx, an integer) so the reference mean never becomes
+    a float; the classic recursive CUSUM S_t = max(0, S_{t-1} + D_t)
+    is rewritten as the prefix identity S_t = P_t − min_{j≤t} P_j
+    (and its mirror for downward drift) — two window functions over
+    the tiny day spine instead of an unexpressible recursion. The
+    drift flag fires when either side exceeds 5·Σx (i.e. sustained
+    deviation worth ~5 average days). Day-spine windows are a
+    |days|-row single partition by design — the series is aggregated
+    first."""
+    ev = catalog.events(spark, sf_dir)
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    m = d.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("tot")
+    )
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    pref_w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    p = d.crossJoin(F.broadcast(m)).withColumn(
+        "pref",
+        F.sum(
+            (F.col("n").cast(dec) * F.col("cents") - F.col("tot")).cast(dec)
+        ).over(pref_w),
+    )
+    s = p.withColumn("lo", F.min("pref").over(pref_w)).withColumn(
+        "hi", F.max("pref").over(pref_w)
+    )
+    up = F.col("pref") - F.col("lo")
+    down = F.col("hi") - F.col("pref")
+    return s.select(
+        "day",
+        "cents",
+        up.cast("long").alias("cusum_up_scaled"),
+        down.cast("long").alias("cusum_down_scaled"),
+        (
+            F.lit(5).cast(dec) * F.greatest(up, down)
+            > F.col("tot").cast(dec)
+        ).alias("drift"),
+    ).orderBy("day")
