@@ -55,6 +55,16 @@ EXTRA = [
     "item_jaccard_topk",
     "revenue_pareto",
     "daily_new_vs_returning",
+    # round-6 wave
+    "purchase_negative_samples",
+    "ann_ivfpq_topk",
+    "dominant_part_suppliers",
+    "gopher_quality_flags",
+    "jaccard_band_histogram",
+    "cuped_adjusted_ab",
+    "revenue_cusum_drift",
+    "hot_shingles",
+    "mixture_token_budget",
 ]
 
 

@@ -3053,7 +3053,7 @@ _HOT_SHINGLES_ORACLE = r"""
              )) AS shingle
       FROM w
     ),
-    tot AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM sh)
+    tot AS (SELECT COUNT(doc_id) AS nd FROM documents)
     SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq,
            CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / MAX(nd) * 1000000.0) AS BIGINT)
              AS df_ratio_micros
@@ -3074,8 +3074,13 @@ def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.shingles uses (3-gram words, per-doc distinct), so the
     numbers read directly against near_dup_minhash_lsh's cost. Top-20
     fuses to TakeOrderedAndProject; the doc-count scalar broadcasts."""
-    sh = dedup.shingles(catalog.documents(spark, sf_dir), k=3)
-    tot = sh.agg(F.countDistinct("doc_id").alias("nd"))
+    docs = catalog.documents(spark, sf_dir)
+    sh = dedup.shingles(docs, k=3)
+    # denominator = corpus size from a narrow doc_id scan; every doc
+    # yields >=1 shingle under the greatest(n-2, 1) convention, so this
+    # equals countDistinct(doc_id) over sh WITHOUT re-exploding the
+    # shingle frame (a second corpus-sized pass at 100 TB)
+    tot = docs.agg(F.count("doc_id").alias("nd"))
     return (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("doc_freq"))
@@ -3184,6 +3189,9 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_tokens"),
         )
     )
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    per = persist_tracked(per)  # domain-sized; feeds tot and wm
     tot = per.agg(F.sum("n_tokens").alias("tt"))
     wm = per.crossJoin(F.broadcast(tot)).select(
         "domain",
@@ -3196,6 +3204,7 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w_micros"),
     )
+    wm = persist_tracked(wm)  # feeds the normalizer and the budget rows
     z = wm.agg(F.sum("w_micros").alias("zm"))
     budget = F.expr("w_micros * 10000000 div zm")
     return (

@@ -23,7 +23,7 @@ Money follows the repo convention: DOUBLE → DECIMAL(18,2) → exact SUM
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streaming_ecom_analytics_spark import catalog
@@ -763,10 +763,11 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantity sums and the ×2 comparison run on BIGINT, so the
     'more than half' predicate has no float edge.
 
-    Plan: the (part, supplier) rollup and the per-part total share one
-    shuffle key (partkey) — the second aggregate reuses the first's
-    partitioning; the promo-part filter rides a broadcast semi-join;
-    the supplier name lookup is a broadcast dim join."""
+    Plan: ONE lineitem scan — the per-part total is a partkey window
+    over the (part, supplier) rollup, never a second aggregate joined
+    back (which would re-scan the fact table); the promo-part filter
+    rides a broadcast semi-join; the supplier name lookup is a
+    broadcast dim join."""
     li = _t(spark, "lineitem", sf_dir)
     promo = _dim(
         spark,
@@ -785,9 +786,13 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_sp = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
-    per_p = per_sp.groupBy("partkey").agg(F.sum("sq").alias("tq"))
+    # per-part total as a window over the rollup, NOT a second aggregate
+    # joined back: the agg+join form re-scans the fact table (two full
+    # lineitem scans at 100 TB); the window reuses the rollup's rows
     dom = (
-        per_sp.join(per_p, on="partkey")
+        per_sp.withColumn(
+            "tq", F.sum("sq").over(Window.partitionBy("partkey"))
+        )
         .join(promo, F.col("p_partkey") == F.col("partkey"), "left_semi")
         .filter(F.col("sq") * 2 > F.col("tq"))
     )

@@ -3418,12 +3418,16 @@ def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers, so the rounded readout is engine-exact. One
     user-grain aggregate, one broadcast scalar of the pooled moments,
     |variants| output rows."""
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
     ev = catalog.events(spark, sf_dir)
     cents = F.when(
         F.col("event_type") == "purchase",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
     )
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    # user-grain frame feeds BOTH the pooled moments and the variant
+    # rollup — persist so events scans once, not twice
     u = ev.groupBy("user_id").agg(
         F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0))
         .cast("long")
@@ -3439,6 +3443,7 @@ def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("A"),
         ).otherwise(F.lit("B")),
     )
+    u = persist_tracked(u)
     dec = "decimal(38,0)"
     pooled = u.agg(
         F.count("*").cast("double").alias("n"),
@@ -3525,6 +3530,9 @@ def q_revenue_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    d = persist_tracked(d)  # day spine feeds the scalar and the windows
     m = d.agg(
         F.count("*").alias("n"), F.sum("cents").alias("tot")
     )

@@ -797,6 +797,49 @@ def test_brand_price_corr_single_agg_broadcast_dim(spark):
     assert plan.count("HashAggregate") == 2
 
 
+def test_gopher_and_encoding_audits_zero_shuffle(spark):
+    """gopher_quality_flags and doc_encoding_audit claim zero-shuffle
+    single-scan projections — every rule folds JVM-side over the split
+    array / regexp lengths. Any Exchange or Join appearing here is a
+    regression."""
+    for name in ("gopher_quality_flags", "doc_encoding_audit"):
+        plan = _plan(spark, name)
+        assert plan.count("FileScan parquet") == 1, name
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_dominant_part_suppliers_single_fact_scan(spark):
+    """TPC-H Q20 flavor: the per-part total is a window over the
+    (part, supplier) rollup — lineitem is scanned ONCE (the agg+join
+    form scanned it twice); part and supplier ride broadcasts."""
+    plan = _plan(spark, "dominant_part_suppliers")
+    assert plan.count("FileScan parquet") == 3  # lineitem + part + supplier
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cuped_and_cusum_cache_their_grain_frame(spark):
+    """cuped_adjusted_ab persists the user-grain frame (pooled moments
+    + variant rollup consume it); revenue_cusum_drift persists the day
+    spine (scalar + windows). Removing either persist doubles the
+    events scan and fails here."""
+    for name in ("cuped_adjusted_ab", "revenue_cusum_drift"):
+        plan = _plan(spark, name)
+        assert plan.count("InMemoryTableScan") >= 2, name
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hot_shingles_counts_corpus_without_reexploding(spark):
+    """hot_shingles' denominator is a narrow documents count, not a
+    second pass over the exploded shingle frame: exactly two scans
+    (shingle derivation + doc_id count), top-20 fused."""
+    plan = _plan(spark, "hot_shingles")
+    assert plan.count("FileScan parquet") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Generate explode") <= 1  # one shingle explode only
+
+
 def test_new_vs_returning_single_user_exchange(spark):
     """daily_new_vs_returning derives first-purchase-day with a
     min-over-window on the user partition — ONE user_id exchange and
