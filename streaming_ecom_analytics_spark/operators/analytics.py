@@ -770,14 +770,14 @@ def negative_candidates(
             F.col(item_col).cast("string"),
         )
     )
-    pick_w = Window.partitionBy(user_col, "__t").orderBy(
-        pick.asc(), F.col(item_col).asc()
-    )
+    # per-draw argmin as a PARTIAL-AGGREGABLE min(struct) — equivalent
+    # to row_number()=1 over (pick asc, item asc) but combines map-side
+    # instead of sorting whole (user, t) groups through a window
     return (
         draws.join(bucketed, on="__bkt")
-        .withColumn("__pn", F.row_number().over(pick_w))
-        .where(F.col("__pn") == 1)
-        .select(user_col, "__t", item_col)
+        .groupBy(user_col, "__t")
+        .agg(F.min(F.struct(pick.alias("__h"), F.col(item_col))).alias("__best"))
+        .select(user_col, "__t", F.col(f"__best.{item_col}").alias(item_col))
     )
 
 

@@ -656,3 +656,107 @@ def test_item_jaccard_equals_bruteforce(spark, baskets):
         sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:25]
     )
     assert got == top
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 30)),  # (user, item)
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_negative_samples_invariants(spark, pairs, n_neg):
+    """For arbitrary interaction sets: negatives are never positives,
+    at most n_neg per user, only catalog items are drawn, ranks are
+    1..k contiguous, and the draw is rerun-stable."""
+    from streaming_ecom_analytics_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        [(f"u{u}", f"i{i}") for u, i in pairs], "user_id string, item string"
+    )
+    out = analytics.negative_samples(df, n_neg=n_neg).collect()
+    pos = {(f"u{u}", f"i{i}") for u, i in pairs}
+    catalog_items = {f"i{i}" for _, i in pairs}
+    per_user: dict = {}
+    for r in out:
+        assert (r.user_id, r.item) not in pos
+        assert r.item in catalog_items
+        per_user.setdefault(r.user_id, []).append(r.neg_rank)
+    for ranks in per_user.values():
+        assert len(ranks) <= n_neg
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = analytics.negative_samples(df, n_neg=n_neg).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),   # quasi group
+            st.integers(0, 3),                  # sensitive value (None-able below)
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_l_diversity_equals_bruteforce(spark, rows, l):
+    """l_diversity_audit must agree with a brute-force python count
+    under arbitrary class shapes, including NULL sensitive values
+    (which never count toward diversity)."""
+    from streaming_ecom_analytics_spark.operators import validation
+
+    data = [(g, None if none else s) for g, s, none in rows]
+    df = spark.createDataFrame(data, "grp string, sens int")
+    got = validation.l_diversity_audit(df, ["grp"], "sens", l=l).collect()[0]
+
+    classes: dict = {}
+    for g, s in data:
+        classes.setdefault(g, []).append(s)
+    divs = {g: len({s for s in vs if s is not None}) for g, vs in classes.items()}
+    n_und = sum(1 for d in divs.values() if d < l)
+    exposed = sum(len(classes[g]) for g, d in divs.items() if d < l)
+    assert got.n_rows == len(data)
+    assert got.n_classes == len(classes)
+    assert got.n_undiverse_classes == n_und
+    assert got.n_exposed_rows == exposed
+    assert got.min_diversity == min(divs.values())
+    assert got.l_diverse == (min(divs.values()) >= l)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab #",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_gopher_flags_equal_float_definition(spark, texts):
+    """The cross-multiplied integer rules must agree with the naive
+    float formulation for arbitrary text (incl. empty/whitespace)."""
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textops.gopher_quality_flags(df, min_words=2).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if w]
+        r = out[i]
+        assert r.n_words == len(words)
+        if words:
+            mean_len = sum(len(w) for w in words) / len(words)
+            assert r.mean_word_len_ok == (3 <= mean_len <= 10)
+            alpha_frac = sum(1 for w in words if any(c.isalpha() for c in w)) / len(words)
+            assert r.alpha_word_frac_ok == (alpha_frac >= 0.8)
+        else:
+            assert r.gopher_pass is False
