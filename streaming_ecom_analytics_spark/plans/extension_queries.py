@@ -3011,9 +3011,14 @@ def q_term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    ranked = tf.withColumn(
+    # top-200 FIRST via orderBy+limit (TakeOrderedAndProject — a
+    # distributed partial top-K), THEN rank inside the 200-row frame:
+    # a row_number window over the full term table would funnel the
+    # whole vocabulary through one partition at web scale
+    top = tf.orderBy(F.desc("f"), F.asc("w")).limit(200)
+    ranked = top.withColumn(
         "r", F.row_number().over(W.orderBy(F.desc("f"), F.asc("w")))
-    ).where(F.col("r") <= 200)
+    )
     pts = ranked.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000000.0)
         .cast("long")

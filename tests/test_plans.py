@@ -840,6 +840,18 @@ def test_hot_shingles_counts_corpus_without_reexploding(spark):
     assert plan.count("Generate explode") <= 1  # one shingle explode only
 
 
+def test_zipf_fit_topk_before_rank_window(spark):
+    """term_zipf_fit must take its top-200 via TakeOrderedAndProject
+    (distributed partial top-K) BEFORE the rank window — a row_number
+    window over the full term table would funnel the whole vocabulary
+    through one partition at web scale."""
+    plan = _plan(spark, "term_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    # the window must consume the TOAP output, not the raw aggregate:
+    # TOAP appears BELOW (after, in tree order) the Window node
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_new_vs_returning_single_user_exchange(spark):
     """daily_new_vs_returning derives first-purchase-day with a
     min-over-window on the user partition — ONE user_id exchange and
