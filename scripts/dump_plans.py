@@ -65,6 +65,7 @@ EXTRA = [
     "revenue_cusum_drift",
     "hot_shingles",
     "mixture_token_budget",
+    "revenue_pareto_scaled",
 ]
 
 

@@ -2754,9 +2754,7 @@ def q_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
-@register(
-    "revenue_pareto",
-    """
+_PARETO_ORACLE = """
     WITH cr AS (
       SELECT o_custkey,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
@@ -2778,8 +2776,10 @@ def q_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT MAX(cents) * 1000000 // MAX(t)
                  FROM cr CROSS JOIN tot) AS BIGINT) AS top1_share_ppm
     FROM tot
-    """,
-)
+    """
+
+
+@register("revenue_pareto", _PARETO_ORACLE)
 def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration audit: how many customers (ranked by
     lifetime order revenue) cover 80% of total revenue, plus the top
@@ -2817,6 +2817,62 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.unboundedPreceding, W.currentRow
     )
     c = cr.withColumn("cum", F.sum("cents").over(w))
+    cohort = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(5) * (F.col("cum") - F.col("cents")) < F.lit(4) * F.col("t")
+        )
+        .agg(F.count("*").cast("long").alias("n_customers_80pct"))
+    )
+    top_share = cr.crossJoin(F.broadcast(tot)).agg(
+        F.expr("max(cents) * 1000000 div max(t)")
+        .cast("long")
+        .alias("top1_share_ppm")
+    )
+    return (
+        tot.select("n_customers")
+        .crossJoin(F.broadcast(cohort))
+        .crossJoin(F.broadcast(top_share))
+    )
+
+
+@register("revenue_pareto_scaled", _PARETO_ORACLE)
+def q_revenue_pareto_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME Pareto readout as revenue_pareto (identical oracle —
+    the two must hash-match each other through DuckDB), but the global
+    running sum comes from operators/prefix.running_total: a
+    range-partitioned distributed sort + per-partition offsets instead
+    of the single-partition ORDER-BY window. revenue_pareto's window
+    over |customers| rows is fine into the millions; this is the
+    10⁸-customer plan — the only single-partition stage left is the
+    |partitions|-row offset frame, which is bounded by cluster config,
+    not data. Exact integer cents end to end, so the two plans are
+    bit-identical by construction."""
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+    from streaming_ecom_analytics_spark.operators.prefix import running_total
+
+    orders = catalog.load_table(spark, "orders", sf_dir)
+    cr = persist_tracked(
+        orders.groupBy("o_custkey").agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = cr.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count("*").alias("n_customers"),
+    )
+    c = running_total(
+        cr,
+        order_cols=[F.desc("cents"), F.asc("o_custkey")],
+        value_col="cents",
+        out_col="cum",
+    )
     cohort = (
         c.crossJoin(F.broadcast(tot))
         .filter(
