@@ -72,6 +72,37 @@ EXTRA = [
 _NODE_RE = re.compile(r"^[\s:+\-*()\d]*([A-Za-z][A-Za-z0-9_]*)")
 
 
+def _top_level_groups(raw: str) -> list[str]:
+    """Top-level [...] bracket groups of one plan line (nested brackets
+    stay inside their group)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(raw):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(raw[start + 1 : i])
+                start = -1
+    return groups
+
+
+def _is_global_window(raw: str) -> bool:
+    """True when a Window plan line has NO partition spec.
+
+    ``Window [exprs], [partitionSpec], [orderSpec]`` — a partitioned
+    window carries a partition group (no ASC/DESC) before the optional
+    order group; a global window's only trailing group is the order
+    spec (always ordered — an unordered global window would be a plain
+    aggregate). Every global window funnels the frame through ONE
+    partition, so each one must be a documented bounded frame
+    (PLANS.md allowlist; round-6 verdict #6)."""
+    tail = _top_level_groups(raw)[1:]
+    return len(tail) == 1 and ("ASC" in tail[0] or "DESC" in tail[0])
+
+
 def plan_fingerprint(plan: str) -> dict:
     """Canonical shape fingerprint of one executed-plan string.
 
@@ -82,6 +113,7 @@ def plan_fingerprint(plan: str) -> dict:
     without the SHAPE changing. The md5 of the canonical node list is
     the regression key; the counters make a diff human-readable."""
     nodes: list[str] = []
+    n_global_windows = 0
     for raw in plan.splitlines():
         m = _NODE_RE.match(raw)
         if not m:
@@ -89,6 +121,8 @@ def plan_fingerprint(plan: str) -> dict:
         kind = m.group(1)
         if kind in ("Arguments", "Output", "Input", "Condition", "ReadSchema"):
             continue
+        if kind == "Window" and _is_global_window(raw):
+            n_global_windows += 1
         tag = kind
         if kind == "Exchange":
             flavor = re.search(r"(hashpartitioning|SinglePartition|rangepartitioning|RoundRobinPartitioning)", raw)
@@ -119,6 +153,7 @@ def plan_fingerprint(plan: str) -> dict:
         "n_cartesian": sum(n.startswith("CartesianProduct") for n in nodes),
         "n_scans": sum(n.startswith("FileScan") for n in nodes),
         "n_windows": sum(n == "Window" for n in nodes),
+        "n_global_windows": n_global_windows,
     }
 
 

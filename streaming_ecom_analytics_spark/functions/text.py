@@ -836,6 +836,11 @@ def train_bpe(
 
     from streaming_ecom_analytics_spark.caching import persist_tracked
 
+    # batch_merges=0 would set fetch=1, and a 1-candidate round that is
+    # neither exhausted nor conflict-free trims the batch to empty —
+    # the loop would then repeat the identical count with no progress
+    # (round-6 advisor finding). One merge per round is the floor.
+    batch_merges = max(1, batch_merges)
     vocab = persist_tracked(word_frequencies(docs, text_col=text_col))
     if vocab.count() <= max_local_vocab:
         local = [(r.word, int(r.n)) for r in vocab.collect()]
@@ -1086,12 +1091,18 @@ def gopher_quality_flags(
     - gopher_pass:        all of the above
 
     One scan; the per-word reductions fold JVM-side over the split
-    array (no explode, no shuffle — a pure projection). Empty/NULL
-    text fails word_count_ok and therefore gopher_pass.
+    array (no explode, no shuffle — a pure projection). NULL text is
+    coalesced to '' BEFORE tokenizing (mirrored by COALESCE(text,'')
+    in the oracle), so a NULL-text document yields n_words=0 and real
+    False flags on both engines instead of engine-specific NULL
+    propagation — round-6 advisor finding.
     """
-    toks = F.filter(_tokens(text_col), lambda w: w != F.lit(""))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.trim(txt), r"\s+"), lambda w: w != F.lit("")
+    )
     low = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != F.lit("")
+        F.split(F.trim(F.lower(txt)), r"\s+"), lambda w: w != F.lit("")
     )
     n_words = F.size(toks)
     sum_len = F.aggregate(

@@ -3448,9 +3448,10 @@ def _gopher_oracle() -> str:
     return rf"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(text), '\s+'),
+             list_filter(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
                          w -> w <> '') AS toks,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))),
+                                               '\s+'),
                          w -> w <> '') AS low
       FROM documents
     ),

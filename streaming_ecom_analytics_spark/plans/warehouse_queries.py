@@ -3555,9 +3555,10 @@ _CUSUM_ORACLE = """
       FROM p
     )
     SELECT day, cents,
-           CAST(pref - lo AS BIGINT) AS cusum_up_scaled,
-           CAST(hi - pref AS BIGINT) AS cusum_down_scaled,
-           5 * CAST(GREATEST(pref - lo, hi - pref) AS HUGEINT)
+           CAST(pref - LEAST(lo, 0) AS BIGINT) AS cusum_up_scaled,
+           CAST(GREATEST(hi, 0) - pref AS BIGINT) AS cusum_down_scaled,
+           5 * CAST(GREATEST(pref - LEAST(lo, 0), GREATEST(hi, 0) - pref)
+                    AS HUGEINT)
              > (SELECT tot FROM m) AS drift
     FROM s ORDER BY day
 """
@@ -3569,8 +3570,11 @@ def q_revenue_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact end to end: deviations are scaled by the day count
     (D_t = n·x_t − Σx, an integer) so the reference mean never becomes
     a float; the classic recursive CUSUM S_t = max(0, S_{t-1} + D_t)
-    is rewritten as the prefix identity S_t = P_t − min_{j≤t} P_j
-    (and its mirror for downward drift) — two window functions over
+    is rewritten as the prefix identity S_t = P_t − min(0, min_{j≤t} P_j)
+    (and its mirror for downward drift) — the min/max is clamped to
+    zero because the recursion's implicit anchor is P_0 = 0, so a
+    series that starts above the mean (prefix never dips negative)
+    still accumulates drift from day one. Two window functions over
     the tiny day spine instead of an unexpressible recursion. The
     drift flag fires when either side exceeds 5·Σx (i.e. sustained
     deviation worth ~5 average days). Day-spine windows are a
@@ -3605,8 +3609,9 @@ def q_revenue_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = p.withColumn("lo", F.min("pref").over(pref_w)).withColumn(
         "hi", F.max("pref").over(pref_w)
     )
-    up = F.col("pref") - F.col("lo")
-    down = F.col("hi") - F.col("pref")
+    zero = F.lit(0).cast(dec)
+    up = F.col("pref") - F.least(F.col("lo"), zero)
+    down = F.greatest(F.col("hi"), zero) - F.col("pref")
     return s.select(
         "day",
         "cents",

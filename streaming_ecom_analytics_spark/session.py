@@ -55,4 +55,27 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_expected_window_warnings(spark)
     return spark
+
+
+def _silence_expected_window_warnings(spark: SparkSession) -> None:
+    """Raise WindowExec's log level to ERROR.
+
+    Every unpartitioned window in this engine is a PROVABLY bounded
+    frame — day spines, |partitions|-row offset tables, sketch-sized
+    rank frames (the allowlist lives in PLANS.md and is pinned by
+    PLANSHASH's n_global_windows counter + tests/test_plans.py) — so
+    WindowExec's per-execution "No Partition Defined" warning is noise
+    here, and dozens of copies per bench run drown out warnings that
+    would matter (round-6 verdict #6). A NEW data-scaled global window
+    is caught structurally by the plan tests, not by eyeballing logs,
+    so nothing is lost by muting the logger."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: cosmetic only, never fail startup

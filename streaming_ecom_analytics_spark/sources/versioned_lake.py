@@ -115,9 +115,23 @@ class VersionedTable:
         keeps the documented single-writer fast path. Same-version
         manifest collisions are loud regardless: the commit point is a
         link(2), which fails on an existing manifest rather than
-        overwriting it."""
+        overwriting it.
+
+        The stale-snapshot check runs BOTH before the staged write
+        (cheap: a doomed commit skips the data write entirely) and
+        after it (the race can land mid-write); a post-write rejection
+        removes its own staging prefix, so a failed commit leaves no
+        orphaned data files (round-6 advisor finding)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, not {mode!r}")
+        if expect_version != "any":
+            pre = self.latest_version()
+            if pre != expect_version:
+                raise ConcurrentCommitError(
+                    f"commit derived from version {expect_version!r} but "
+                    f"latest is now {pre!r} — another writer committed in "
+                    "between; re-derive from the current snapshot and retry"
+                )
         staging = os.path.join(self._data_dir, uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(staging)
         files = sorted(
@@ -127,10 +141,12 @@ class VersionedTable:
         )
         prev = self.latest_version()
         if expect_version != "any" and prev != expect_version:
+            self._drop_staging(staging)
             raise ConcurrentCommitError(
                 f"commit derived from version {expect_version!r} but latest "
                 f"is now {prev!r} — another writer committed in between; "
-                "re-derive from the current snapshot and retry"
+                "re-derive from the current snapshot and retry "
+                "(staged files cleaned up)"
             )
         if mode == "append" and prev is not None:
             files = self.manifest(prev)["files"] + files
@@ -151,11 +167,21 @@ class VersionedTable:
             os.link(tmp, final)  # the atomic commit point — loud on collision
         except FileExistsError:
             os.unlink(tmp)
+            self._drop_staging(staging)
             raise ConcurrentCommitError(
-                f"version {version} was committed concurrently at {final}"
+                f"version {version} was committed concurrently at {final} "
+                "(staged files cleaned up)"
             ) from None
         os.unlink(tmp)
         return version
+
+    @staticmethod
+    def _drop_staging(staging: str) -> None:
+        """Best-effort removal of a rejected commit's staging prefix —
+        never raises over the ConcurrentCommitError it accompanies."""
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
 
     # ---- read path -----------------------------------------------------
 
@@ -194,17 +220,33 @@ class VersionedTable:
             df, mode="overwrite", message=f"compact v{v}", expect_version=v
         )
 
-    def vacuum(self, *, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, *, keep_last: int = 2, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO retained manifest and drop
         manifests older than the last ``keep_last``. Returns removed
-        file paths. Time travel stays valid for retained versions."""
+        file paths. Time travel stays valid for retained versions.
+
+        Staging prefixes younger than ``grace_seconds`` are skipped
+        entirely: an in-flight commit's files are unreferenced by any
+        manifest until its link(2) lands, so without the grace window a
+        concurrent vacuum could delete another writer's staged-but-
+        uncommitted data mid-commit (round-6 advisor finding). The
+        default 1 h far exceeds any single commit's write time; pass 0
+        only when no writer can be in flight."""
         vs = self.versions()
         retained = vs[-keep_last:] if keep_last > 0 else []
         keep_files = {f for v in retained for f in self.manifest(v)["files"]}
+        cutoff = time.time() - grace_seconds
         removed = []
         if os.path.isdir(self._data_dir):
             for staging in os.listdir(self._data_dir):
                 sdir = os.path.join(self._data_dir, staging)
+                try:
+                    if os.path.getmtime(sdir) > cutoff:
+                        continue  # possibly an in-flight commit's staging
+                except OSError:
+                    continue
                 for root, _dirs, names in os.walk(sdir):
                     for name in names:
                         p = os.path.join(root, name)

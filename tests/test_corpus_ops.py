@@ -170,6 +170,23 @@ def test_train_bpe_local_and_distributed_paths_agree(spark):
     assert local == dist1
 
 
+def test_train_bpe_batch_merges_zero_terminates(spark):
+    """Round-6 advisor finding: batch_merges=0 made fetch=1, and a
+    1-candidate non-exhausted round trimmed its batch to empty — the
+    loop then repeated the identical count forever. The parameter is
+    now floored at 1; the call must terminate with the greedy
+    sequence."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import text as textops
+
+    docs = catalog.documents(spark, "/root/testdata/sf0.001")
+    local = textops.train_bpe(docs, n_merges=3)
+    dist0 = textops.train_bpe(
+        docs, n_merges=3, max_local_vocab=0, batch_merges=0
+    )
+    assert dist0 == local
+
+
 def test_train_bpe_batched_rounds_cut_job_waves(spark):
     """Round-5 verdict #6: the distributed trainer must pay FEWER
     driver round-trips than one per merge. Counted via the status

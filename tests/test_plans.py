@@ -819,6 +819,22 @@ def test_dominant_part_suppliers_single_fact_scan(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_dominant_part_suppliers_gate_is_not_degenerate(spark):
+    """Round-6 advisor finding: the absolute >50%-share gate returned
+    ZERO rows at every shipped SF (every part has 11+ suppliers, max
+    share ≈0.26), making the oracle parity vacuous — an empty result
+    hash-matches any wrong plan that is also empty. The fair-share
+    gate (share > 1.5/n_supp) must produce rows on the shipped data so
+    the value-level check actually checks values."""
+    from streaming_ecom_analytics_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["dominant_part_suppliers"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    assert all(r.n_dominated_parts >= 1 and r.dominated_qty > 0 for r in out)
+
+
 def test_cuped_and_cusum_cache_their_grain_frame(spark):
     """cuped_adjusted_ab persists the user-grain frame (pooled moments
     + variant rollup consume it); revenue_cusum_drift persists the day

@@ -320,12 +320,42 @@ def test_gopher_quality_flags_each_rule_fires(spark):
 
 
 def test_gopher_quality_flags_null_and_empty_fail_closed(spark):
+    """NULL text must yield n_words=0 / sum_word_len=0 and real False
+    flags — NOT engine-specific NULL propagation (round-6 advisor
+    finding: Spark left sum_word_len NULL while the oracle coalesced
+    to 0, a latent hash break the moment a NULL-text doc appears)."""
     docs = spark.createDataFrame(
         [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
     )
     out = {r.doc_id: r for r in text.gopher_quality_flags(docs).collect()}
     for i in (1, 2, 3):
-        assert out[i].gopher_pass is False
+        r = out[i]
+        assert r.n_words == 0 and r.sum_word_len == 0
+        assert r.n_alpha_words == 0 and r.n_distinct_stopwords == 0
+        assert r.gopher_pass is False and r.word_count_ok is False
+
+
+def test_gopher_quality_flags_null_text_matches_oracle(spark):
+    """Hash-level parity on a corpus WITH a NULL-text row: run the
+    registered DuckDB oracle and the Spark op over the same 3-row
+    table and compare every value (the shipped testdata has no NULL
+    text, so the driver's parity check never exercises this path)."""
+    import duckdb
+    import pandas as pd
+
+    from streaming_ecom_analytics_spark.plans import extension_queries as eq
+
+    rows = [(1, None), (2, "the cat sat on the mat " * 10), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in text.gopher_quality_flags(docs, min_words=50).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = sorted(tuple(r) for r in con.execute(eq._gopher_oracle()).fetchall())
+    assert got == want
 
 
 def test_compression_ratio_separates_repetition_from_noise(spark):

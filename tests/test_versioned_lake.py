@@ -51,7 +51,7 @@ def test_overwrite_does_not_disturb_old_snapshot(spark, table):
 def test_vacuum_drops_unreferenced_files(spark, table):
     for vals in (["a"], ["b"], ["c"]):
         table.commit(_df(spark, vals))
-    removed = table.vacuum(keep_last=2)
+    removed = table.vacuum(keep_last=2, grace_seconds=0)
     assert removed  # v0's files gone
     assert table.versions() == [1, 2]
     assert sorted(r.v for r in table.read(spark, version=1).collect()) == ["b"]
@@ -81,7 +81,7 @@ def test_compact_reduces_files_preserves_content_and_history(spark, table):
     )
     # time travel to the pre-compact version still works
     assert len(table.read(spark, version=v - 1).collect()) == 10
-    removed = table.vacuum(keep_last=1)
+    removed = table.vacuum(keep_last=1, grace_seconds=0)
     assert set(before) <= set(removed)  # small files gone, compact file kept
     assert sorted(r.v for r in table.read(spark).collect()) == sorted(
         f"r{i}" for i in range(10)
@@ -379,7 +379,7 @@ def test_cdc_materializer_soak_with_restart_and_vacuum(spark, tmp_path):
     got12 = {r.id: r.name for r in table.read(spark, version=11).collect()}
     assert got12 == want12
 
-    removed = table.vacuum(keep_last=5)
+    removed = table.vacuum(keep_last=5, grace_seconds=0)
     assert removed and table.versions() == list(range(19, 24))
     for p in removed:
         assert not os.path.exists(p)
@@ -446,3 +446,66 @@ def test_snapshot_diff_no_sentinel_or_separator_aliasing(spark):
         for r in snapshot_diff(old, new, key_cols=["k"]).collect()
     }
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_rejected_commit_cleans_up_staging(spark, table):
+    """Round-6 advisor finding: a stale-snapshot rejection used to run
+    AFTER the staged write and leave orphaned files. Now (a) the
+    pre-check rejects before writing anything, and (b) a post-write
+    rejection (simulated via a link(2) collision) removes its own
+    staging prefix."""
+    import os
+
+    from streaming_ecom_analytics_spark.sources.versioned_lake import (
+        ConcurrentCommitError,
+    )
+
+    table.commit(_df(spark, ["a"]))
+    data_dir = os.path.join(table.path, "data")
+    before = set(os.listdir(data_dir))
+
+    # (a) pre-check path: no staging prefix is ever created
+    with pytest.raises(ConcurrentCommitError):
+        table.commit(_df(spark, ["b"]), expect_version=99)
+    assert set(os.listdir(data_dir)) == before
+
+    # (b) post-write link collision: staging written, then cleaned up
+    real_link = os.link
+
+    def exploding_link(src, dst, *a, **kw):
+        raise FileExistsError(dst)
+
+    os.link = exploding_link
+    try:
+        with pytest.raises(ConcurrentCommitError, match="cleaned up"):
+            table.commit(_df(spark, ["c"]))
+    finally:
+        os.link = real_link
+    assert set(os.listdir(data_dir)) == before
+    # table still healthy: a normal commit succeeds afterwards
+    assert table.commit(_df(spark, ["d"])) == 1
+
+
+def test_vacuum_grace_period_protects_inflight_staging(spark, table):
+    """Round-6 advisor finding: vacuum deletes files referenced by no
+    retained manifest — which describes another writer's staged-but-
+    uncommitted files too. Staging prefixes younger than grace_seconds
+    must be skipped; grace_seconds=0 restores eager collection."""
+    import os
+
+    for vals in (["a"], ["b"], ["c"]):
+        table.commit(_df(spark, vals))
+    v0_files = table.manifest(0)["files"]
+    # all data prefixes are seconds old — indistinguishable from an
+    # in-flight commit's staging — so default grace deletes NO files
+    # (manifest retirement itself is a metadata op and still applies)
+    assert table.vacuum(keep_last=1) == []
+    for p in v0_files:
+        assert os.path.exists(p)
+    assert sorted(r.v for r in table.read(spark).collect()) == ["c"]
+    # explicit zero grace collects the now-unreferenced files
+    removed = table.vacuum(keep_last=1, grace_seconds=0)
+    assert set(v0_files) <= set(removed)
+    for p in removed:
+        assert not os.path.exists(p)
+    assert sorted(r.v for r in table.read(spark).collect()) == ["c"]

@@ -1050,3 +1050,63 @@ def test_cooccurrence_hitrate_temporal_split(spark):
     ).collect()[0]
     assert (r.n_users_eval, r.n_hits) == (2, 1)
     assert r.hit_rate == 0.5
+
+
+# ---------------------------------------------------------------------------
+# revenue_cusum_drift — clamped prefix identity == classic recursion
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_prefix_identity_equals_classic_recursion(spark, tmp_path):
+    """Round-6 advisor finding: the prefix identity omitted the
+    recursion's implicit P_0 = 0 anchor, so a series starting ABOVE
+    the mean (prefix never dips negative) understated early drift —
+    the advisor's example x=[10,10,1,1,1] gives classic up-CUSUM
+    [27,54,36,18,0] but the unclamped form gave [0,27,9,0,0]. The
+    clamped identity S_t = P_t − min(0, min_{j≤t} P_j) must equal
+    max(0, S_{t-1} + D_t) exactly, on a crafted events table exposing
+    the bug."""
+    import datetime as dt
+
+    from streaming_ecom_analytics_spark.plans.warehouse_queries import (
+        q_revenue_cusum_drift,
+    )
+
+    daily = [10, 10, 1, 1, 1]  # starts above the mean (23/5 = 4.6)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # timestamp[us] parquet, same physical type as the driver testdata
+    # (a Spark write would emit INT96, which pyarrow reports as nanos
+    # and would trip the catalog's nano-normalization shim)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(daily)),
+            "ts": pd.to_datetime(
+                [dt.datetime(2024, 1, 1 + i, 12) for i in range(len(daily))]
+            ).astype("datetime64[us]"),
+            "user_id": range(len(daily)),
+            "event_type": "purchase",
+            "value": [float(v) for v in daily],
+            "props": "{}",
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), sf_dir + "/events.parquet")
+    out = q_revenue_cusum_drift(spark, sf_dir).collect()
+
+    # classic recursion on the scaled integer deviations D_t = n·x_t − Σx
+    n, tot = len(daily), sum(daily) * 100
+    s_up, s_dn, want_up, want_dn = 0, 0, [], []
+    for v in daily:
+        d = n * v * 100 - tot
+        s_up = max(0, s_up + d)
+        s_dn = max(0, s_dn - d)
+        want_up.append(s_up)
+        want_dn.append(s_dn)
+    assert [r.cusum_up_scaled for r in out] == want_up
+    assert [r.cusum_down_scaled for r in out] == want_dn
+    # the advisor's exact numbers: sustained early drift now visible
+    assert want_up == [2700, 5400, 3600, 1800, 0]
