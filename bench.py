@@ -100,7 +100,7 @@ def main() -> None:
         "aggregation": "median" if runs > 1 else "single",
     }
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", str(REPO / "BENCH_LOCAL_r6.json")
+        "SPARK_GRAFT_BENCH_OUT", str(REPO / "BENCH_LOCAL_r7.json")
     )
     try:
         with open(out_path, "w") as fh:

@@ -191,6 +191,22 @@ def main() -> int:
     print(f"Generated by `scripts/dump_plans.py {sf_dir}`. Plans are the")
     print("AQE-final executed plans after one run; long literal lists are")
     print("elided. Re-generate after any plan-affecting change.")
+    print()
+    print("## Global-window allowlist")
+    print()
+    print("Unpartitioned windows funnel their frame through ONE partition —")
+    print("the classic scale killer — so every one in this engine sits on a")
+    print("PROVABLY bounded frame: day spines after aggregation (≤ a few")
+    print("hundred rows), |shuffle-partitions|-row offset tables")
+    print("(operators/prefix.py), sketch-capped rank frames, top-200 Zipf")
+    print("frames. The exact per-query counts are pinned BOTH ways by")
+    print("tests/test_plans.py::test_global_windows_pinned_to_documented_allowlist")
+    print("(GLOBAL_WINDOW_ALLOWLIST) via the PLANSHASH `n_global_windows`")
+    print("counter; WindowExec's per-run warning is muted in session.py")
+    print("because this structural pin replaces it. A new query that needs a")
+    print("global window on a data-scaled frame should use")
+    print("operators/prefix.running_total (distributed exact prefix sums)")
+    print("instead.")
     for name in names:
         if name not in REGISTRY:
             continue

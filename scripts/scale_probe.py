@@ -1,0 +1,129 @@
+"""Empirical scale probe (round-6 verdict #1): measure the heaviest
+registered queries at sf0.1 AND at the 10x sf1-equivalent probe data
+(scripts/gen_scale_probe.py), and record per-query scaling exponents.
+
+exponent = log(t_probe / t_sf01) / log(scale)
+
+~1.0 = linear (the shape SCALE.md argues for most queries);
+< 1.0 = fixed overhead still dominates at probe scale (stage
+        orchestration, JVM startup amortization);
+> 1.0 = super-linear — either a documented reason (e.g. LSH candidate
+        pairs grow with corpus density, fixpoint rounds grow with graph
+        diameter) or a scale bug to fix.
+
+Method: one untimed warmup pass at sf0.001 (JIT/codegen), then
+``runs`` timed passes per scale, per-query MEDIAN, noop sink — the
+same protocol as bench.py so numbers are comparable.
+
+Usage:
+    python scripts/gen_scale_probe.py                 # once
+    python scripts/scale_probe.py > SCALEPROBE_r7.json
+Env: SPARK_GRAFT_PROBE_RUNS (default 3), SPARK_GRAFT_PROBE_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from streaming_ecom_analytics_spark.caching import release_tracked  # noqa: E402
+from streaming_ecom_analytics_spark.plans import REGISTRY  # noqa: E402
+from streaming_ecom_analytics_spark.session import get_spark  # noqa: E402
+
+# The 18 heaviest queries of BENCH_LOCAL_r6.json — every >2.5 s shape:
+# graph fixpoints (events), the full curation/dedup compositions
+# (documents), and the ANN family (embeddings). Together they cover
+# every plan family SCALE.md makes a 100 TB claim about.
+PROBE_QUERIES = [
+    "item_pagerank",
+    "training_export_manifest",
+    "curated_documents",
+    "dedup_keep_best",
+    "ann_lsh_topk",
+    "dedup_clusters",
+    "split_leakage_audit",
+    "item_communities",
+    "doc_novelty_scores",
+    "jaccard_band_histogram",
+    "embedding_top_eigenvector",
+    "near_dup_minhash_lsh",
+    "ann_ivfpq_topk",
+    "quality_classifier_eval",
+    "ann_pq_topk",
+    "ann_ivf_topk",
+    "near_dup_jaccard",
+    "embedding_dup_clusters",
+]
+
+SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1", 1.0),
+    ("sf1_probe", os.environ.get("SPARK_GRAFT_PROBE_DIR", str(REPO / "scale_probe" / "sf1")), 10.0),
+]
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def main() -> int:
+    import math
+
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3")))
+    spark = get_spark(app_name="scale_probe")
+
+    for name in PROBE_QUERIES:  # warmup: JIT + codegen, untimed
+        REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        release_tracked()
+
+    timings: dict[str, dict[str, float]] = {n: {} for n in PROBE_QUERIES}
+    for label, sf_dir, _scale in SCALES:
+        samples: dict[str, list[float]] = {n: [] for n in PROBE_QUERIES}
+        for _ in range(runs):
+            for name in PROBE_QUERIES:
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name].append(time.perf_counter() - t0)
+                release_tracked()
+        for name, xs in samples.items():
+            timings[name][label] = round(median(xs), 3)
+
+    ratio_log = math.log(SCALES[1][2] / SCALES[0][2])
+    out = {}
+    for name, t in timings.items():
+        exp = math.log(t["sf1_probe"] / t["sf0.1"]) / ratio_log
+        out[name] = {
+            "sf0.1_sec": t["sf0.1"],
+            "sf1_probe_sec": t["sf1_probe"],
+            "ratio_10x": round(t["sf1_probe"] / t["sf0.1"], 2),
+            "exponent": round(exp, 3),
+        }
+    doc = {
+        "probe": "10x row-count scale probe (gen_scale_probe.py seed 7)",
+        "runs_per_scale": runs,
+        "aggregation": "median",
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "queries": out,
+        "total_sf0.1": round(sum(t["sf0.1"] for t in timings.values()), 2),
+        "total_sf1_probe": round(
+            sum(t["sf1_probe"] for t in timings.values()), 2
+        ),
+    }
+    json.dump(doc, sys.stdout, indent=1)
+    sys.stdout.write("\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -18,9 +18,20 @@ _TRACKED: list[DataFrame] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
-    """persist() a DataFrame and register it for later release."""
-    df.persist()
-    _TRACKED.append(df)
+    """persist() a DataFrame and register it for later release.
+
+    Idempotent: a frame that is already persisted (e.g. an operator
+    composing another operator that persisted the same object) is
+    returned as-is instead of re-persisting — Spark would log an
+    'already cached' warning and the double-track would double-release.
+    """
+    try:
+        already = df.storageLevel.useMemory or df.storageLevel.useDisk
+    except Exception:
+        already = False
+    if not already:
+        df.persist()
+        _TRACKED.append(df)
     return df
 
 

@@ -138,6 +138,63 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_capped(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over DF-CAPPED shingle sets — the
+    bounded-work twin of :func:`jaccard_pairs` (round-7 scale probe:
+    the uncapped ground truth measured scaling exponent 1.16 at 10×
+    because shared-shingle pairs grow with posting-list density; this
+    variant's pair work is absolutely bounded by
+    n_distinct_shingles × df_cap²/2, vocabulary-limited rather than
+    corpus-limited, so it needs no brute-force guard).
+
+    Semantics: shingles appearing in more than ``df_cap`` documents are
+    excluded BEFORE both the intersection and the set sizes, i.e. the
+    Jaccard is computed over the capped shingle sets on both sides of
+    the ratio — a well-defined similarity in its own right (hot
+    shingles are boilerplate and carry no near-dup signal; the CC-net
+    / standard dedup-stack df-cut), applied identically in the DuckDB
+    oracle. For pairs whose similarity rests on sub-cap shingles
+    (every planted near-dup in the testdata) the result equals true
+    Jaccard exactly.
+    """
+    sh0 = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") <= df_cap)
+        .select("shingle")
+    )
+    sh = persist_tracked(sh0.join(keep, on="shingle", how="left_semi"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _mix_constants(num_perm: int, seed: int = 2024) -> list[int]:
     """Deterministic 63-bit XOR masks, one per hash family."""
     import random

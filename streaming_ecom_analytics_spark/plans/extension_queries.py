@@ -69,6 +69,49 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(catalog.documents(spark, sf_dir), k=3, threshold=0.8)
 
 
+_JACCARD_CAPPED_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 100),
+    sh AS (SELECT sh0.* FROM sh0 SEMI JOIN keep ON keep.shingle = sh0.shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+
+@register("near_dup_jaccard_capped", _JACCARD_CAPPED_ORACLE)
+def q_near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs over df-capped shingle sets (cap
+    100) — the bounded-work exact path the round-7 scale probe
+    motivated: the uncapped ground truth (near_dup_jaccard) is
+    super-linear by design and guarded at 100k docs; this variant's
+    pair work is vocabulary-bounded (n_shingles × cap²/2) and needs no
+    guard. On the testdata the capped and true Jaccard agree for every
+    planted near-dup pair."""
+    return dedup.jaccard_pairs_capped(
+        catalog.documents(spark, sf_dir), k=3, threshold=0.8, df_cap=100
+    )
+
+
 @register("near_dup_minhash_lsh", _JACCARD_ORACLE, headline=True)
 def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified — must reproduce the

@@ -921,7 +921,7 @@ _NEG_ORACLE = """
              CAST(('0x' || substr(md5(CONCAT(CAST(u.user_id AS VARCHAR), '#',
                                              CAST(t.t AS VARCHAR))), 1, 15))
                   AS UBIGINT) % (SELECT b FROM bparam) AS bkt
-      FROM users u CROSS JOIN (SELECT unnest(range(1, 25)) AS t) t
+      FROM users u CROSS JOIN (SELECT unnest(range(1, 13)) AS t) t
     ),
     picked AS (
       SELECT user_id, t, item FROM (

@@ -227,3 +227,46 @@ def test_span_dedup_within_doc_repeats_collapse(spark):
     r = dedup.span_dedup_docs(docs, span_tokens=2).collect()[0]
     assert r.text_dedup == "p q"
     assert (r.n_spans, r.n_spans_kept) == (3, 1)
+
+
+def test_jaccard_capped_equals_uncapped_when_no_hot_shingles(spark):
+    """On a corpus with no shingle above the df-cap, the capped variant
+    must equal true Jaccard exactly; with a planted boilerplate shingle
+    shared by everyone, the capped variant must still find the real
+    near-dup pair without the boilerplate inflating similarity."""
+    from streaming_ecom_analytics_spark.functions import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs_capped(docs, threshold=0.5).collect()
+    }
+    true = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert capped == true and (1, 2) in capped
+
+    # plant a boilerplate trigram in EVERY doc with df_cap=2: similarity
+    # must be computed over the capped sets (boilerplate excluded)
+    boiler = " spark is great"
+    docs2 = spark.createDataFrame(
+        [(i, t + boiler) for i, t in
+         [(1, base), (2, base + " extra"), (3, "one two three four five six")]],
+        "doc_id long, text string",
+    )
+    capped2 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs_capped(
+            docs2, threshold=0.5, df_cap=2
+        ).collect()
+    }
+    assert (1, 2) in capped2 and (1, 3) not in capped2 and (2, 3) not in capped2

@@ -896,3 +896,118 @@ def test_manifest_contains_curation_subtree_once(spark):
     # hash-partition exchanges beyond what curation itself needs
     exch = lambda p: p.count("Exchange hashpartitioning(doc_id")  # noqa: E731
     assert exch(manifest) <= exch(curated)
+
+
+# ---------------------------------------------------------------------------
+# Global-window allowlist (round-6 verdict #6)
+# ---------------------------------------------------------------------------
+
+# Every query that legitimately carries an UNPARTITIONED window, with its
+# exact count. Each is a provably bounded frame — day spines (≤ a few
+# hundred rows after aggregation), |partitions|-row offset tables
+# (operators/prefix.py), sketch-sized rank frames, top-200 Zipf frames —
+# documented in PLANS.md. A NEW entry appearing here means someone put a
+# global window on a data-scaled frame: fix the plan, don't grow the list.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "category_abc_classes": 1,
+    "centroid_score_decile_lift": 1,
+    "embedding_centroid_auc": 1,
+    "gapfilled_highvalue_revenue": 1,
+    "heavy_hitters_mg": 1,
+    "jaccard_band_histogram": 1,
+    "orders_mom_growth": 1,
+    "part_skyline": 1,
+    "revenue_anomaly_zscore": 1,
+    "revenue_cusum_drift": 2,
+    "revenue_forecast_anomalies": 4,
+    "revenue_forecast_baseline": 1,
+    "revenue_pareto": 1,
+    "revenue_pareto_scaled": 1,
+    "running_daily_order_revenue": 1,
+    "term_zipf_fit": 1,
+    "user_growth_curve": 1,
+    "weekly_revenue_wow": 1,
+}
+
+
+def test_global_windows_pinned_to_documented_allowlist(spark):
+    """Fingerprint every registered query's plan and pin the set of
+    queries with unpartitioned windows to the documented allowlist —
+    both directions: no NEW global window sneaks in (the single-
+    partition funnel is the classic 100 TB killer), and an allowlisted
+    one disappearing means the plan changed and the list must follow.
+    This is the structural replacement for eyeballing WindowExec's
+    (now muted) per-run warnings."""
+    import importlib.util
+    from pathlib import Path
+
+    from streaming_ecom_analytics_spark.caching import release_tracked
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_plans", Path(__file__).resolve().parents[1] / "scripts" / "dump_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    got: dict[str, int] = {}
+    for name in sorted(REGISTRY):
+        plan = _plan(spark, name)
+        release_tracked()
+        n = mod.plan_fingerprint(plan)["n_global_windows"]
+        if n:
+            got[name] = n
+    assert got == GLOBAL_WINDOW_ALLOWLIST
+
+
+def test_triangle_family_persists_edges_once(spark):
+    """Round-6 verdict #8: the ordered-triple join references the
+    co-occurrence edge frame three times (plus degree in the clustering
+    variant); without a persist each reference re-derives the whole
+    upstream fact-table aggregate. The persisted edge frame must appear
+    as InMemoryTableScan at every reference."""
+    for name, min_refs in (
+        ("item_triangles", 3),
+        ("item_clustering_coefficients", 4),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("InMemoryTableScan") >= min_refs, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_fixpoint_family_exchange_budget(spark):
+    """Exchange-count budgets for the plan-size outliers (round-6
+    verdict #8): the triangle/clustering pair are the exchange-heaviest
+    plans in the registry. Pin a ceiling so a regression that adds
+    shuffles (lost exchange reuse, a broken persist, a join strategy
+    flip) fails loudly. Ceilings are the measured post-persist counts
+    plus small slack for AQE variation across Spark versions."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_plans", Path(__file__).resolve().parents[1] / "scripts" / "dump_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    budgets = {"item_triangles": 62, "item_clustering_coefficients": 74}
+    for name, budget in budgets.items():
+        fp = mod.plan_fingerprint(_plan(spark, name))
+        assert fp["n_exchanges"] <= budget, (name, fp["n_exchanges"])
+
+
+def test_persist_tracked_is_idempotent(spark):
+    """Composing operators may persist the same frame object twice
+    (clustering_coefficients -> triangle_counts); the second call must
+    be a no-op (no double-track, no 'already cached' churn) and the
+    frame stays cached until ONE release."""
+    from streaming_ecom_analytics_spark import caching
+
+    df = spark.range(10)
+    a = caching.persist_tracked(df)
+    n_tracked = len(caching._TRACKED)
+    b = caching.persist_tracked(a)
+    assert b is a
+    assert len(caching._TRACKED) == n_tracked  # not tracked twice
+    assert a.storageLevel.useMemory
+    caching.release_tracked()
+    assert not df.storageLevel.useMemory

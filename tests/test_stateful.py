@@ -95,3 +95,88 @@ def test_streaming_funnel_with_cross_batch_state(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM conv_out").collect()
     assert [(r.user_id, r.seconds_to_convert) for r in rows] == [(1, 300.0)]
+
+
+def _has_working_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_working_protobuf(),
+    reason="transformWithState needs google.protobuf (KAFKA.md boundary: "
+    "absent in this sandbox, no network/pip); test self-activates the "
+    "day the environment gains it",
+)
+def test_transform_with_state_cross_batch_counts(spark, tmp_path):
+    """Dormant claim-verifier (round-6 verdict #9): KAFKA.md documents
+    that Spark 4's transformWithStateInPandas is present but blocked
+    only by the missing google.protobuf package. If that ever changes,
+    this test runs a minimal ValueState counter over two micro-batches
+    and proves cross-batch state works — making the documented boundary
+    self-verifying instead of trust-me."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n", LongType())]
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + seen
+            self._count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    src = str(tmp_path / "src")
+    for i, batch in enumerate([ROWS[:7], ROWS[7:]]):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            CountProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.format("memory")
+        .queryName("tws_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r.user_id: r.n
+        for r in spark.sql(
+            "SELECT user_id, MAX(n) AS n FROM tws_counts GROUP BY user_id"
+        ).collect()
+    }
+    want: dict[int, int] = {}
+    for _eid, _ts, uid, *_ in ROWS:
+        want[uid] = want.get(uid, 0) + 1
+    assert final == want

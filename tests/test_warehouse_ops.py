@@ -1110,3 +1110,44 @@ def test_cusum_prefix_identity_equals_classic_recursion(spark, tmp_path):
     assert [r.cusum_down_scaled for r in out] == want_dn
     # the advisor's exact numbers: sustained early drift now visible
     assert want_up == [2700, 5400, 3600, 1800, 0]
+
+
+def test_viewers_never_buying_fires_on_crafted_corpus(spark, tmp_path):
+    """The shipped testdata gives this EXCEPT query an EMPTY result at
+    every SF (every viewer also purchases), so its oracle parity is
+    vacuous — same class as the round-6 advisor's
+    dominant_part_suppliers finding. Pin the semantics on a corpus
+    where the gate fires: distinct viewers minus purchasers, duplicate
+    views collapsed."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_ecom_analytics_spark.plans.registry import REGISTRY
+
+    rows = [  # (user_id, event_type)
+        (1, "view"), (1, "purchase"),   # viewer who bought → excluded
+        (2, "view"), (2, "view"),       # viewer never buying, deduped
+        (3, "purchase"),                # buyer never viewing → excluded
+        (4, "view"),                    # viewer never buying
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.Series(
+                [dt.datetime(2024, 1, 1, 12, i) for i in range(len(rows))],
+                dtype="datetime64[us]",
+            ),
+            "user_id": [u for u, _ in rows],
+            "event_type": [t for _, t in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), sf_dir + "/events.parquet")
+    out = REGISTRY["viewers_never_buying"].fn(spark, sf_dir).collect()
+    assert sorted(r.user_id for r in out) == [2, 4]
