@@ -701,6 +701,7 @@ def negative_candidates(
     item_col: str = "item",
     n_draws: int = 24,
     bucket_target: int = 32,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Constant-work-per-user candidate draws for negative sampling:
     every user gets at most ``n_draws`` candidate items, regardless of
@@ -728,12 +729,20 @@ def negative_candidates(
     Returns (user, __t, item): the resolved draws in draw order. NULL
     items are excluded from catalog and draws (md5(NULL) is NULL — they
     could never be drawn consistently across engines).
+
+    ``pre_distinct=True`` promises ``interactions`` is already the
+    NULL-free distinct (user, item) frame — negative_samples passes its
+    persisted positive set, skipping a second full distinct aggregation
+    over the fact table (round-7 bench cut).
     """
-    pos = (
-        interactions.where(F.col(item_col).isNotNull())
-        .select(user_col, item_col)
-        .distinct()
-    )
+    if pre_distinct:
+        pos = interactions
+    else:
+        pos = (
+            interactions.where(F.col(item_col).isNotNull())
+            .select(user_col, item_col)
+            .distinct()
+        )
     items = pos.select(item_col).distinct()
     users = pos.select(user_col).distinct()
 
@@ -818,25 +827,50 @@ def negative_samples(
     (round-6 verdict #1/#4); 4× halves that volume with no contract
     change.
     """
-    pos = (
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    # ONE distinct aggregation over the fact table, persisted: it feeds
+    # the candidate generator (catalog + user spine) AND the anti join
+    pos = persist_tracked(
         interactions.where(F.col(item_col).isNotNull())
         .select(user_col, item_col)
         .distinct()
     )
     picked = negative_candidates(
-        interactions,
+        pos,
         user_col=user_col,
         item_col=item_col,
         n_draws=int(oversample) * int(n_neg),
         bucket_target=bucket_target,
+        pre_distinct=True,
     )
     fresh = picked.join(pos, on=[user_col, item_col], how="left_anti")
-    firsts = fresh.groupBy(user_col, item_col).agg(F.min("__t").alias("__t"))
-    w = Window.partitionBy(user_col).orderBy(F.col("__t").asc())
-    return (
-        firsts.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n_neg)
-        .select(user_col, item_col, (F.col("__rn")).cast("long").alias("neg_rank"))
+    # ONE user-keyed aggregation replaces the former
+    # groupBy(user,item).min(t) + row_number window pair (two exchanges
+    # → one; round-7 bench cut). The per-user frame is ≤ n_draws rows
+    # by construction, so the in-array scan is O(n_draws²) on ≤ dozens
+    # of elements: sort draws by (t, item), drop later re-draws of an
+    # already-seen item (== keeping MIN(t) per item, since t is unique
+    # per user), keep the first n_neg.
+    drawn = F.array_sort(
+        F.collect_list(F.struct(F.col("__t"), F.col(item_col)))
+    )
+    deduped = F.aggregate(
+        drawn,
+        F.slice(drawn, 1, 0),  # empty array of the element type
+        lambda acc, x: F.when(
+            F.exists(acc, lambda a: a[item_col] == x[item_col]), acc
+        ).otherwise(F.array_append(acc, x)),
+    )
+    grouped = fresh.groupBy(user_col).agg(
+        F.slice(deduped, 1, int(n_neg)).alias("__keep")
+    )
+    return grouped.select(
+        user_col, F.posexplode("__keep").alias("__p", "__s")
+    ).select(
+        user_col,
+        F.col(f"__s.{item_col}").alias(item_col),
+        (F.col("__p") + 1).cast("long").alias("neg_rank"),
     )
 
 

@@ -577,11 +577,15 @@ def test_scale_features_zscore_and_minmax(spark):
 
 
 def test_negative_samples_excludes_positives_and_is_deterministic(spark):
+    # u1 owns 2 of the 3 catalog items — the pathological high-coverage
+    # user the fixed-budget contract documents. oversample=8 explicitly:
+    # finding u1's single fresh item among 3 needs the larger draw
+    # budget (the default 4x is sized for realistic catalog coverage).
     pos = spark.createDataFrame(
         [("u1", "i1"), ("u1", "i2"), ("u2", "i3")],
         "user_id string, item string",
     )
-    out = analytics.negative_samples(pos, n_neg=2)
+    out = analytics.negative_samples(pos, n_neg=2, oversample=8)
     rows = {(r["user_id"], r["item"]) for r in out.collect()}
     # never a positive pair
     assert rows.isdisjoint({("u1", "i1"), ("u1", "i2"), ("u2", "i3")})
@@ -589,7 +593,10 @@ def test_negative_samples_excludes_positives_and_is_deterministic(spark):
     assert {(u, i) for u, i in rows if u == "u1"} == {("u1", "i3")}
     assert len({i for u, i in rows if u == "u2"}) == 2
     # rerun-stable: no RNG state
-    again = {(r["user_id"], r["item"]) for r in analytics.negative_samples(pos, n_neg=2).collect()}
+    again = {
+        (r["user_id"], r["item"])
+        for r in analytics.negative_samples(pos, n_neg=2, oversample=8).collect()
+    }
     assert rows == again
 
 
