@@ -66,6 +66,10 @@ EXTRA = [
     "hot_shingles",
     "mixture_token_budget",
     "revenue_pareto_scaled",
+    # round-7 wave
+    "near_dup_jaccard_capped",
+    "item_triangles",
+    "item_clustering_coefficients",
 ]
 
 
