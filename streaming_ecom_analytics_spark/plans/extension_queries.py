@@ -63,6 +63,106 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(catalog.documents(spark, sf_dir))
 
 
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT source, md5(text) AS content_hash FROM documents
+    ),
+    c AS (
+      SELECT content_hash, COUNT(*) AS n_copies FROM h GROUP BY content_hash
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS n_duplicated_docs,
+           CAST(FLOOR(CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS DOUBLE)
+                      / COUNT(*) * 1000000.0) AS BIGINT) AS dup_rate_micros
+    FROM h JOIN c USING (content_hash)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: which SOURCES feed duplication — per
+    source, how many of its documents share their exact content hash
+    with any other document in the corpus (cross-source duplicates
+    count on both sides: the question is 'how polluted is this feed',
+    not 'who was first'). At 100 TB this is the report that decides
+    which crawl feeds get de-prioritized before the expensive near-dup
+    pass runs. Plan: one hash aggregate on the 16-byte content hash +
+    one hash-keyed equi-join back + one source rollup — payload text
+    never shuffles. Rate in floored micros (integer-exact on both
+    engines).
+
+    Degeneracy note (house convention, cf. dominant_part_suppliers):
+    the shipped corpus has exact-dup texts only at sf0.1 (16 docs), so
+    at the sf0.01 driver gate the dup columns are legitimately zero —
+    the parity check still validates the grouping/counting via the
+    per-source n_docs; the dup-column semantics are additionally
+    pinned by a crafted-corpus unit test where the gate provably
+    fires (tests/test_dedup.py)."""
+    docs = catalog.documents(spark, sf_dir)
+    h = docs.select("source", F.md5(F.col("text")).alias("content_hash"))
+    c = h.groupBy("content_hash").agg(F.count("*").alias("n_copies"))
+    return (
+        h.join(c, on="content_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("n_copies") > 1, 1)).alias(
+                "n_duplicated_docs"
+            ),
+            F.floor(
+                F.count(F.when(F.col("n_copies") > 1, 1)).cast("double")
+                / F.count("*")
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("dup_rate_micros"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_length_percentiles_by_lang",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_doc_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-filter tuning observability: exact linear-interpolation
+    document-length percentiles per language — the report that sizes
+    per-language min/max-length cuts (a single global band over a
+    multilingual corpus systematically over-trims CJK and under-trims
+    agglutinative languages). Same 1-ulp percentile/quantile_cont
+    equivalence as value_percentiles_by_type; the huge-scale variant is
+    percentile_approx."""
+    docs = catalog.documents(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *[
+                F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(name)
+                for name, q in [
+                    ("p25", 0.25),
+                    ("p50", 0.5),
+                    ("p75", 0.75),
+                    ("p95", 0.95),
+                ]
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
 @register("near_dup_jaccard", _JACCARD_ORACLE, headline=True)
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (ground truth)."""

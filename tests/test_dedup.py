@@ -270,3 +270,40 @@ def test_jaccard_capped_equals_uncapped_when_no_hot_shingles(spark):
         ).collect()
     }
     assert (1, 2) in capped2 and (1, 3) not in capped2 and (2, 3) not in capped2
+
+
+def test_dedup_rate_by_source_fires_on_planted_duplicates(spark, tmp_path):
+    """The shipped corpus has exact dups only at sf0.1, so the sf0.01
+    driver gate sees zero dup counts (documented). Pin the dup-column
+    semantics on a corpus where they fire: cross-source duplicates
+    count on BOTH sides (the 'how polluted is this feed' question),
+    clean sources report zero."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_ecom_analytics_spark.plans.registry import REGISTRY
+
+    rows = [
+        (1, "same text body", "en", "srcA", 14),
+        (2, "same text body", "en", "srcB", 14),   # cross-source dup
+        (3, "same text body", "en", "srcA", 14),   # intra-source dup
+        (4, "unique one", "en", "srcA", 10),
+        (5, "unique two", "en", "srcB", 10),
+        (6, "unique three", "en", "srcC", 12),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), sf_dir + "/documents.parquet")
+    out = {
+        r.source: (r.n_docs, r.n_duplicated_docs, r.dup_rate_micros)
+        for r in REGISTRY["dedup_rate_by_source"].fn(spark, sf_dir).collect()
+    }
+    assert out == {
+        "srcA": (3, 2, 666666),   # 2 of 3 docs share the dup hash
+        "srcB": (2, 1, 500000),
+        "srcC": (1, 0, 0),
+    }
