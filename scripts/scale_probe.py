@@ -61,10 +61,25 @@ PROBE_QUERIES = [
     "embedding_dup_clusters",
 ]
 
-SCALES = [
+# (label, dir, relative scale). Override with SPARK_GRAFT_PROBE_SCALES =
+# "label:dir:scale,label:dir:scale,..." — e.g. add a third decade:
+#   python scripts/gen_scale_probe.py /root/repo/scale_probe/sf10 --scale 100
+#   SPARK_GRAFT_PROBE_SCALES="sf0.1:/root/testdata/sf0.1:1,\
+# sf1_probe:/root/repo/scale_probe/sf1:10,\
+# sf10_probe:/root/repo/scale_probe/sf10:100" python scripts/scale_probe.py
+_DEFAULT_SCALES = [
     ("sf0.1", "/root/testdata/sf0.1", 1.0),
     ("sf1_probe", os.environ.get("SPARK_GRAFT_PROBE_DIR", str(REPO / "scale_probe" / "sf1")), 10.0),
 ]
+_env_scales = os.environ.get("SPARK_GRAFT_PROBE_SCALES")
+SCALES = (
+    [
+        (p.split(":")[0], p.split(":")[1], float(p.split(":")[2]))
+        for p in _env_scales.split(",")
+    ]
+    if _env_scales
+    else _DEFAULT_SCALES
+)
 
 
 def median(xs: list[float]) -> float:
@@ -86,39 +101,62 @@ def main() -> int:
         release_tracked()
 
     timings: dict[str, dict[str, float]] = {n: {} for n in PROBE_QUERIES}
+    guards: dict[str, dict[str, str]] = {n: {} for n in PROBE_QUERIES}
     for label, sf_dir, _scale in SCALES:
         samples: dict[str, list[float]] = {n: [] for n in PROBE_QUERIES}
         for _ in range(runs):
             for name in PROBE_QUERIES:
                 t0 = time.perf_counter()
-                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                samples[name].append(time.perf_counter() - t0)
+                try:
+                    REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    samples[name].append(time.perf_counter() - t0)
+                except Exception as exc:
+                    # a brute-force guard refusing an out-of-contract
+                    # scale IS a result (the guard working), not a crash
+                    guards[name][label] = f"{type(exc).__name__}: " + str(
+                        exc
+                    ).splitlines()[0][:160]
                 release_tracked()
         for name, xs in samples.items():
-            timings[name][label] = round(median(xs), 3)
+            if xs:
+                timings[name][label] = round(median(xs), 3)
 
-    ratio_log = math.log(SCALES[1][2] / SCALES[0][2])
     out = {}
     for name, t in timings.items():
-        exp = math.log(t["sf1_probe"] / t["sf0.1"]) / ratio_log
-        out[name] = {
-            "sf0.1_sec": t["sf0.1"],
-            "sf1_probe_sec": t["sf1_probe"],
-            "ratio_10x": round(t["sf1_probe"] / t["sf0.1"], 2),
-            "exponent": round(exp, 3),
-        }
+        row: dict = {f"{lab}_sec": t[lab] for lab, _d, _s in SCALES if lab in t}
+        # OLS slope of log(t) on log(scale) over every measured point
+        pts = [
+            (math.log(s), math.log(t[lab]))
+            for lab, _d, s in SCALES
+            if lab in t
+        ]
+        if len(pts) >= 2:
+            n = len(pts)
+            sx = sum(x for x, _ in pts)
+            sy = sum(y for _, y in pts)
+            sxy = sum(x * y for x, y in pts)
+            sxx = sum(x * x for x, _ in pts)
+            row["exponent"] = round(
+                (n * sxy - sx * sy) / (n * sxx - sx * sx), 3
+            )
+        if guards[name]:
+            row["guard_fired"] = guards[name]
+        out[name] = row
     doc = {
-        "probe": "10x row-count scale probe (gen_scale_probe.py seed 7)",
+        "probe": "row-count scale probe (gen_scale_probe.py seed 7)",
+        "scales": {lab: s for lab, _d, s in SCALES},
         "runs_per_scale": runs,
         "aggregation": "median",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": out,
-        "total_sf0.1": round(sum(t["sf0.1"] for t in timings.values()), 2),
-        "total_sf1_probe": round(
-            sum(t["sf1_probe"] for t in timings.values()), 2
-        ),
+        "totals": {
+            lab: round(
+                sum(t[lab] for t in timings.values() if lab in t), 2
+            )
+            for lab, _d, _s in SCALES
+        },
     }
     json.dump(doc, sys.stdout, indent=1)
     sys.stdout.write("\n")

@@ -517,3 +517,57 @@ def test_top_eigenvector_finds_dominant_direction(spark):
         cat.embeddings = orig
     assert abs(out[2]) == 1000000  # dominant axis carries the unit entry
     assert all(abs(v) < 200000 for d, v in out.items() if d != 2)
+
+
+def test_block_path_is_guarded(spark):
+    """Round-7 3-decade probe finding: the exact block-Gram path is
+    quadratic by design — it must refuse oversized inputs like the
+    other brute-force baselines instead of silently running an
+    all-pairs Gram at scale."""
+    import pytest
+
+    from streaming_ecom_analytics_spark.functions import similarity
+    from streaming_ecom_analytics_spark.functions.guards import (
+        BruteForceGuardError,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(BruteForceGuardError, match="lsh"):
+        similarity.embedding_near_dup_pairs(
+            emb, threshold=0.5, dim=4, block_max_rows=10
+        ).collect()
+    # explicit override still works
+    out = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.99999, dim=4, method="block", block_max_rows=None
+    )
+    assert out.count() >= 0
+
+
+def test_lsh_band_bits_scale_with_n_rows_hint(spark):
+    """With an n_rows hint far above 16·2^band_bits the LSH path must
+    widen its band hashes (keeping bucket occupancy ~constant — the
+    linear-work contract) while still finding a planted near-dup pair
+    through the exact-verify stage."""
+    import numpy as np
+
+    from streaming_ecom_analytics_spark.functions import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(32)
+    base /= np.linalg.norm(base)
+    twin = base + rng.standard_normal(32) * 0.01   # cos ≈ 0.9999
+    twin /= np.linalg.norm(twin)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in twin])]
+    for i in range(2, 40):
+        v = rng.standard_normal(32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # n_rows hint of 10M -> bits = ceil(log2(10M/16)) = 20 per band
+    out = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.99, method="lsh", dim=32, n_rows=10_000_000
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
