@@ -47,42 +47,26 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
-def _round_salt() -> int:
-    """Number of completed rounds, inferred from the committed
-    CORRECTNESS_r*.json artifacts — increments every round with no
-    side channel."""
-    return len(list(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")))
-
-
-def _rotated_names() -> list[str]:
-    """Registry names in a round-keyed deterministic shuffle.
-
-    The driver's correctness gate samples the FIRST 50 keys of
-    ``queries()`` in iteration order; with plain insertion order it
-    re-checked the same 50 queries every round and never reached the
-    ~170 added later (round-6 verdict #2). Salting a stable md5 sort
-    with the completed-round count gives every query a fresh chance of
-    landing in the sampled head each round while staying reproducible
-    within a round.
-    """
-    import hashlib
-
-    salt = _round_salt()
-    return sorted(
-        REGISTRY,
-        key=lambda n: hashlib.md5(f"{salt}:{n}".encode()).hexdigest(),
-    )
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _released(REGISTRY[name].fn) for name in _rotated_names()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Exported in STABLE registry-insertion order. Rounds 7 ran a
+    round-salted md5 shuffle here so the driver's first-50-keys sample
+    rotated each round; the round-7 advisor correctly flagged that a
+    repo-chosen (and repo-precomputable) sample undermines the gate's
+    integrity and depends on untracked artifact files. Sampling policy
+    belongs to the driver; the full registry is independently checked
+    every round by ``scripts/driver_sim.py --emit-json PARITY_r{N}.json``
+    and ``tests/test_oracle_parity.py``, so coverage does not rely on
+    the driver's sample reaching late-registered queries.
+    """
+    return {name: _released(REGISTRY[name].fn) for name in REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-checkable query."""
     return {
         name: REGISTRY[name].oracle
-        for name in _rotated_names()
+        for name in REGISTRY
         if REGISTRY[name].oracle is not None
     }

@@ -115,9 +115,21 @@ def plan_fingerprint(plan: str) -> dict:
     format. Strips: expression ids (#123), codegen stage ids, literal
     values, column names inside expressions — anything that churns
     without the SHAPE changing. The md5 of the canonical node list is
-    the regression key; the counters make a diff human-readable."""
+    the regression key; the counters make a diff human-readable.
+
+    Cache-build subtrees are counted SEPARATELY (round-7 verdict #2):
+    an ``InMemoryRelation``'s nested child plan describes how the cache
+    is built ONCE, not per-consumer work, so counting its exchanges in
+    ``n_exchanges`` made the fingerprint drift when a persist was added
+    (triangle family 55→58 in r7 while wall time fell 35%). Nodes
+    inside an InMemoryRelation subtree get a ``cache:`` tag prefix and
+    their exchanges land in ``n_cache_build_exchanges``; ``n_exchanges``
+    is per-consumer plan shape only, stable under persist-only changes.
+    ``ReusedExchange``/``ReusedSubquery`` nodes are likewise counted on
+    their own."""
     nodes: list[str] = []
     n_global_windows = 0
+    cache_col: int | None = None  # indent column of the open InMemoryRelation
     for raw in plan.splitlines():
         m = _NODE_RE.match(raw)
         if not m:
@@ -125,7 +137,15 @@ def plan_fingerprint(plan: str) -> dict:
         kind = m.group(1)
         if kind in ("Arguments", "Output", "Input", "Condition", "ReadSchema"):
             continue
+        col = m.start(1)
+        if cache_col is not None and col <= cache_col:
+            cache_col = None  # left the cache-build subtree
+        in_cache = cache_col is not None
+        if kind == "InMemoryRelation" and cache_col is None:
+            cache_col = col  # deeper lines are the cache's build plan
         if kind == "Window" and _is_global_window(raw):
+            # counted whether or not it sits in a cache-build subtree:
+            # a one-partition funnel runs either way
             n_global_windows += 1
         tag = kind
         if kind == "Exchange":
@@ -143,20 +163,25 @@ def plan_fingerprint(plan: str) -> dict:
         elif kind == "FileScan":
             fmt = re.search(r"FileScan (\w+)", raw)
             tag += ":" + (fmt.group(1) if fmt else "?")
-        nodes.append(tag)
+        nodes.append(("cache:" if in_cache else "") + tag)
     canonical = "\n".join(nodes)
+    main = [n for n in nodes if not n.startswith("cache:")]
+    cache = [n[len("cache:"):] for n in nodes if n.startswith("cache:")]
     return {
         "hash": hashlib.md5(canonical.encode()).hexdigest()[:16],
         "n_nodes": len(nodes),
-        "n_exchanges": sum(n.startswith("Exchange") for n in nodes),
+        "n_exchanges": sum(n.startswith("Exchange") for n in main),
+        "n_cache_build_exchanges": sum(n.startswith("Exchange") for n in cache),
+        "n_reused_exchanges": sum(n.startswith("ReusedExchange") for n in main),
+        "n_inmemory_scans": sum(n.startswith("InMemoryTableScan") for n in main),
         "n_broadcast_hash_joins": sum(
-            n.startswith("BroadcastHashJoin") for n in nodes
+            n.startswith("BroadcastHashJoin") for n in main
         ),
-        "n_sort_merge_joins": sum(n.startswith("SortMergeJoin") for n in nodes),
-        "n_bnl_joins": sum(n.startswith("BroadcastNestedLoopJoin") for n in nodes),
+        "n_sort_merge_joins": sum(n.startswith("SortMergeJoin") for n in main),
+        "n_bnl_joins": sum(n.startswith("BroadcastNestedLoopJoin") for n in main),
         "n_cartesian": sum(n.startswith("CartesianProduct") for n in nodes),
-        "n_scans": sum(n.startswith("FileScan") for n in nodes),
-        "n_windows": sum(n == "Window" for n in nodes),
+        "n_scans": sum(n.startswith("FileScan") for n in main),
+        "n_windows": sum(n == "Window" for n in main),
         "n_global_windows": n_global_windows,
     }
 

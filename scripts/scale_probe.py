@@ -59,6 +59,12 @@ PROBE_QUERIES = [
     "ann_ivf_topk",
     "near_dup_jaccard",
     "embedding_dup_clusters",
+    # round-8 additions (round-7 verdict #1/#4): the scale-safe IVF
+    # similarity-join family (must complete at 100x, no guard refusal)
+    # and the capped-Jaccard bound that was argued but never probed
+    "embedding_near_dups_scalable",
+    "embedding_dup_clusters_scalable",
+    "near_dup_jaccard_capped",
 ]
 
 # (label, dir, relative scale). Override with SPARK_GRAFT_PROBE_SCALES =
@@ -88,11 +94,61 @@ def median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+_UI_PORT = int(os.environ.get("SPARK_GRAFT_PROBE_UI_PORT", "4049"))
+
+
+def _metrics_snapshot() -> dict[str, int] | None:
+    """Cumulative shuffle/spill bytes across all completed stages, via
+    the Spark status REST API (round-7 verdict #3: wall time can't see
+    a spill — the 100x decade is where memory cliffs live). Returns
+    None when the UI isn't up; callers diff two snapshots around a
+    query run. Stage retention is raised so the cumulative sums never
+    go backwards mid-probe."""
+    import urllib.request
+
+    base = f"http://localhost:{_UI_PORT}/api/v1"
+    try:
+        with urllib.request.urlopen(f"{base}/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/applications/{app_id}/stages?status=complete", timeout=15
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    return {
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "memory_spill_bytes": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        "disk_spill_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
+    }
+
+
+def _drain_listener_bus(spark) -> None:
+    """Make the status store consistent with the just-finished action
+    before snapshotting (the AppStatus listener is async)."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        time.sleep(0.5)
+
+
 def main() -> int:
     import math
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3")))
-    spark = get_spark(app_name="scale_probe")
+    spark = get_spark(
+        app_name="scale_probe",
+        extra_conf={
+            # status REST API for shuffle/spill telemetry; retention
+            # high enough that cumulative stage sums are monotonic
+            # across the whole probe
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(_UI_PORT),
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
 
     for name in PROBE_QUERIES:  # warmup: JIT + codegen, untimed
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.format(
@@ -102,10 +158,13 @@ def main() -> int:
 
     timings: dict[str, dict[str, float]] = {n: {} for n in PROBE_QUERIES}
     guards: dict[str, dict[str, str]] = {n: {} for n in PROBE_QUERIES}
+    shuffles: dict[str, dict[str, dict[str, int]]] = {n: {} for n in PROBE_QUERIES}
     for label, sf_dir, _scale in SCALES:
         samples: dict[str, list[float]] = {n: [] for n in PROBE_QUERIES}
-        for _ in range(runs):
+        for run_i in range(runs):
             for name in PROBE_QUERIES:
+                want_metrics = run_i == 0  # shuffle volume is deterministic
+                before = _metrics_snapshot() if want_metrics else None
                 t0 = time.perf_counter()
                 try:
                     REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -118,6 +177,14 @@ def main() -> int:
                     guards[name][label] = f"{type(exc).__name__}: " + str(
                         exc
                     ).splitlines()[0][:160]
+                    before = None
+                if before is not None:
+                    _drain_listener_bus(spark)
+                    after = _metrics_snapshot()
+                    if after is not None:
+                        shuffles[name][label] = {
+                            k: after[k] - before[k] for k in after
+                        }
                 release_tracked()
         for name, xs in samples.items():
             if xs:
@@ -141,6 +208,32 @@ def main() -> int:
             row["exponent"] = round(
                 (n * sxy - sx * sy) / (n * sxx - sx * sx), 3
             )
+        for lab, _d, _s in SCALES:
+            if lab in shuffles[name]:
+                m = shuffles[name][lab]
+                row[f"{lab}_shuffle_write_mb"] = round(
+                    m["shuffle_write_bytes"] / 1e6, 2
+                )
+                row[f"{lab}_spill_mb"] = round(
+                    (m["memory_spill_bytes"] + m["disk_spill_bytes"]) / 1e6, 2
+                )
+        # shuffle-volume scaling exponent: a query whose shuffle grows
+        # super-linearly while wall time doesn't is a hidden cliff
+        spts = [
+            (math.log(s), math.log(shuffles[name][lab]["shuffle_write_bytes"]))
+            for lab, _d, s in SCALES
+            if lab in shuffles[name]
+            and shuffles[name][lab]["shuffle_write_bytes"] > 0
+        ]
+        if len(spts) >= 2:
+            n = len(spts)
+            sx = sum(x for x, _ in spts)
+            sy = sum(y for _, y in spts)
+            sxy = sum(x * y for x, y in spts)
+            sxx = sum(x * x for x, _ in spts)
+            row["shuffle_exponent"] = round(
+                (n * sxy - sx * sy) / (n * sxx - sx * sx), 3
+            )
         if guards[name]:
             row["guard_fired"] = guards[name]
         out[name] = row
@@ -148,7 +241,7 @@ def main() -> int:
         "probe": "row-count scale probe (gen_scale_probe.py seed 7)",
         "scales": {lab: s for lab, _d, s in SCALES},
         "runs_per_scale": runs,
-        "aggregation": "median",
+        "aggregation": "median (timings); first-run diff of the status REST API's completed-stage totals (shuffle/spill)",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": out,
         "totals": {

@@ -127,6 +127,23 @@ def _table_disk_bytes(path: str) -> int:
         return 1 << 62  # unknown size: never hint
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER (metadata read, no scan,
+    no Spark job) — the documented driver-side size hint for operators
+    whose plan parameters scale with corpus size (IVF list sizing, LSH
+    band bits). At 100 TB this is the object-store footer read every
+    lakehouse planner already does."""
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _parse_byte_conf(value: str) -> int:
     """Parse Spark byte-size conf strings: '10485760', '10485760b', '10m', '10MB'."""
     v = value.strip().lower()

@@ -28,11 +28,24 @@ class BruteForceGuardError(ValueError):
 
 
 def guard_brute_force(
-    df: DataFrame, *, max_rows: int | None, op: str, scale_path: str
+    df: DataFrame,
+    *,
+    max_rows: int | None,
+    op: str,
+    scale_path: str,
+    n_rows: int | None = None,
 ) -> None:
+    """Raise BruteForceGuardError when the input exceeds ``max_rows``.
+
+    When the caller already knows the input size (``n_rows`` — e.g. a
+    parquet-footer count passed down an API), the check is a pure
+    comparison and NO Spark job runs; otherwise a short-circuiting
+    ``limit(max_rows + 1).count()`` probes the input (round-7 advisor:
+    don't pay a count job when the size is already known).
+    """
     if max_rows is None:
         return
-    observed = df.limit(max_rows + 1).count()
+    observed = n_rows if n_rows is not None else df.limit(max_rows + 1).count()
     if observed > max_rows:
         raise BruteForceGuardError(
             f"{op} is a quadratic brute-force correctness baseline and its "

@@ -955,7 +955,10 @@ def q_purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (items the user never bought, picked by constant-work hash-bucketed
     draws — rerun-stable, no RNG state, never a user×catalog product),
     the contrastive-training counterpart of the positive interaction
-    set."""
+    set. oversample=4 explicitly (12 draws — the oracle's range(1,13)):
+    the library default stays 8 because oversample changes outputs,
+    not just cost (round-7 advisor); the bench-motivated 4x budget is
+    a property of THIS registered query."""
     pos = (
         catalog.events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -963,7 +966,9 @@ def q_purchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.get_json_object(F.col("props"), "$.k").alias("item")
         )
     )
-    return analytics.negative_samples(pos, user_col="user_id", item_col="item", n_neg=3)
+    return analytics.negative_samples(
+        pos, user_col="user_id", item_col="item", n_neg=3, oversample=4
+    )
 
 
 _MG_ORACLE = """

@@ -227,32 +227,53 @@ class VersionedTable:
         manifests older than the last ``keep_last``. Returns removed
         file paths. Time travel stays valid for retained versions.
 
-        Staging prefixes younger than ``grace_seconds`` are skipped
-        entirely: an in-flight commit's files are unreferenced by any
-        manifest until its link(2) lands, so without the grace window a
-        concurrent vacuum could delete another writer's staged-but-
-        uncommitted data mid-commit (round-6 advisor finding). The
-        default 1 h far exceeds any single commit's write time; pass 0
-        only when no writer can be in flight."""
+        The ``grace_seconds`` window protects IN-FLIGHT commits only:
+        an uncommitted write's files are referenced by no manifest until
+        its link(2) lands, so without it a concurrent vacuum could
+        delete another writer's staged-but-uncommitted data mid-commit
+        (round-6 advisor finding). The skip is applied PRECISELY — only
+        to prefixes referenced by NO manifest at all (current or
+        retired) AND younger than the grace window; a prefix any
+        manifest references was definitely committed, so its retired
+        files reclaim immediately regardless of age (round-7 advisor:
+        the blanket mtime skip silently made vacuum a no-op on any
+        table written within the last hour). Skipped prefixes are
+        logged at INFO."""
+        import logging
+
         vs = self.versions()
         retained = vs[-keep_last:] if keep_last > 0 else []
-        keep_files = {f for v in retained for f in self.manifest(v)["files"]}
+        manifests = {v: self.manifest(v) for v in vs}
+        keep_files = {f for v in retained for f in manifests[v]["files"]}
+        # every file any manifest on disk references → its prefix is a
+        # committed prefix, not an in-flight staging directory
+        committed_prefixes = {
+            os.path.dirname(f) for m in manifests.values() for f in m["files"]
+        }
         cutoff = time.time() - grace_seconds
-        removed = []
+        removed, skipped = [], []
         if os.path.isdir(self._data_dir):
             for staging in os.listdir(self._data_dir):
                 sdir = os.path.join(self._data_dir, staging)
-                try:
-                    if os.path.getmtime(sdir) > cutoff:
-                        continue  # possibly an in-flight commit's staging
-                except OSError:
-                    continue
+                if sdir not in committed_prefixes:
+                    try:
+                        if os.path.getmtime(sdir) > cutoff:
+                            skipped.append(sdir)  # possibly in-flight
+                            continue
+                    except OSError:
+                        continue
                 for root, _dirs, names in os.walk(sdir):
                     for name in names:
                         p = os.path.join(root, name)
                         if name.endswith(".parquet") and p not in keep_files:
                             os.remove(p)
                             removed.append(p)
+        if skipped:
+            logging.getLogger(__name__).info(
+                "vacuum(%s): skipped %d possibly-in-flight staging prefixes "
+                "younger than grace_seconds=%s: %s",
+                self.path, len(skipped), grace_seconds, skipped,
+            )
         for v in vs:
             if v not in retained:
                 os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))

@@ -979,8 +979,12 @@ def test_fixpoint_family_exchange_budget(spark):
     verdict #8): the triangle/clustering pair are the exchange-heaviest
     plans in the registry. Pin a ceiling so a regression that adds
     shuffles (lost exchange reuse, a broken persist, a join strategy
-    flip) fails loudly. Ceilings are the measured post-persist counts
-    plus small slack for AQE variation across Spark versions."""
+    flip) fails loudly. Round-8 retightening: n_exchanges now counts
+    CONSUMER-plan exchanges only (cache-build subtrees are separate —
+    round-7 verdict #2), so the measured counts dropped 58→13 / 69→14;
+    ceilings are those plus small slack for AQE variation across Spark
+    versions. The cache-build budget is pinned too: it inflating means
+    the persisted edge frame's upstream got heavier."""
     import importlib.util
     from pathlib import Path
 
@@ -989,10 +993,58 @@ def test_fixpoint_family_exchange_budget(spark):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    budgets = {"item_triangles": 62, "item_clustering_coefficients": 74}
-    for name, budget in budgets.items():
+    budgets = {
+        "item_triangles": (16, 50),
+        "item_clustering_coefficients": (18, 60),
+    }
+    for name, (budget, cache_budget) in budgets.items():
         fp = mod.plan_fingerprint(_plan(spark, name))
         assert fp["n_exchanges"] <= budget, (name, fp["n_exchanges"])
+        assert fp["n_cache_build_exchanges"] <= cache_budget, (
+            name,
+            fp["n_cache_build_exchanges"],
+        )
+
+
+def test_fingerprint_counts_cache_build_exchanges_separately(spark):
+    """Round-7 verdict #2: adding a persist INFLATED the fingerprint's
+    n_exchanges (the InMemoryRelation's nested build plan was counted
+    per reference), so the ledger contradicted the prose and exchange
+    budgets couldn't anchor regressions. The fingerprint must count
+    cache-build subtrees separately: a persist-only change shifts
+    exchanges from n_exchanges into n_cache_build_exchanges, never
+    raises the main count."""
+    import importlib.util
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from streaming_ecom_analytics_spark.caching import (
+        persist_tracked,
+        release_tracked,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_plans", Path(__file__).resolve().parents[1] / "scripts" / "dump_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    agg = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    plain = agg.unionByName(agg)
+    fp_plain = mod.plan_fingerprint(
+        plain._jdf.queryExecution().executedPlan().toString()
+    )
+    c = persist_tracked(agg)
+    cached = c.unionByName(c)
+    fp_cached = mod.plan_fingerprint(
+        cached._jdf.queryExecution().executedPlan().toString()
+    )
+    release_tracked()
+    assert fp_plain["n_exchanges"] == 2  # the build shuffle, twice
+    assert fp_cached["n_exchanges"] == 0  # consumers only scan the cache
+    assert fp_cached["n_cache_build_exchanges"] >= 1
+    assert fp_cached["n_inmemory_scans"] == 2
 
 
 def test_persist_tracked_is_idempotent(spark):

@@ -535,15 +535,65 @@ def test_block_path_is_guarded(spark):
         [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)],
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(BruteForceGuardError, match="lsh"):
+    with pytest.raises(BruteForceGuardError, match="ivf"):
         similarity.embedding_near_dup_pairs(
-            emb, threshold=0.5, dim=4, block_max_rows=10
+            emb, threshold=0.5, dim=4, method="block", block_max_rows=10
         ).collect()
+    # an n_rows hint makes the guard a pure comparison (round-7 advisor:
+    # no count job when the size is known) — and still fires
+    with pytest.raises(BruteForceGuardError, match="ivf"):
+        similarity.embedding_near_dup_pairs(
+            emb, threshold=0.5, dim=4, method="block",
+            block_max_rows=10, n_rows=20,
+        )
     # explicit override still works
     out = similarity.embedding_near_dup_pairs(
         emb, threshold=0.99999, dim=4, method="block", block_max_rows=None
     )
     assert out.count() >= 0
+
+
+def test_auto_mid_threshold_routes_to_scale_safe_ivf(spark):
+    """Round-7 verdict #1: the engine had no scale-safe mid-threshold
+    embedding similarity join — auto routed t<0.95 to the guarded
+    quadratic block path. auto must now route mid thresholds to the
+    IVF-join, which completes (no guard refusal) and, on this planted
+    frame, returns exactly the qualifying pairs."""
+    import numpy as np
+
+    from streaming_ecom_analytics_spark.functions import similarity
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # plant one mid-similarity pair: cos(base, mix) ≈ 0.6
+    base = np.asarray(rows[0][1])
+    other = rng.standard_normal(16)
+    other -= (other @ base) * base
+    other /= np.linalg.norm(other)
+    mix = 0.6 * base + np.sqrt(1 - 0.36) * other
+    rows.append((60, [float(x) for x in mix]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # exact truth from the block twin (unguarded at 61 rows)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.55, method="block"
+        ).collect()
+    }
+    assert (0, 60) in exact
+    # auto (= ivf at t<0.95, few lists at n=61) finds them all
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.55
+        ).collect()
+    }
+    assert got == exact
 
 
 def test_lsh_band_bits_scale_with_n_rows_hint(spark):
@@ -571,3 +621,87 @@ def test_lsh_band_bits_scale_with_n_rows_hint(spark):
         emb, threshold=0.99, method="lsh", dim=32, n_rows=10_000_000
     ).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(0, 1)}
+
+
+def test_ivf_join_recall_contract_catches_regression(spark):
+    """The embedding_ivf_join_recall floor (0.80) must be a real gate:
+    the registered settings (footer-count auto-sizing → 4 lists at 500
+    rows, 4-way assignment) pass it on the sf0.001 corpus with FULL
+    recall (pigeonhole: m=4 covers all 4 lists), and a degenerate
+    single-assignment variant demonstrably fails it (measured 4/7
+    pairs = 0.57 at 8 lists)."""
+    from streaming_ecom_analytics_spark import catalog
+    from streaming_ecom_analytics_spark.functions import similarity
+
+    emb = catalog.embeddings(spark, "/root/testdata/sf0.001")
+    exact = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.45, dim=64, method="block"
+    )
+    good = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.45, dim=64, method="ivf",
+        ivf_n_assign=4, ivf_target_occupancy=256,
+        n_rows=catalog.parquet_num_rows("/root/testdata/sf0.001", "embeddings"),
+    )
+    row = similarity.pairs_recall_vs_exact(good, exact, min_recall=0.80).collect()[0]
+    assert row.n_exact_pairs == 7 and bool(row.recall_ok)
+    # full recall at this SF — what makes the _scalable registered
+    # queries hash-green against the EXACT oracle
+    assert good.count() == 7
+
+    bad = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.45, dim=64, method="ivf",
+        ivf_n_lists=8, ivf_n_assign=1,
+    )
+    row = similarity.pairs_recall_vs_exact(bad, exact, min_recall=0.80).collect()[0]
+    assert not bool(row.recall_ok)
+
+
+def test_ivf_auto_n_lists_requires_corpus_size(spark):
+    """Auto list sizing needs the corpus size: with a capped training
+    sample and no n_rows hint the IVF path must raise loudly instead of
+    guessing; an n_rows hint (or an uncapped sample) sizes lists to the
+    fixed-occupancy contract."""
+    import pytest as _pytest
+
+    from streaming_ecom_analytics_spark.functions import similarity
+
+    emb = spark.range(50).selectExpr(
+        "id AS vec_id",
+        "array(cast(id as float), 1.0F, 0.0F, 0.0F) AS embedding",
+    )
+    with _pytest.raises(ValueError, match="n_rows"):
+        similarity.embedding_near_dup_pairs(
+            emb, threshold=0.5, method="ivf", ivf_train_rows=10
+        )
+    # uncapped sample → n inferred, runs fine
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.5, method="ivf")
+    assert out.count() >= 0
+
+
+def test_lsh_bands_co_scale_with_bits():
+    """Round-7 advisor: widening band bits alone collapses banded
+    recall as the corpus grows (at 10M rows / bits=20 with bands fixed
+    at 24, true t=0.95 pairs miss ~5%). The schedule must co-scale
+    n_bands so 1-(1-p^bits)^bands keeps the miss rate ≤1e-6 at the
+    minimum supported threshold t=0.95, at every corpus size."""
+    import math
+
+    from streaming_ecom_analytics_spark.functions.similarity import (
+        MIN_LSH_NEAR_DUP_THRESHOLD,
+        _lsh_near_dup_params,
+    )
+
+    p = 1.0 - math.acos(MIN_LSH_NEAR_DUP_THRESHOLD) / math.pi
+    for n in (None, 1_000, 10_000_000, 1_000_000_000):
+        bands, bits = _lsh_near_dup_params(n_rows=n, n_bands=24, band_bits=8)
+        assert bands >= 24 and bits >= 8  # caller values are floors
+        if n is not None:
+            # occupancy contract: buckets stay ~16 deep
+            assert n <= 32 << bits
+        miss = (1.0 - p**bits) ** bands
+        if bits > 8:  # the schedule's own contract
+            assert miss <= 1e-6, (n, bands, bits, miss)
+    # the advisor's exact scenario: 10M rows must NOT run 24 bands
+    bands, bits = _lsh_near_dup_params(n_rows=10_000_000, n_bands=24, band_bits=8)
+    assert bits == 20 and bands > 24
+    assert (1.0 - p**bits) ** bands <= 1e-6

@@ -487,25 +487,34 @@ def test_rejected_commit_cleans_up_staging(spark, table):
 
 
 def test_vacuum_grace_period_protects_inflight_staging(spark, table):
-    """Round-6 advisor finding: vacuum deletes files referenced by no
-    retained manifest — which describes another writer's staged-but-
-    uncommitted files too. Staging prefixes younger than grace_seconds
-    must be skipped; grace_seconds=0 restores eager collection."""
+    """Round-6 advisor finding: vacuum must not delete another writer's
+    staged-but-uncommitted files. Round-7 advisor refinement: the grace
+    skip must be PRECISE — only prefixes referenced by NO manifest at
+    all (the in-flight signature) are age-protected; committed-then-
+    retired prefixes reclaim immediately, so vacuum on a freshly
+    written table is not a silent no-op."""
     import os
 
     for vals in (["a"], ["b"], ["c"]):
         table.commit(_df(spark, vals))
     v0_files = table.manifest(0)["files"]
-    # all data prefixes are seconds old — indistinguishable from an
-    # in-flight commit's staging — so default grace deletes NO files
-    # (manifest retirement itself is a metadata op and still applies)
-    assert table.vacuum(keep_last=1) == []
-    for p in v0_files:
-        assert os.path.exists(p)
-    assert sorted(r.v for r in table.read(spark).collect()) == ["c"]
-    # explicit zero grace collects the now-unreferenced files
-    removed = table.vacuum(keep_last=1, grace_seconds=0)
+    # simulate another writer's in-flight commit: a data prefix no
+    # manifest references, with a fresh mtime
+    inflight_dir = os.path.join(table.path, "data", "inflightdeadbeef")
+    os.makedirs(inflight_dir)
+    inflight_file = os.path.join(inflight_dir, "part-00000.parquet")
+    with open(inflight_file, "wb") as f:
+        f.write(b"staged")
+    # default grace: retired COMMITTED files reclaim immediately (their
+    # prefixes are referenced by manifests on disk), while the
+    # unreferenced young prefix is skipped as possibly in-flight
+    removed = table.vacuum(keep_last=1)
     assert set(v0_files) <= set(removed)
-    for p in removed:
-        assert not os.path.exists(p)
+    assert inflight_file not in removed
+    assert os.path.exists(inflight_file)
+    assert sorted(r.v for r in table.read(spark).collect()) == ["c"]
+    # explicit zero grace collects the orphaned staging too
+    removed = table.vacuum(keep_last=1, grace_seconds=0)
+    assert inflight_file in removed
+    assert not os.path.exists(inflight_file)
     assert sorted(r.v for r in table.read(spark).collect()) == ["c"]
