@@ -10,7 +10,12 @@ observed mean recall@5 of the approximate answer vs the brute-force
 exact top-5 for the standard 10-query set (vec_id < 10), plus the
 registered floor for context.
 
-Usage: python scripts/recall_report.py > RECALL_r7.json
+Round 8 adds the IVF similarity-JOIN family (pair recall, not top-k
+recall): embedding_near_dup_pairs(method='ivf') at t=0.45 vs the exact
+block twin, per SF plus the 10x probe decade — the honest trend line
+for the scale-safe mid-threshold join (round-7 verdict #1).
+
+Usage: python scripts/recall_report.py > RECALL_r8.json
 """
 
 from __future__ import annotations
@@ -76,6 +81,56 @@ def mean_recall(spark, approx, exact) -> float:
     return float(per_q.agg(F.avg("recall")).collect()[0][0])
 
 
+def _ivf_join_recall(spark) -> dict:
+    """Pair recall of the IVF similarity join vs the exact block twin,
+    at every shipped SF and the 10x probe decade (where the exact twin
+    still fits its 250k guard). The registered floor (0.80) applies to
+    the shipped SFs; the probe decade is reported as the honest
+    no-cluster-structure trend, not a contract."""
+    dirs = [(f"sf{sf}", f"/root/testdata/sf{sf}") for sf in SFS]
+    probe = REPO / "scale_probe" / "sf1"
+    if probe.is_dir():
+        dirs.append(("sf1_probe_10x", str(probe)))
+    row = {
+        "floor": 0.80,
+        "floor_applies_to": [f"sf{sf}" for sf in SFS],
+        "threshold": 0.45,
+        "observed_pair_recall": {},
+    }
+    for label, d in dirs:
+        emb = catalog.embeddings(spark, d)
+        n_rows = catalog.parquet_num_rows(d, "embeddings")
+        approx = similarity.embedding_near_dup_pairs(
+            emb, threshold=0.45, dim=64, method="ivf",
+            ivf_n_assign=4, ivf_target_occupancy=256, n_rows=n_rows,
+        )
+        exact = similarity.embedding_near_dup_pairs(
+            emb, threshold=0.45, dim=64, method="block", n_rows=n_rows,
+        )
+        stats = similarity.pairs_recall_vs_exact(
+            approx, exact, min_recall=0.0
+        )  # floor 0: we want the raw number here
+        n_exact = stats.collect()[0].n_exact_pairs
+        n_hit = (
+            approx.select("id_a", "id_b")
+            .join(exact.select("id_a", "id_b"), on=["id_a", "id_b"])
+            .count()
+        )
+        release_tracked()
+        row["observed_pair_recall"][label] = {
+            "n_exact_pairs": int(n_exact),
+            "recall": round(n_hit / max(1, n_exact), 4),
+        }
+    shipped = [
+        v["recall"]
+        for k, v in row["observed_pair_recall"].items()
+        if k in row["floor_applies_to"]
+    ]
+    row["min_observed_at_shipped_sfs"] = min(shipped)
+    row["margin_over_floor"] = round(min(shipped) - row["floor"], 4)
+    return row
+
+
 def main() -> int:
     spark = get_spark(app_name="recall_report")
     out: dict[str, dict] = {}
@@ -90,6 +145,7 @@ def main() -> int:
         row["min_observed"] = min(row["observed_mean_recall_at5"].values())
         row["margin_over_floor"] = round(row["min_observed"] - floor, 4)
         out[name] = row
+    out["embedding_ivf_join"] = _ivf_join_recall(spark)
     json.dump(
         {"k": 5, "queries": "vec_id < 10 (10 queries)", "indexes": out},
         sys.stdout,

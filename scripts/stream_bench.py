@@ -26,8 +26,20 @@ engine's own telemetry:
    comparable to BASELINE.md's round-1 ~31k events/s single-view
    measurement; this one runs THREE views concurrently).
 
-Usage: python scripts/stream_bench.py > STREAMBENCH_r7.json
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+4. saturation_sweep_10x (round-7 verdict #5): the 10x probe events
+   (scale_probe/sf1, 1M rows) replayed through the SAME three
+   concurrent views at growing batch sizes (1/3/10/30 days per
+   micro-batch ≈ 33k/100k/333k/1M rows). The knee is where p95 batch
+   duration crosses a 10 s dashboard trigger interval: batches below
+   it replay at a sustainable cadence; the plateau rows/s at the
+   largest batch is the pipeline's saturation throughput. This
+   restates the SLO margins at 10x with a measured saturation point
+   instead of an extrapolated one.
+
+Usage: python scripts/stream_bench.py > STREAMBENCH_r8.json
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_STREAM_PROBE_DIR (default /root/repo/scale_probe/sf1;
+     set empty to skip the sweep).
 """
 
 from __future__ import annotations
@@ -131,8 +143,62 @@ def _run_replay(spark, root: str, src: str, label: str, mft: int) -> dict:
     }
 
 
+TRIGGER_INTERVAL_MS = 10_000  # dashboard cadence for the knee definition
+
+
+def _saturation_sweep(spark, root: str, probe_dir: str) -> dict:
+    """Batch-size sweep over the 10x probe events: p95 batch duration
+    and per-view throughput as rows/batch grows. The knee = largest
+    batch size whose p95 still fits a 10 s trigger interval (beyond it
+    a processing-time trigger at that cadence falls behind and queues);
+    the largest batch's rows/s is the saturation throughput (batch
+    overhead fully amortized)."""
+    sweep_root = f"{root}/sweep10x"  # distinct from the sf0.1 sources
+    points = []
+    for dpf in (1, 3, 10, 30):
+        src, n_files, total = _write_day_files(
+            spark, probe_dir, sweep_root, days_per_file=dpf
+        )
+        r = _run_replay(spark, sweep_root, src, f"sweep_{dpf}d", mft=1)
+        points.append(
+            {
+                "days_per_batch": dpf,
+                "n_batches_per_view": n_files,
+                "rows_per_batch": round(total / n_files),
+                "p95_batch_ms": r["p95_batch_ms"],
+                "rows_per_sec_per_view": r["rows_per_sec_per_view"],
+                "wall_seconds": r["wall_seconds"],
+            }
+        )
+    under = [p for p in points if p["p95_batch_ms"] <= TRIGGER_INTERVAL_MS]
+    knee = max(under, key=lambda p: p["rows_per_batch"]) if under else None
+    top = max(points, key=lambda p: p["rows_per_batch"])
+    return {
+        "probe_dir": probe_dir,
+        "trigger_interval_ms": TRIGGER_INTERVAL_MS,
+        "points": points,
+        "knee": (
+            {
+                **{k: knee[k] for k in ("rows_per_batch", "p95_batch_ms")},
+                "sustainable_rows_per_sec_per_view_at_10s_trigger": round(
+                    knee["rows_per_batch"] / (TRIGGER_INTERVAL_MS / 1000), 1
+                ),
+            }
+            if knee
+            else "p95 exceeds the trigger interval at every measured batch size"
+        ),
+        "saturation_rows_per_sec_per_view": top["rows_per_sec_per_view"],
+        "freshness_slo_margin_x_at_10x_worst_batch": round(
+            FRESHNESS_SLO_MS / max(p["p95_batch_ms"] for p in points), 1
+        ),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probe_dir = os.environ.get(
+        "SPARK_GRAFT_STREAM_PROBE_DIR", str(REPO / "scale_probe" / "sf1")
+    )
     spark = get_spark(app_name="stream_bench")
     root = tempfile.mkdtemp(prefix="stream_bench_")
     try:
@@ -183,6 +249,8 @@ def main() -> int:
                 ),
             },
         }
+        if probe_dir and os.path.isdir(probe_dir):
+            doc["saturation_sweep_10x"] = _saturation_sweep(spark, root, probe_dir)
         json.dump(doc, sys.stdout, indent=1)
         sys.stdout.write("\n")
         return 0

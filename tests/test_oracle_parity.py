@@ -68,3 +68,9 @@ def test_driver_contract_stays_one_to_one_with_registry():
     assert set(oracles) <= set(qs), "orphan oracle without a query"
     assert set(qs) - set(oracles) == EXPECTED_ROWS_ONLY
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+    # STABLE registry-insertion order (round-7 advisor, high): the
+    # round-salted shuffle let the repo choose — and precompute — the
+    # driver's first-50 sample; export order must be a pure function of
+    # the registry, never of artifact files on disk
+    assert list(qs) == list(REGISTRY)
+    assert list(oracles) == [n for n in REGISTRY if REGISTRY[n].oracle is not None]
