@@ -70,6 +70,11 @@ EXTRA = [
     "near_dup_jaccard_capped",
     "item_triangles",
     "item_clustering_coefficients",
+    # round-8 wave: the scale-safe mid-threshold IVF similarity join
+    "embedding_near_dups_scalable",
+    "embedding_dup_clusters_scalable",
+    "embedding_ivf_join_recall",
+    "doc_novelty_scores",
 ]
 
 
