@@ -173,9 +173,14 @@ def _saturation_sweep(spark, root: str, probe_dir: str) -> dict:
     under = [p for p in points if p["p95_batch_ms"] <= TRIGGER_INTERVAL_MS]
     knee = max(under, key=lambda p: p["rows_per_batch"]) if under else None
     top = max(points, key=lambda p: p["rows_per_batch"])
+    saturated = len(under) < len(points)
     return {
         "probe_dir": probe_dir,
         "trigger_interval_ms": TRIGGER_INTERVAL_MS,
+        # False = p95 never exceeded the trigger interval at ANY measured
+        # batch size, so the true saturation point lies BEYOND the
+        # measured range and the knee below is its measured lower bound
+        "saturated_within_measured_range": saturated,
         "points": points,
         "knee": (
             {
