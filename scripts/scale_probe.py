@@ -218,13 +218,21 @@ def main() -> int:
                     (m["memory_spill_bytes"] + m["disk_spill_bytes"]) / 1e6, 2
                 )
         # shuffle-volume scaling exponent: a query whose shuffle grows
-        # super-linearly while wall time doesn't is a hidden cliff
+        # super-linearly while wall time doesn't is a hidden cliff.
+        # Suppressed when every measured volume is <5 MB — a ratio of
+        # two near-zero numbers (a broadcast-only plan's residual bytes)
+        # is noise, not a scaling signal.
         spts = [
             (math.log(s), math.log(shuffles[name][lab]["shuffle_write_bytes"]))
             for lab, _d, s in SCALES
             if lab in shuffles[name]
             and shuffles[name][lab]["shuffle_write_bytes"] > 0
         ]
+        if max(
+            (shuffles[name][lab]["shuffle_write_bytes"] for lab in shuffles[name]),
+            default=0,
+        ) < 5_000_000:
+            spts = []
         if len(spts) >= 2:
             n = len(spts)
             sx = sum(x for x, _ in spts)

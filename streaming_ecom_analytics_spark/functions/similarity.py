@@ -426,15 +426,13 @@ def embedding_near_dup_pairs(
             n_bands=bands, band_bits=bits, seed=seed, dim=dim,
         )
     elif method == "ivf":
+        # per-list BLAS prefilter means the candidate set is already
+        # output-sized → the shared broadcast verify below applies
         cand = _near_dup_candidates_ivf(
-            embeddings, id_col=id_col, vec_col=vec_col,
+            embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold,
             n_lists=ivf_n_lists, n_assign=ivf_n_assign, seed=seed,
             train_rows=ivf_train_rows, target_occupancy=ivf_target_occupancy,
             n_rows=n_rows,
-        )
-        return _verify_pairs_exact(
-            embeddings, cand, id_col=id_col, vec_col=vec_col,
-            threshold=threshold, broadcast_cand=False,
         )
     elif method == "block":
         guards.guard_brute_force(
@@ -570,6 +568,7 @@ def _near_dup_candidates_ivf(
     *,
     id_col: str,
     vec_col: str,
+    threshold: float,
     n_lists: int | None,
     n_assign: int,
     seed: int,
@@ -588,10 +587,21 @@ def _near_dup_candidates_ivf(
     Arrow-batched mapInPandas pass assigns every vector to its
     ``n_assign`` nearest lists (multi-assignment is the symmetric form
     of the classic IVF-join's same-list ∪ adjacent-probe rule: a pair
-    is a candidate iff the two top-m list sets intersect); candidates
-    are a bucketed self-equi-join on list_id. With ``n_lists`` sized to
-    a fixed ``target_occupancy`` (n/occ lists), candidate volume is
-    Σ_lists occ² ≈ n·occ·m² — LINEAR in corpus size, never all-pairs.
+    is a candidate iff the two top-m list sets intersect); each list is
+    then packed by ONE shuffle of (n·m) vectors and scored as a single
+    per-list BLAS Gram (the block-Gram kernel applied to IVF lists
+    instead of hash blocks — and only to the diagonal, never to list
+    PAIRS), emitting pairs ≥ threshold−1e-6. With ``n_lists`` sized to
+    a fixed ``target_occupancy`` (n/occ lists), per-list work is occ²
+    and list count is n/occ, so compute is n·occ·m² — LINEAR in corpus
+    size, never all-pairs — and the emitted candidate set is
+    OUTPUT-sized (true pairs + margin noise), so the exact re-verify
+    stays a broadcast join at any corpus size. An earlier shape
+    (round-8 first cut) materialized all Σ occ² candidate id-pairs
+    through a self-equi-join + distinct and re-joined vectors twice:
+    the probe measured it 6x slower at the 10x decade (59 s vs ~10 s)
+    with exp 1.12 — shuffling 40M id pairs costs more than BLAS-scoring
+    them in place.
 
     Approximate by design: a qualifying pair whose list sets are
     disjoint is missed, so callers hold it to a measured recall
@@ -633,6 +643,10 @@ def _near_dup_candidates_ivf(
     k_eff, cent = _lloyd_np(mat, n_lists, rng)
     cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     m = min(n_assign, k_eff)
+    # the assignment threshold travels with the Gram scorer: the margin
+    # guarantees BLAS-vs-fold rounding can't drop a true pair (the
+    # block path's identical argument); the exact verify prunes noise
+    margin_threshold = threshold - 1e-6
 
     def assign(batches):
         for pdf in batches:
@@ -643,24 +657,34 @@ def _near_dup_candidates_ivf(
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             dots = v @ cent.T  # (n, k_eff) cosine to centroids
             top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
-                    "id": np.repeat(ids, m),
                     "list_id": top.astype(np.int32).ravel(),
+                    "id": np.repeat(ids, m),
                 }
             )
+            out["vec"] = [r for r in np.repeat(v, m, axis=0)]
+            yield out
 
     stacked = embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema="id long, list_id int"
+        assign, schema="list_id int, id long, vec array<double>"
     )
-    a = stacked.select(F.col("id").alias("id_a"), "list_id")
-    b = stacked.select(F.col("id").alias("id_b"), "list_id")
-    return (
-        a.join(b, on="list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    lists = stacked.groupBy("list_id").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs")
     )
+
+    def score(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray(row.ids, dtype=np.int64)
+                mat_l = np.stack([np.asarray(x, dtype=np.float64) for x in row.vecs])
+                sims = mat_l @ mat_l.T  # vectors arrive pre-normalized
+                ia, ib = np.nonzero(sims >= margin_threshold)
+                lo, hi = ids[ia], ids[ib]
+                keep = lo < hi  # strict upper triangle by id
+                yield pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    return lists.mapInPandas(score, schema="id_a long, id_b long").distinct()
 
 
 def _verify_pairs_exact(
