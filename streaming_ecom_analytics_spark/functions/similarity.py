@@ -599,9 +599,13 @@ def _near_dup_candidates_ivf(
     stays a broadcast join at any corpus size. An earlier shape
     (round-8 first cut) materialized all Σ occ² candidate id-pairs
     through a self-equi-join + distinct and re-joined vectors twice:
-    the probe measured it 6x slower at the 10x decade (59 s vs ~10 s)
-    with exp 1.12 — shuffling 40M id pairs costs more than BLAS-scoring
-    them in place.
+    the probe measured it at 59 s / exp 1.12 at the 10x decade vs this
+    shape's 2.8-5.5 s — shuffling 40M id pairs costs far more than
+    BLAS-scoring them in place. Vectors travel the packing shuffle as
+    little-endian float64 BYTES and each list is scored in
+    applyInPandas: the array<double> + collect_list form spent ~40 s
+    of the 100x point in per-element Python boxing (measured; the
+    whole query now runs that decade in ~30 s, exponent 0.69).
 
     Approximate by design: a qualifying pair whose list sets are
     disjoint is missed, so callers hold it to a measured recall
