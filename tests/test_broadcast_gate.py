@@ -107,3 +107,28 @@ def test_aqe_owns_strategy_when_gate_closed(spark):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "AdaptiveSparkPlan" in plan
+
+
+def test_parquet_num_rows_footer_count(tmp_path):
+    """catalog.parquet_num_rows must read the FOOTER (exact count, no
+    Spark job) for both single-file tables and directory tables — it
+    feeds plan-parameter sizing (IVF list count, LSH band bits), so a
+    wrong count silently mis-sizes a 100 TB plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_ecom_analytics_spark import catalog
+
+    # single file (the testdata shape)
+    pq.write_table(
+        pa.table({"x": list(range(123))}), str(tmp_path / "t1.parquet")
+    )
+    assert catalog.parquet_num_rows(str(tmp_path), "t1") == 123
+    # directory of part files (the cluster shape)
+    d = tmp_path / "t2.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1, 2]}), str(d / "part-0.parquet"))
+    pq.write_table(pa.table({"x": [3, 4, 5]}), str(d / "part-1.parquet"))
+    assert catalog.parquet_num_rows(str(tmp_path), "t2") == 5
+    # the real testdata contract the IVF queries rely on
+    assert catalog.parquet_num_rows("/root/testdata/sf0.001", "embeddings") == 500
