@@ -15,7 +15,13 @@ recall): embedding_near_dup_pairs(method='ivf') at t=0.45 vs the exact
 block twin, per SF plus the 10x probe decade — the honest trend line
 for the scale-safe mid-threshold join (round-7 verdict #1).
 
-Usage: python scripts/recall_report.py > RECALL_r8.json
+Round 9: the IVF join runs the shipped log-scaled multi-assignment
+(no explicit ivf_n_assign override — the ledger measures the policy
+users get), the 0.80 floor now also applies to the 10x probe decade
+(round-8 verdict #1), and ``--deep`` adds the 100x decade point (the
+exact block twin at 200k rows costs ~8 min — run once per round).
+
+Usage: python scripts/recall_report.py [--deep] > RECALL_r9.json
 """
 
 from __future__ import annotations
@@ -81,19 +87,23 @@ def mean_recall(spark, approx, exact) -> float:
     return float(per_q.agg(F.avg("recall")).collect()[0][0])
 
 
-def _ivf_join_recall(spark) -> dict:
+def _ivf_join_recall(spark, deep: bool) -> dict:
     """Pair recall of the IVF similarity join vs the exact block twin,
     at every shipped SF and the 10x probe decade (where the exact twin
-    still fits its 250k guard). The registered floor (0.80) applies to
-    the shipped SFs; the probe decade is reported as the honest
-    no-cluster-structure trend, not a contract."""
+    still fits its 250k guard). Since round 9 the registered floor
+    (0.80) applies to the 10x decade too — the log-scaled
+    multi-assignment exists to hold it there; the 100x point
+    (``--deep``) is the trend line."""
     dirs = [(f"sf{sf}", f"/root/testdata/sf{sf}") for sf in SFS]
     probe = REPO / "scale_probe" / "sf1"
     if probe.is_dir():
         dirs.append(("sf1_probe_10x", str(probe)))
+    probe100 = REPO / "scale_probe" / "sf10"
+    if deep and probe100.is_dir():
+        dirs.append(("sf10_probe_100x", str(probe100)))
     row = {
         "floor": 0.80,
-        "floor_applies_to": [f"sf{sf}" for sf in SFS],
+        "floor_applies_to": [f"sf{sf}" for sf in SFS] + ["sf1_probe_10x"],
         "threshold": 0.45,
         "observed_pair_recall": {},
     }
@@ -102,7 +112,7 @@ def _ivf_join_recall(spark) -> dict:
         n_rows = catalog.parquet_num_rows(d, "embeddings")
         approx = similarity.embedding_near_dup_pairs(
             emb, threshold=0.45, dim=64, method="ivf",
-            ivf_n_assign=4, ivf_target_occupancy=256, n_rows=n_rows,
+            ivf_target_occupancy=256, n_rows=n_rows,
         )
         exact = similarity.embedding_near_dup_pairs(
             emb, threshold=0.45, dim=64, method="block", n_rows=n_rows,
@@ -126,12 +136,13 @@ def _ivf_join_recall(spark) -> dict:
         for k, v in row["observed_pair_recall"].items()
         if k in row["floor_applies_to"]
     ]
-    row["min_observed_at_shipped_sfs"] = min(shipped)
+    row["min_observed_where_floor_applies"] = min(shipped)
     row["margin_over_floor"] = round(min(shipped) - row["floor"], 4)
     return row
 
 
 def main() -> int:
+    deep = "--deep" in sys.argv
     spark = get_spark(app_name="recall_report")
     out: dict[str, dict] = {}
     for name, build, floor in INDEXES:
@@ -145,7 +156,7 @@ def main() -> int:
         row["min_observed"] = min(row["observed_mean_recall_at5"].values())
         row["margin_over_floor"] = round(row["min_observed"] - floor, 4)
         out[name] = row
-    out["embedding_ivf_join"] = _ivf_join_recall(spark)
+    out["embedding_ivf_join"] = _ivf_join_recall(spark, deep)
     json.dump(
         {"k": 5, "queries": "vec_id < 10 (10 queries)", "indexes": out},
         sys.stdout,

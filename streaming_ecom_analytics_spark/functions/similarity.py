@@ -346,9 +346,10 @@ def embedding_near_dup_pairs(
     n_rows: int | None = None,
     block_max_rows: int | None = 250_000,
     ivf_n_lists: int | None = None,
-    ivf_n_assign: int = 3,
+    ivf_n_assign: int | None = None,
     ivf_train_rows: int = 65_536,
     ivf_target_occupancy: int = 128,
+    ivf_max_list_rows: int | None = 65_536,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
 
@@ -367,8 +368,26 @@ def embedding_near_dup_pairs(
       near-zero recall (at t=0.45, p^14≈2e-3 per band) and the exact
       block path is quadratic: with ``ivf_n_lists`` auto-sized to
       ``ivf_target_occupancy`` the candidate volume is linear in corpus
-      size. Approximate — recall is measured, not proven (1.0 at the
-      repo's oracle scales, 0.97 at sf0.1; RECALL ledger).
+      size. Approximate — recall is measured, not proven (RECALL
+      ledger: 1.0 at the shipped SFs, 0.99 at the 10x probe decade,
+      0.92 at 100x under the default auto ``ivf_n_assign``).
+      ``ivf_n_assign=None`` (default) scales multi-assignment with the
+      list count — m = max(4, ceil(1.5·log2(n_lists))), capped at 32 —
+      because a FIXED m loses recall decade-over-decade: the chance
+      that both members of a boundary pair share one of m lists falls
+      as n_lists grows linearly with the corpus (round-8 verdict #1:
+      fixed m=4 measured pair recall 1.0/0.71/0.30 at sf0.1/10x/100x;
+      the auto schedule measures 1.0/0.99/0.92 — tuning run in
+      scripts/_ivf_recall_experiment.py). Gram compute grows as
+      n·occ·m² = n·occ·log²(n/occ) — linear with a polylog factor.
+      ``ivf_max_list_rows`` (default 65_536, None disables) is the
+      skew guard: list sizing targets AVERAGE occupancy, but duplicate-
+      heavy corpora — exactly what a near-dup operator targets — can
+      concentrate one hot list into a single scoring task. Lists over
+      the cap are deterministically salt-split into ceil(size/cap)
+      sub-blocks and scored as sub-block PAIRS (the block kernel
+      applied within a list), so single-task memory stays bounded by
+      the cap while the pair output is identical (round-8 advisor).
     - ``"block"`` — distributed exact block-Gram prefilter: vectors are
       hashed into n_blocks blocks, every block PAIR (n_blocks(n_blocks+1)/2
       of them) is scored as one BLAS matrix product, and pairs scoring
@@ -426,13 +445,21 @@ def embedding_near_dup_pairs(
             n_bands=bands, band_bits=bits, seed=seed, dim=dim,
         )
     elif method == "ivf":
-        # per-list BLAS prefilter means the candidate set is already
-        # output-sized → the shared broadcast verify below applies
         cand = _near_dup_candidates_ivf(
             embeddings, id_col=id_col, vec_col=vec_col, threshold=threshold,
             n_lists=ivf_n_lists, n_assign=ivf_n_assign, seed=seed,
             train_rows=ivf_train_rows, target_occupancy=ivf_target_occupancy,
-            n_rows=n_rows,
+            n_rows=n_rows, max_list_rows=ivf_max_list_rows,
+        )
+        # the per-list BLAS prefilter makes the candidate set
+        # output-sized per ROW, but the output of a near-dup join is
+        # itself corpus-proportional — force-broadcasting it would put
+        # an unbounded frame on the driver at 100 TB, so let AQE pick
+        # the verify join strategy (round-8 advisor: broadcast_cand
+        # was documented but never passed)
+        return _verify_pairs_exact(
+            embeddings, cand, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, broadcast_cand=False,
         )
     elif method == "block":
         guards.guard_brute_force(
@@ -563,6 +590,22 @@ def _near_dup_candidates_lsh(
     )
 
 
+def _ivf_auto_n_assign(n_lists: int) -> int:
+    """Multi-assignment schedule for the IVF similarity join: m grows
+    with log2 of the list count so pair recall holds decade-over-decade
+    (round-8 verdict #1 — fixed m=4 measured 1.0/0.71/0.30 at
+    sf0.1/10x/100x; this schedule measures 1.0/0.99/0.92 on the same
+    corpora, tuning grid in scripts/_ivf_recall_experiment.py). The
+    floor 4 keeps tiny corpora at full pigeonhole recall; the cap 32
+    bounds the worst-case Gram blow-up at m²=1024× a single-assignment
+    pass — reached only past ~2^21 lists (≈550M rows at 256-row
+    occupancy), where a two-level coarse quantizer is the honest next
+    step anyway."""
+    import math
+
+    return max(4, min(32, math.ceil(1.5 * math.log2(max(n_lists, 2)))))
+
+
 def _near_dup_candidates_ivf(
     embeddings: DataFrame,
     *,
@@ -570,11 +613,12 @@ def _near_dup_candidates_ivf(
     vec_col: str,
     threshold: float,
     n_lists: int | None,
-    n_assign: int,
+    n_assign: int | None,
     seed: int,
     train_rows: int,
     target_occupancy: int,
     n_rows: int | None,
+    max_list_rows: int | None,
 ) -> DataFrame:
     """Candidate pairs via an IVF coarse quantizer with multi-assignment
     — the scale-safe MID-THRESHOLD candidate generator (round-7 verdict
@@ -611,12 +655,13 @@ def _near_dup_candidates_ivf(
     disjoint is missed, so callers hold it to a measured recall
     contract (RECALL ledger / registered recall queries) rather than
     an exactness proof — on the repo testdata the registered settings
-    (footer-count auto-sizing at 256-row occupancy, 4-way assignment)
-    measure recall 1.0 at sf0.001/sf0.01/sf0.1 vs the exact block twin
-    (≤4 lists at those sizes, so m=4 covers all of them — pigeonhole
-    full recall) and 0.70 at the 10x probe decade, where qualifying
-    t=0.45 pairs are pure distribution tails with no cluster structure
-    for ANY partitioning scheme to exploit.
+    (footer-count auto-sizing at 256-row occupancy, log-scaled
+    multi-assignment via _ivf_auto_n_assign) measure pair recall 1.0
+    at sf0.001/sf0.01/sf0.1 vs the exact block twin, 0.99 at the 10x
+    probe decade (m=10 over 79 lists) and 0.92 at 100x (m=15 over 782
+    lists) — qualifying t=0.45 pairs in this near-uniform testdata are
+    ~3.6σ distribution tails, the hardest case for metric
+    partitioning; clustered real embeddings sit higher.
     """
     import numpy as np
     import pandas as pd
@@ -628,6 +673,14 @@ def _near_dup_candidates_ivf(
         .limit(train_rows)
         .collect()
     ]
+    if not sample:
+        # empty (or filtered-to-empty) input: np.linalg.norm on a
+        # shape-(0,) array raises AxisError at plan construction —
+        # return the empty candidate frame the block path would have
+        # produced (round-8 advisor)
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long"
+        )
     mat = np.asarray(sample, dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     if n_lists is None:
@@ -646,6 +699,8 @@ def _near_dup_candidates_ivf(
     rng = np.random.default_rng(seed)
     k_eff, cent = _lloyd_np(mat, n_lists, rng)
     cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    if n_assign is None:
+        n_assign = _ivf_auto_n_assign(n_lists)
     m = min(n_assign, k_eff)
     # the assignment threshold travels with the Gram scorer: the margin
     # guarantees BLAS-vs-fold rounding can't drop a true pair (the
@@ -679,6 +734,27 @@ def _near_dup_candidates_ivf(
         assign, schema="list_id int, id long, vec binary"
     )
 
+    # sims row-tile so the Gram scratch is TILE×occ, never occ² — the
+    # raw group input (occ·dim·8 bytes) stays the only occ-linear
+    # allocation in a scoring task
+    tile = 4096
+
+    def _emit_pairs(ids_a, mat_a, ids_b, mat_b):
+        outs_a, outs_b = [], []
+        for i0 in range(0, len(ids_a), tile):
+            sims = mat_a[i0 : i0 + tile] @ mat_b.T
+            ia, ib = np.nonzero(sims >= margin_threshold)
+            lo, hi = ids_a[ia + i0], ids_b[ib]
+            keep = lo != hi
+            outs_a.append(np.minimum(lo, hi)[keep])
+            outs_b.append(np.maximum(lo, hi)[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(outs_a) if outs_a else np.empty(0, np.int64),
+                "id_b": np.concatenate(outs_b) if outs_b else np.empty(0, np.int64),
+            }
+        )
+
     def score(pdf):
         # one group = one IVF list, delivered Arrow-native by
         # applyInPandas (no collect_list re-boxing)
@@ -686,17 +762,96 @@ def _near_dup_candidates_ivf(
         mat_l = np.frombuffer(b"".join(pdf["vec"]), dtype="<f8").reshape(
             len(ids), -1
         )
-        sims = mat_l @ mat_l.T  # vectors arrive pre-normalized
-        ia, ib = np.nonzero(sims >= margin_threshold)
-        lo, hi = ids[ia], ids[ib]
-        keep = lo < hi  # strict upper triangle by id
-        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+        # vectors arrive pre-normalized
+        return _emit_pairs(ids, mat_l, ids, mat_l)
 
-    return (
-        stacked.groupBy("list_id")
-        .applyInPandas(score, schema="id_a long, id_b long")
-        .distinct()
+    if max_list_rows is None:
+        return (
+            stacked.groupBy("list_id")
+            .applyInPandas(score, schema="id_a long, id_b long")
+            .distinct()
+        )
+
+    # ---- fat-list skew guard (round-8 advisor / verdict #2) ----
+    # list sizing targets AVERAGE occupancy; a duplicate-heavy corpus
+    # can put one hot list's entire membership into a single scoring
+    # task. Exact per-list counts come from a lightweight second
+    # assignment pass that ships only the int32 list_id (no vector
+    # bytes) — one extra columnar scan, no unbounded state. Lists over
+    # the cap are salt-split into ceil(size/cap) sub-blocks and scored
+    # as sub-block PAIRS (the block kernel applied WITHIN a list), so
+    # a degenerate corpus costs many bounded tasks instead of one
+    # unbounded one; pair output is identical (union ∪ distinct).
+    def assign_counts(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            dots = v @ cent.T
+            top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
+            yield pd.DataFrame({"list_id": top.astype(np.int32).ravel()})
+
+    fat = (
+        embeddings.select(vec_col)
+        .mapInPandas(assign_counts, schema="list_id int")
+        .groupBy("list_id")
+        .agg(F.count("*").alias("list_rows"))
+        .filter(F.col("list_rows") > max_list_rows)
+        .select(
+            "list_id",
+            F.ceil(F.col("list_rows") / max_list_rows).cast("int").alias("n_salts"),
+        )
     )
+    # the fat set is bounded by total_assignments/cap rows — broadcast
+    enriched = stacked.join(F.broadcast(fat), on="list_id", how="left")
+    small_pairs = (
+        enriched.filter(F.col("n_salts").isNull())
+        .select("list_id", "id", "vec")
+        .groupBy("list_id")
+        .applyInPandas(score, schema="id_a long, id_b long")
+    )
+
+    packed = (
+        enriched.filter(F.col("n_salts").isNotNull())
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("id")), F.col("n_salts")).cast("int")
+        )
+        .groupBy("list_id", "salt")
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs"))
+    )
+    pa_ = packed.select(
+        F.col("list_id").alias("lid_a"), F.col("salt").alias("salt_a"),
+        F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"),
+    )
+    pb_ = packed.select(
+        F.col("list_id").alias("lid_b"), F.col("salt").alias("salt_b"),
+        F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"),
+    )
+    sub_pairs = pa_.join(
+        pb_,
+        (F.col("lid_a") == F.col("lid_b")) & (F.col("salt_a") <= F.col("salt_b")),
+    )
+
+    def score_sub_blocks(batches):
+        # collect_list(binary) boxes one bytes object per ROW (not per
+        # element — the array<double> boxing the round-8 shape avoided)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.frombuffer(b"".join(row.vecs_a), dtype="<f8").reshape(
+                    len(ids_a), -1
+                )
+                mb = np.frombuffer(b"".join(row.vecs_b), dtype="<f8").reshape(
+                    len(ids_b), -1
+                )
+                yield _emit_pairs(ids_a, ma, ids_b, mb)
+
+    fat_pairs = sub_pairs.mapInPandas(
+        score_sub_blocks, schema="id_a long, id_b long"
+    )
+    return small_pairs.unionByName(fat_pairs).distinct()
 
 
 def _verify_pairs_exact(
@@ -801,8 +956,12 @@ def _lloyd_np(sub, k: int, rng, iters: int = 12):
     rescanned the whole sample k times per iteration, which at the
     IVF join's corpus-scaled k (782 lists at the 100x probe) cost
     18.5 s of pure Python/numpy overhead vs ~2 s vectorized; results
-    are bit-identical (same sums, same divisor, same reseed stream —
-    the rng is consumed in the same order because reseeds draw one
+    are deterministic and numerically equivalent within final-ULP
+    rounding of the mean (np.add.at accumulates sequentially where
+    np.mean may sum pairwise, so individual centroid coordinates can
+    differ in the last ULP — all round-8 ledgers were regenerated
+    through this helper, so PQ/IVF/IVFPQ hashes reflect it; the rng
+    stream is consumed in the same order because reseeds draw one
     integer per empty cluster in ascending cluster order, as before)."""
     import numpy as np
 

@@ -227,24 +227,53 @@ class VersionedTable:
         manifests older than the last ``keep_last``. Returns removed
         file paths. Time travel stays valid for retained versions.
 
-        The ``grace_seconds`` window protects IN-FLIGHT commits only:
-        an uncommitted write's files are referenced by no manifest until
-        its link(2) lands, so without it a concurrent vacuum could
-        delete another writer's staged-but-uncommitted data mid-commit
-        (round-6 advisor finding). The skip is applied PRECISELY — only
-        to prefixes referenced by NO manifest at all (current or
-        retired) AND younger than the grace window; a prefix any
-        manifest references was definitely committed, so its retired
-        files reclaim immediately regardless of age (round-7 advisor:
-        the blanket mtime skip silently made vacuum a no-op on any
-        table written within the last hour). Skipped prefixes are
-        logged at INFO."""
+        The ``grace_seconds`` window protects two concurrency races,
+        each applied precisely rather than as a blanket mtime skip
+        (round-7 advisor: the blanket skip silently made vacuum a no-op
+        on any table written within the last hour):
+
+        - IN-FLIGHT commits: an uncommitted write's files are
+          referenced by no manifest until its link(2) lands, so
+          without the skip a concurrent vacuum could delete another
+          writer's staged-but-uncommitted data mid-commit (round-6
+          advisor). Applies only to prefixes referenced by NO manifest
+          at all AND younger than the grace window.
+        - RECENTLY-RETIRED readers (round-8 advisor): a reader
+          mid-scan of a time-travel version that just fell out of the
+          ``keep_last`` window would otherwise have its parquet files
+          deleted the instant a vacuum runs (Delta keeps tombstoned
+          files for a retention window for the same reason). A version
+          v is retired the moment the commit that pushes it past
+          ``keep_last`` lands, so its files stay grace-protected while
+          that retiring manifest is younger than ``grace_seconds`` —
+          the manifest itself is still dropped (new time travel to v
+          ends now), and the files reclaim on the first vacuum after
+          the window. A reader that holds a scan open LONGER than the
+          grace window is the documented residual exposure — size
+          ``grace_seconds`` to the longest expected reader.
+
+        Skipped prefixes are logged at INFO."""
         import logging
 
         vs = self.versions()
         retained = vs[-keep_last:] if keep_last > 0 else []
         manifests = {v: self.manifest(v) for v in vs}
         keep_files = {f for v in retained for f in manifests[v]["files"]}
+        # grace-protect versions retired within the window: version
+        # vs[i] left the keep_last window when vs[i+keep_last]
+        # committed — use that manifest file's mtime as retirement time
+        now = time.time()
+        for i, v in enumerate(vs):
+            if v in retained:
+                continue
+            j = min(i + keep_last, len(vs) - 1)
+            retiring = os.path.join(self._manifest_dir, f"v{vs[j]}.json")
+            try:
+                retired_at = os.path.getmtime(retiring)
+            except OSError:
+                continue
+            if now - retired_at < grace_seconds:
+                keep_files.update(manifests[v]["files"])
         # every file any manifest on disk references → its prefix is a
         # committed prefix, not an in-flight staging directory
         committed_prefixes = {

@@ -705,3 +705,112 @@ def test_lsh_bands_co_scale_with_bits():
     bands, bits = _lsh_near_dup_params(n_rows=10_000_000, n_bands=24, band_bits=8)
     assert bits == 20 and bands > 24
     assert (1.0 - p**bits) ** bands <= 1e-6
+
+
+def test_ivf_auto_n_assign_schedule():
+    """Round-8 verdict #1: fixed multi-assignment loses recall
+    decade-over-decade (m=4 measured pair recall 1.0/0.71/0.30 at
+    sf0.1/10x/100x). The auto schedule m = max(4, ceil(1.5·log2(L)))
+    must hold the measured floor at the probe decades (m=10 at 79
+    lists → 0.99, m=15 at 782 → 0.92 — scripts/_ivf_recall_experiment
+    grid) and stay bounded."""
+    from streaming_ecom_analytics_spark.functions.similarity import (
+        _ivf_auto_n_assign,
+    )
+
+    assert _ivf_auto_n_assign(1) == 4
+    assert _ivf_auto_n_assign(4) == 4
+    assert _ivf_auto_n_assign(8) == 5
+    assert _ivf_auto_n_assign(79) == 10   # 10x probe decade
+    assert _ivf_auto_n_assign(782) == 15  # 100x probe decade
+    assert _ivf_auto_n_assign(1 << 30) == 32  # capped
+    # monotone non-decreasing over decades
+    ms = [_ivf_auto_n_assign(10**d) for d in range(1, 9)]
+    assert ms == sorted(ms)
+
+
+def test_ivf_empty_input_short_circuits(spark):
+    """Round-8 advisor: an empty (or filtered-to-empty) input crashed
+    the IVF path at plan construction (np.linalg.norm on a shape-(0,)
+    array). It must now return an empty result with the standard
+    (id_a, id_b, cosine) schema, like the block path always did."""
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.5, method="ivf")
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+    # filtered-to-empty via auto routing (threshold<0.95 → ivf)
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    ).filter("vec_id > 100")
+    assert similarity.embedding_near_dup_pairs(emb2, threshold=0.5).count() == 0
+
+
+def test_ivf_fat_list_salt_split_identical_pairs(spark):
+    """Round-8 advisor / verdict #2: duplicate-heavy corpora share the
+    same top-m lists, so one hot list can put an unbounded occ² Gram
+    into a single scoring task. With ivf_max_list_rows the hot list is
+    salt-split into bounded sub-block pair tasks — and the pair output
+    must be IDENTICAL to the uncapped run (same candidates, same
+    exact verify)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    rows = []
+    # 120 near-copies of one vector: every one lands in the same
+    # top-m lists (multi-assignment cannot split a point mass)
+    for i in range(120):
+        v = base + rng.standard_normal(16) * 1e-3
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # plus background vectors so Lloyd trains distinct lists
+    for i in range(120, 200):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(threshold=0.9, dim=16, method="ivf", ivf_n_lists=8, n_rows=200)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, ivf_max_list_rows=None, **kw
+        ).collect()
+    }
+    # the hot list holds ≥120 rows; a 32-row cap forces ceil(n/32)≥4
+    # salts → sub-block pair scoring engages for real
+    capped = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, ivf_max_list_rows=32, **kw
+        ).collect()
+    }
+    assert len(uncapped) == 120 * 119 // 2  # all hot-pair combinations
+    assert capped == uncapped
+
+
+def test_ivf_verify_join_not_force_broadcast(spark):
+    """Round-8 advisor (medium): the IVF path's candidate set is
+    corpus-proportional (near-dup output scales with n), so the exact
+    verify must NOT force-broadcast it — broadcast_cand was documented
+    as False for IVF but never passed. With the fat-list machinery off
+    (max_list_rows=None) the IVF plan must carry no broadcast hint at
+    all; the LSH path keeps its output-sized broadcast."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.5, method="ivf", ivf_max_list_rows=None
+    )
+    assert "ResolvedHint" not in ivf._jdf.queryExecution().analyzed().toString()
+    lsh = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.99, method="lsh", dim=8
+    )
+    assert "ResolvedHint" in lsh._jdf.queryExecution().analyzed().toString()

@@ -488,11 +488,12 @@ def test_rejected_commit_cleans_up_staging(spark, table):
 
 def test_vacuum_grace_period_protects_inflight_staging(spark, table):
     """Round-6 advisor finding: vacuum must not delete another writer's
-    staged-but-uncommitted files. Round-7 advisor refinement: the grace
-    skip must be PRECISE — only prefixes referenced by NO manifest at
-    all (the in-flight signature) are age-protected; committed-then-
-    retired prefixes reclaim immediately, so vacuum on a freshly
-    written table is not a silent no-op."""
+    staged-but-uncommitted files. Round-7 advisor refinement: the
+    in-flight skip must be PRECISE — only prefixes referenced by NO
+    manifest at all (the in-flight signature) are age-protected.
+    Round-8 advisor: freshly-RETIRED committed files get their own
+    reader grace (tested separately below); with grace_seconds=0 both
+    protections are off and everything unreferenced reclaims."""
     import os
 
     for vals in (["a"], ["b"], ["c"]):
@@ -505,16 +506,47 @@ def test_vacuum_grace_period_protects_inflight_staging(spark, table):
     inflight_file = os.path.join(inflight_dir, "part-00000.parquet")
     with open(inflight_file, "wb") as f:
         f.write(b"staged")
-    # default grace: retired COMMITTED files reclaim immediately (their
-    # prefixes are referenced by manifests on disk), while the
-    # unreferenced young prefix is skipped as possibly in-flight
+    # default grace: the young unreferenced prefix is skipped as
+    # possibly in-flight; just-retired committed files wait out the
+    # reader grace (their retiring manifests are seconds old)
     removed = table.vacuum(keep_last=1)
-    assert set(v0_files) <= set(removed)
-    assert inflight_file not in removed
+    assert not removed
     assert os.path.exists(inflight_file)
     assert sorted(r.v for r in table.read(spark).collect()) == ["c"]
-    # explicit zero grace collects the orphaned staging too
+    # explicit zero grace collects retired files AND orphaned staging
     removed = table.vacuum(keep_last=1, grace_seconds=0)
+    assert set(v0_files) <= set(removed)
     assert inflight_file in removed
     assert not os.path.exists(inflight_file)
     assert sorted(r.v for r in table.read(spark).collect()) == ["c"]
+
+
+def test_vacuum_reader_grace_for_recently_retired_versions(spark, table):
+    """Round-8 advisor: a reader mid-scan of a time-travel version that
+    just fell out of keep_last must not lose its files to a concurrent
+    vacuum. Retirement time = mtime of the manifest whose commit pushed
+    the version out; files reclaim only once that is older than
+    grace_seconds (Delta's tombstone-retention rationale)."""
+    import os
+
+    for vals in (["a"], ["b"], ["c"]):
+        table.commit(_df(spark, vals))
+    v0_files = table.manifest(0)["files"]
+    v1_files = table.manifest(1)["files"]
+    # v0 was retired (under keep_last=1) when v1 committed; backdate
+    # v1's manifest so v0's retirement is outside the grace window,
+    # while v2's fresh manifest keeps v1's files protected
+    old = 1_000_000_000
+    os.utime(os.path.join(table.path, "_manifests", "v1.json"), (old, old))
+    removed = table.vacuum(keep_last=1, grace_seconds=3600)
+    assert set(v0_files) <= set(removed)           # past grace → reclaimed
+    assert not set(v1_files) & set(removed)        # inside grace → protected
+    assert all(os.path.exists(f) for f in v1_files)
+    # latest version unaffected throughout
+    assert sorted(r.v for r in table.read(spark).collect()) == ["c"]
+    # the manifests themselves are still dropped: protection covers
+    # in-flight READERS, not future time travel
+    assert table.versions() == [2]
+    # next vacuum past the window reclaims v1's files too
+    removed = table.vacuum(keep_last=1, grace_seconds=0)
+    assert set(v1_files) <= set(removed)
