@@ -1507,13 +1507,14 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.domain_mixture_weights(catalog.documents(spark, sf_dir))
 
 
-@register("video_features", None)
+@register("video_features", _media_golden.VIDEO_FEATURES_GOLDEN_SQL)
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video container parse → frame-level triage features over
     mapInPandas (y4m decoded for REAL in functions/video.py — the
     uncompressed interchange format; compressed codecs are the
-    documented boundary). Rows-only: deterministic seed-pinned
-    fixture, no SQL oracle for pixel payloads."""
+    documented boundary). Deterministic seed-pinned fixture →
+    hash-checked against a literal-golden VALUES oracle since round 9
+    (plans/_media_golden.py)."""
     from streaming_ecom_analytics_spark.functions import multimodal
 
     feats = multimodal.video_features(multimodal.synthesize_video(spark, n=16))
@@ -1655,15 +1656,15 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_containment(catalog.documents(spark, sf_dir))
 
 
-@register("image_near_dups", None)
+@register("image_near_dups", _media_golden.IMAGE_NEAR_DUPS_GOLDEN_SQL)
 def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: dHash over REAL pixel decode (PNG rows
     re-encoded as JPEG land within a few bits) joined through the same
     chunk-blocked Hamming kernel as text SimHash. Fixture: the
     synthesized media table with planted cross-codec duplicate pairs
-    (media_id i ↔ 1000+i for PNG rows). Rows-only: pixel decode has no
-    SQL oracle; determinism is seed-pinned and the planted-pair set is
-    unit-asserted."""
+    (media_id i ↔ 1000+i for PNG rows). Deterministic seed-pinned
+    fixture → literal-golden VALUES oracle since round 9; the
+    planted-pair set stays unit-asserted."""
     from streaming_ecom_analytics_spark.functions import multimodal
 
     media = multimodal.synthesize_media(spark, n=48, with_dups=True)
@@ -1695,29 +1696,29 @@ def q_bpe_learned_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_counts(docs, merges, top=50)
 
 
-@register("audio_near_dups", None)
+@register("audio_near_dups", _media_golden.AUDIO_NEAR_DUPS_GOLDEN_SQL)
 def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate pairs: Haitsma-Kalker-style spectral hash
     (time-derivative of adjacent-band log energies with a deadband)
     over real WAV decode, joined through the shared chunk-blocked
     Hamming kernel. Fixture plants a -36 dB noisy re-take of every 4th
-    clip at media_id+1000; exactly those pairs match. Rows-only: FFT
-    band energies have no SQL oracle; the planted-pair set is
-    unit-asserted."""
+    clip at media_id+1000; exactly those pairs match. Deterministic →
+    literal-golden VALUES oracle since round 9; the planted-pair set
+    stays unit-asserted."""
     from streaming_ecom_analytics_spark.functions import multimodal
 
     media = multimodal.synthesize_audio_with_dups(spark, n=32)
     return multimodal.audio_near_dups(media)
 
 
-@register("video_near_dups", None)
+@register("video_near_dups", _media_golden.VIDEO_NEAR_DUPS_GOLDEN_SQL)
 def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate pairs: temporal-majority frame dHash over
     real y4m decode through the shared chunk-blocked Hamming kernel —
     completing the text/image/audio/video perceptual-dedup family.
     Fixture plants a noisy re-take of every 3rd clip; exactly those
-    pairs match (unit-asserted). Rows-only: pixel decode has no SQL
-    oracle."""
+    pairs match (unit-asserted). Deterministic → literal-golden VALUES
+    oracle since round 9 (plans/_media_golden.py)."""
     from streaming_ecom_analytics_spark.functions import multimodal
 
     media = multimodal.synthesize_video_with_dups(spark, n=12)

@@ -40,20 +40,17 @@ def test_rows_only_queries_run(spark, name):
 # recurrence, path-equivalence unit-tested instead). A query silently
 # LOSING its oracle — rq.oracle regressing to None — lands here and
 # fails the assertion below (round-5 verdict #7: driver-sample rotation
-# insurance). Round 9: image_features/audio_features left this set —
-# their outputs are deterministic seeded fixtures, so they now carry
-# literal-golden VALUES oracles (plans/_media_golden.py, round-8
-# verdict #6); the remaining media entries have nondeterministic-free
-# but VARIABLE-length outputs (near-dup pair sets over the same
-# fixtures) that the same approach could pin next.
+# insurance). Round 9: the entire media family left this set — their
+# outputs are deterministic sf-INDEPENDENT seeded fixtures, so they
+# now carry literal-golden VALUES oracles (plans/_media_golden.py,
+# round-8 verdict #6). What remains is exactly the corpus-DEPENDENT
+# non-SQL-expressible residue: a golden would be wrong at any other
+# sf_dir, and no SQL twin exists (no DEFLATE in SQL; BPE training is a
+# greedy corpus-wide recurrence) — each is unit-tested instead.
 EXPECTED_ROWS_ONLY = {
-    "audio_near_dups",
     "bpe_learned_merges",
     "bpe_learned_token_counts",
     "doc_compression_ratio",  # no DEFLATE in SQL; zlib level pinned, unit-tested
-    "image_near_dups",
-    "video_features",
-    "video_near_dups",
 }
 
 
