@@ -36,10 +36,20 @@ engine's own telemetry:
    restates the SLO margins at 10x with a measured saturation point
    instead of an extrapolated one.
 
-Usage: python scripts/stream_bench.py > STREAMBENCH_r8.json
+5. saturation_sweep_100x (round-8 verdict #4): the round-8 sweep never
+   reached the knee — p95 stayed under the trigger at its largest
+   buildable batch (1M rows), so "≥100k rows/s/view" was a LOWER
+   BOUND, not a measured capacity. This sweep replays the 100x probe
+   events (scale_probe/sf10, 10M rows) at 1M/3.3M/10M rows per
+   micro-batch so p95 actually crosses the 10 s trigger and
+   saturated_within_measured_range flips true — the knee becomes a
+   measured number.
+
+Usage: python scripts/stream_bench.py > STREAMBENCH_r9.json
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_STREAM_PROBE_DIR (default /root/repo/scale_probe/sf1;
-     set empty to skip the sweep).
+     set empty to skip the sweeps),
+     SPARK_GRAFT_STREAM_PROBE100_DIR (default /root/repo/scale_probe/sf10).
 """
 
 from __future__ import annotations
@@ -146,20 +156,23 @@ def _run_replay(spark, root: str, src: str, label: str, mft: int) -> dict:
 TRIGGER_INTERVAL_MS = 10_000  # dashboard cadence for the knee definition
 
 
-def _saturation_sweep(spark, root: str, probe_dir: str) -> dict:
-    """Batch-size sweep over the 10x probe events: p95 batch duration
-    and per-view throughput as rows/batch grows. The knee = largest
-    batch size whose p95 still fits a 10 s trigger interval (beyond it
-    a processing-time trigger at that cadence falls behind and queues);
+def _saturation_sweep(
+    spark, root: str, probe_dir: str, *, tag: str = "10x",
+    dpfs: tuple[int, ...] = (1, 3, 10, 30),
+) -> dict:
+    """Batch-size sweep over probe events: p95 batch duration and
+    per-view throughput as rows/batch grows. The knee = largest batch
+    size whose p95 still fits a 10 s trigger interval (beyond it a
+    processing-time trigger at that cadence falls behind and queues);
     the largest batch's rows/s is the saturation throughput (batch
     overhead fully amortized)."""
-    sweep_root = f"{root}/sweep10x"  # distinct from the sf0.1 sources
+    sweep_root = f"{root}/sweep{tag}"  # distinct from the sf0.1 sources
     points = []
-    for dpf in (1, 3, 10, 30):
+    for dpf in dpfs:
         src, n_files, total = _write_day_files(
             spark, probe_dir, sweep_root, days_per_file=dpf
         )
-        r = _run_replay(spark, sweep_root, src, f"sweep_{dpf}d", mft=1)
+        r = _run_replay(spark, sweep_root, src, f"sweep{tag}_{dpf}d", mft=1)
         points.append(
             {
                 "days_per_batch": dpf,
@@ -193,8 +206,79 @@ def _saturation_sweep(spark, root: str, probe_dir: str) -> dict:
             else "p95 exceeds the trigger interval at every measured batch size"
         ),
         "saturation_rows_per_sec_per_view": top["rows_per_sec_per_view"],
-        "freshness_slo_margin_x_at_10x_worst_batch": round(
+        f"freshness_slo_margin_x_at_{tag}_worst_batch": round(
             FRESHNESS_SLO_MS / max(p["p95_batch_ms"] for p in points), 1
+        ),
+    }
+
+
+def _megabatch_saturation(
+    spark, root: str, probe_dir: str, *, factors: tuple[int, ...] = (3, 6)
+) -> dict:
+    """Find the ACTUAL knee (round-8 verdict #4): even 10M-row batches
+    measured p95 ≈ 3.7 s — the probe data simply isn't big enough to
+    saturate a 32-core batch. Build K-fold replicas of the 100x probe
+    events (event_id/user_id shifted per replica so row count AND key
+    cardinality scale honestly — the windowed state grows with K, not
+    just the input) and replay each as ONE micro-batch until p95
+    crosses the 10 s trigger. Replication is a documented synthetic
+    scale-up: timestamps keep the 30-day span, so per-window density
+    grows K-fold, exactly like a K× busier shop."""
+    from streaming_ecom_analytics_spark import catalog as cat
+
+    base = cat.events(spark, probe_dir)
+    base_rows = base.count()
+    points = []
+    for k in factors:
+        reps = [
+            base.withColumn("event_id", F.col("event_id") + F.lit(i * 10**10))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 10**7))
+            for i in range(k)
+        ]
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        src = f"{root}/mega_{k}"
+        big.coalesce(8).write.mode("overwrite").parquet(src)
+        r = _run_replay(spark, root, src, f"mega_{k}", mft=64)
+        points.append(
+            {
+                "replication_factor": k,
+                "rows_per_batch": base_rows * k,
+                "p95_batch_ms": r["p95_batch_ms"],
+                "rows_per_sec_per_view": r["rows_per_sec_per_view"],
+                "wall_seconds": r["wall_seconds"],
+            }
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        if r["p95_batch_ms"] > TRIGGER_INTERVAL_MS:
+            break  # crossed the trigger — the knee is bracketed
+    under = [p for p in points if p["p95_batch_ms"] <= TRIGGER_INTERVAL_MS]
+    over = [p for p in points if p["p95_batch_ms"] > TRIGGER_INTERVAL_MS]
+    saturated = bool(over)
+    knee = max(under, key=lambda p: p["rows_per_batch"]) if under else None
+    return {
+        "probe_dir": probe_dir,
+        "trigger_interval_ms": TRIGGER_INTERVAL_MS,
+        "protocol": (
+            "K-fold id-shifted replicas of the 100x probe events, one "
+            "micro-batch each, through the same 3 concurrent views"
+        ),
+        "saturated_within_measured_range": saturated,
+        "points": points,
+        "measured_knee": (
+            {
+                "largest_batch_under_trigger_rows": knee["rows_per_batch"],
+                "its_p95_batch_ms": knee["p95_batch_ms"],
+                "sustainable_rows_per_sec_per_view_at_10s_trigger": round(
+                    knee["rows_per_batch"] / (TRIGGER_INTERVAL_MS / 1000), 1
+                ),
+                "first_batch_over_trigger_rows": (
+                    over[0]["rows_per_batch"] if over else None
+                ),
+            }
+            if knee
+            else None
         ),
     }
 
@@ -256,6 +340,20 @@ def main() -> int:
         }
         if probe_dir and os.path.isdir(probe_dir):
             doc["saturation_sweep_10x"] = _saturation_sweep(spark, root, probe_dir)
+        probe100 = os.environ.get(
+            "SPARK_GRAFT_STREAM_PROBE100_DIR", str(REPO / "scale_probe" / "sf10")
+        )
+        if probe100 and os.path.isdir(probe100):
+            # 10M probe rows at 3/10/30 days per batch = 1M/3.3M/10M
+            # rows per micro-batch
+            doc["saturation_sweep_100x"] = _saturation_sweep(
+                spark, root, probe100, tag="100x", dpfs=(3, 10, 30)
+            )
+            # ...and if even 10M/batch stays under the trigger,
+            # replicate until p95 crosses it — the measured knee
+            doc["saturation_megabatch"] = _megabatch_saturation(
+                spark, root, probe100, factors=(3, 6, 12)
+            )
         json.dump(doc, sys.stdout, indent=1)
         sys.stdout.write("\n")
         return 0
