@@ -3781,3 +3781,231 @@ def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism (pinned zlib level 6) and planted-value behavior are
     unit-tested (tests/test_text.py)."""
     return text.compression_ratio(catalog.documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + embedding-cosine fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+# Both arms rank with exact-integer or fixed-fold-order scores (BM25
+# micros, sequential-fold cosine rounded to 6 dp), ties broken by id,
+# so the per-arm ranks — and therefore the fused 1/(k+r) doubles, which
+# are assembled from those integer ranks with the identical expression
+# on both engines — are bit-identical. Rank 0 = "not in that arm's
+# top-50" (the RRF term for a missing arm is 0).
+_HYBRID_RRF_ORACLE = r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS total_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(ROUND(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_dl / n_docs))),
+               6) * 1000000) AS BIGINT) AS micros
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ),
+    lex_top AS (
+      SELECT doc_id, SUM(micros) / 1000000.0 AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 50
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+      FROM lex_top
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    vec_top AS (
+      SELECT doc_id, cosine FROM cos ORDER BY cosine DESC, doc_id ASC LIMIT 50
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_vec
+      FROM vec_top
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(l.r_lex, 0) AS r_lex,
+             COALESCE(v.r_vec, 0) AS r_vec,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), CAST(0.0 AS DOUBLE)) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_vec AS BIGINT) AS r_vec,
+           ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC LIMIT 15
+"""
+
+
+@register("hybrid_search_rrf", _HYBRID_RRF_ORACLE)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the lexical arm ranks documents by BM25 for the query
+    {spark, join, window}, the vector arm ranks the embedding corpus
+    by exact cosine to the query vector (vec_id 0), and the fused
+    score is RRF = sum over arms of 1/(60 + rank), rank 0 (= absent
+    from that arm's top-50) contributing 0 — the standard fusion of a
+    search/curation loop that has both an inverted index and an ANN
+    index over the same corpus.
+
+    Scale shape: each arm is the already-scale-safe retrieval operator
+    (BM25's single explode + query-postings shuffle; cosine's
+    broadcast-query corpus scan), and the fusion itself joins two
+    top-50 frames — constant-size work regardless of corpus size. The
+    per-arm window ranks partition on the query id (a real multi-query
+    hybrid search fans out here), so no global window is introduced."""
+    from pyspark.sql import Window as W
+
+    docs = catalog.documents(spark, sf_dir)
+    emb = catalog.embeddings(spark, sf_dir)
+
+    lex_top = text.bm25_rank(
+        docs, query_terms=("spark", "join", "window"), top_k=50
+    ).withColumn("qid", F.lit(0))
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+
+    queries = emb.filter(F.col("vec_id") == 0)
+    vec_top = similarity.cosine_topk(emb, queries, k=50)
+    vec = vec_top.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+        .alias("r_vec"),
+    )
+
+    one = F.lit(1.0).cast("double")
+    zero = F.lit(0.0).cast("double")
+    fused = (
+        lex.join(vec, on="doc_id", how="full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce(F.col("r_vec"), F.lit(0)).cast("long").alias("r_vec"),
+            (
+                F.coalesce(one / (F.lit(60) + F.col("r_lex")), zero)
+                + F.coalesce(one / (F.lit(60) + F.col("r_vec")), zero)
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", "r_lex", "r_vec", F.round("rrf", 6).alias("rrf_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout effectiveness: per-bucket min/max + probe-skip report
+# ---------------------------------------------------------------------------
+
+
+def _zorder_sql_interleave(bits: int = 8) -> str:
+    """The Morton interleave of quantized columns qu (bit i -> 2i) and
+    qv (bit i -> 2i+1) as a plain SQL OR-chain — the exact integer
+    twin of operators/layout.py::zorder_key's expression tree."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((qu >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((qv >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_SKIP_ORACLE = f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(user_id AS DOUBLE)) AS umin, MAX(CAST(user_id AS DOUBLE)) AS umax,
+             MIN(CAST(value AS DOUBLE)) AS vmin, MAX(CAST(value AS DOUBLE)) AS vmax
+      FROM events
+    ),
+    quant AS (
+      SELECT user_id, value,
+             LEAST(CAST(FLOOR(
+               (CASE WHEN (umax - umin) > 0
+                     THEN (CAST(user_id AS DOUBLE) - umin) / (umax - umin)
+                     ELSE 0.0 END) * 256) AS BIGINT), 255) AS qu,
+             LEAST(CAST(FLOOR(
+               (CASE WHEN (vmax - vmin) > 0
+                     THEN (CAST(value AS DOUBLE) - vmin) / (vmax - vmin)
+                     ELSE 0.0 END) * 256) AS BIGINT), 255) AS qv
+      FROM events CROSS JOIN bounds
+    ),
+    keyed AS (
+      SELECT user_id, value,
+             ({_zorder_sql_interleave(8)}) >> 6 AS bucket
+      FROM quant
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           COUNT(CASE WHEN user_id BETWEEN 40 AND 80
+                       AND value BETWEEN 100.0 AND 200.0 THEN 1 END) AS rows_matching,
+           (MAX(user_id) >= 40 AND MIN(user_id) <= 80
+            AND MAX(value) >= 100.0 AND MIN(value) <= 200.0) AS scanned
+    FROM keyed
+    GROUP BY bucket
+"""
+
+
+@register("zorder_data_skipping", _ZORDER_SKIP_ORACLE)
+def q_zorder_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout effectiveness report — the driver-checkable twin
+    of operators/layout.py (whose file-level behavior is pinned by
+    tests/test_layout.py against real parquet row-group stats): Morton-
+    interleave (user_id, value) at 8 bits/dim, group rows into the
+    64-cell z-buckets a z-ordered writer would emit as files, and emit
+    each bucket's min/max envelope plus whether a two-column probe box
+    (user_id 40-80 AND value 100-200) would have to scan it. At 100 TB
+    the `scanned` column IS the file-skipping decision parquet min/max
+    stats make after write_zordered; SUM(rows_matching)/SUM(n_rows
+    WHERE scanned) is the measured selectivity the layout buys. The
+    whole plan is one scalar min/max aggregate (broadcast back) + one
+    hash aggregate on the interleaved key — bit-exact integer/double
+    math, no UDF, no sort."""
+    from streaming_ecom_analytics_spark.operators import layout
+
+    ev = catalog.events(spark, sf_dir).select("user_id", "value")
+    keyed = layout.zorder_key(ev, ["user_id", "value"], bits=8).select(
+        "user_id", "value", F.shiftright(F.col("__z"), 6).alias("bucket")
+    )
+    probe = (
+        F.col("user_id").between(40, 80) & F.col("value").between(100.0, 200.0)
+    )
+    return keyed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.when(probe, 1)).alias("rows_matching"),
+        (
+            (F.max("user_id") >= 40)
+            & (F.min("user_id") <= 80)
+            & (F.max("value") >= 100.0)
+            & (F.min("value") <= 200.0)
+        ).alias("scanned"),
+    )
