@@ -3873,20 +3873,20 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BM25's single explode + query-postings shuffle; cosine's
     broadcast-query corpus scan), and the fusion itself joins two
     top-50 frames — constant-size work regardless of corpus size. The
-    per-arm window ranks partition on the query id (a real multi-query
-    hybrid search fans out here), so no global window is introduced."""
+    lexical rank is a global window over a frame ALREADY reduced to
+    top_k=50 rows by TakeOrderedAndProject (allowlisted — the bounded-
+    frame category PLANS.md documents); the vector rank partitions on
+    query_id (a real multi-query hybrid search fans out there)."""
     from pyspark.sql import Window as W
 
     docs = catalog.documents(spark, sf_dir)
     emb = catalog.embeddings(spark, sf_dir)
 
-    lex_top = text.bm25_rank(
-        docs, query_terms=("spark", "join", "window"), top_k=50
-    ).withColumn("qid", F.lit(0))
+    lex_top = text.bm25_rank(docs, query_terms=("spark", "join", "window"), top_k=50)
     lex = lex_top.select(
         "doc_id",
         F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id")))
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
         .alias("r_lex"),
     )
 

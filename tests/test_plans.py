@@ -914,6 +914,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "embedding_centroid_auc": 1,
     "gapfilled_highvalue_revenue": 1,
     "heavy_hitters_mg": 1,
+    # lexical rank over bm25_rank's top_k=50 output — the frame is
+    # reduced to 50 rows by TakeOrderedAndProject BEFORE the window
+    "hybrid_search_rrf": 1,
     "jaccard_band_histogram": 1,
     "orders_mom_growth": 1,
     "part_skyline": 1,
