@@ -510,13 +510,24 @@ def _near_dup_candidates_block(
         .groupBy("bid")
         .agg(F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs"))
     )
+    # Block-pair enumeration as an explode + EQUI-join, not the naive
+    # non-equi self-join on bid_a <= bid_b: a range self-join compiles
+    # to BroadcastNestedLoopJoin only while the packed-block frame fits
+    # the broadcast threshold, then silently degrades to a
+    # CartesianProduct (caught by the probe's per-decade join-strategy
+    # telemetry at 10x). Exploding each block's partner-id list keeps
+    # the identical (N/B)² replication volume but ships it through a
+    # hash-partitioned join at every scale.
     a = blocks.select(
-        F.col("bid").alias("bid_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+        F.col("bid").alias("bid_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+        F.explode(F.sequence(F.col("bid"), F.lit(n_blocks - 1))).alias("bid_b"),
     )
     b = blocks.select(
         F.col("bid").alias("bid_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
     )
-    pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+    pairs = a.join(b, on="bid_b")
     margin = 1e-6
 
     def score(batches):
