@@ -169,7 +169,7 @@ def main() -> None:
     # changed-since runs must never clobber the committed full-sweep
     # artifact — they go to a scratch file unless explicitly redirected
     default_out = (
-        REPO / "BENCH_LOCAL_r8.json" if mode == "full" else REPO / "BENCH_CHANGED.json"
+        REPO / "BENCH_LOCAL_r9.json" if mode == "full" else REPO / "BENCH_CHANGED.json"
     )
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", str(default_out))
     try:
