@@ -1677,3 +1677,269 @@ def kmeans_fit_trace(
     for t in traces[1:]:
         out = out.unionAll(t)
     return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_rows: int | None = None,
+    method: str = "ivf",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space, find semantic
+    duplicates (cosine ≥ threshold) WITHIN each cluster, and keep one
+    representative per duplicate group: the member FURTHEST from its
+    cluster centroid (the paper's low-similarity-to-centroid keep rule,
+    which preserves the cluster's diversity), ties to the lowest id.
+
+    Determinism/oracle surface: centroids are the k lowest-id vectors
+    (the fixed-centroid kmeans convention, `_assigned_pairs`), pair
+    membership uses the exact sequential-fold cosine rounded to 6 dp,
+    groups are connected components, and centroid distance is floored
+    to integer micros — every step SQL-mirrored, so the full
+    keep/drop decision is value-level checkable.
+
+    Scale shape: the paper clusters so that duplicate search is
+    cluster-local; here the candidate generation is the IVF similarity
+    join (linear, `_near_dup_candidates_ivf`) and the cluster-locality
+    constraint is applied as a FILTER on the verified pairs — the
+    same output, but candidate volume never depends on k, so a small
+    interpretable k (the oracle's k=8) does not force occ² work on
+    corpus/k-sized clusters. Assignment is a broadcast cross join of k
+    centroids (one partial-aggregable struct-min, no window); the keep
+    rule is a per-group struct-max; components are the O(log n)
+    large/small-star rounds. No step is quadratic in the corpus.
+
+    Output: (vec_id, cluster_id, group_id, d2_micros, keep) — one row
+    per vector; keep=1 marks the retained representative (singletons
+    keep themselves).
+    """
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+    from streaming_ecom_analytics_spark.functions import dedup
+
+    assigned = _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    asg = persist_tracked(
+        assigned.select(
+            "vec_id",
+            "cluster_id",
+            F.floor(F.col("d2") * F.lit(1000000.0)).cast("long").alias(
+                "d2_micros"
+            ),
+        )
+    )  # feeds the pair filter, the component join, and the keep rule
+    pairs = embedding_near_dup_pairs(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_rows=n_rows,
+        method=method,
+    ).select("id_a", "id_b")
+    ca = asg.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("__ca")
+    )
+    cb = asg.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("__cb")
+    )
+    same_cluster = (
+        pairs.join(ca, on="id_a")
+        .join(cb, on="id_b")
+        .filter(F.col("__ca") == F.col("__cb"))
+        .select("id_a", "id_b")
+    )
+    comp = dedup.dup_clusters(
+        asg.select("vec_id"), same_cluster, id_col="vec_id", src="id_a", dst="id_b"
+    ).select("vec_id", F.col("cluster_id").alias("group_id"))
+    j = comp.join(asg, on="vec_id")
+    keepers = (
+        j.groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("d2_micros"), (-F.col("vec_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select("group_id", (-F.col("b.neg_id")).alias("__keeper_id"))
+    )
+    return j.join(keepers, on="group_id").select(
+        "vec_id",
+        "cluster_id",
+        "group_id",
+        "d2_micros",
+        (F.col("vec_id") == F.col("__keeper_id")).cast("long").alias("keep"),
+    )
+
+
+def embedding_int8_quant_report(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension scalar int8 quantization report — the artifact a
+    pipeline shipping quantized embeddings (4× smaller ANN indexes /
+    training shards) needs before flipping the switch: for each
+    dimension, the corpus min/max that define the affine scale
+    s = (max−min)/255, the total and worst absolute reconstruction
+    error after round-trip x → code = floor((x−min)/s + 0.5) ∈ [0,255]
+    → x̂ = min + code·s, and the hard bound check |x−x̂| ≤ s/2 (floor of
+    u+0.5 never misses by more than half a step; a violation means the
+    clamp or the scale is wrong).
+
+    Everything is closed-form deterministic double arithmetic (one
+    division defines s; no round(), whose half-way rule differs across
+    engines) and error totals are order-independent integer-micro
+    sums — bit-mirrored by the SQL twin. Two aggregate passes over the
+    corpus (min/max, then errors vs the broadcast stats row), each a
+    map-side-combining hash aggregate of 2·dim scalar aggs; no explode,
+    no shuffle of vectors, no UDF. Constant dimensions (max = min)
+    quantize to code 0 with zero error.
+
+    Output: (dim_idx 1-based, vmin_micros, vmax_micros,
+    sum_abs_err_micros, max_abs_err_micros, bound_ok) — dim rows.
+    """
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    x = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # the 1-row stats frame feeds both the error pass and the final
+    # projection — persist it so its corpus scan runs once, not twice
+    stats = persist_tracked(
+        x.agg(
+            *[F.min(F.col("v")[i]).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(F.col("v")[i]).alias(f"mx{i}") for i in range(dim)],
+        )
+    )
+    joined = x.crossJoin(F.broadcast(stats))
+    err_aggs = []
+    for i in range(dim):
+        mn, mx, val = F.col(f"mn{i}"), F.col(f"mx{i}"), F.col("v")[i]
+        sc = (mx - mn) / F.lit(255.0)
+        code = F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0), F.floor((val - mn) / sc + F.lit(0.5)).cast("double")
+            ),
+        )
+        err = F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.abs(val - (mn + code * sc))
+        )
+        em = F.floor(err * F.lit(1000000.0)).cast("long")
+        err_aggs.append(F.sum(em).alias(f"se{i}"))
+        err_aggs.append(F.max(em).alias(f"me{i}"))
+    errs = joined.agg(*err_aggs).crossJoin(F.broadcast(stats))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("dim_idx"),
+                F.floor(F.col(f"mn{i}") * F.lit(1000000.0))
+                .cast("long")
+                .alias("vmin_micros"),
+                F.floor(F.col(f"mx{i}") * F.lit(1000000.0))
+                .cast("long")
+                .alias("vmax_micros"),
+                F.col(f"se{i}").alias("sum_abs_err_micros"),
+                F.col(f"me{i}").alias("max_abs_err_micros"),
+                (
+                    F.col(f"me{i}")
+                    <= F.floor(
+                        (F.col(f"mx{i}") - F.col(f"mn{i}"))
+                        / F.lit(255.0)
+                        * F.lit(500000.0)
+                    )
+                ).alias("bound_ok"),
+            )
+            for i in range(dim)
+        ]
+    )
+    return errs.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def kmeans_coreset_sample(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    m: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = ":cs7",
+) -> DataFrame:
+    """Sensitivity-sampled k-means CORESET (Feldman & Langberg 2011 /
+    Bachem, Lucic & Krause 2018 survey form): keep each point with
+    probability p_i = min(1, m·s_i), where the sensitivity upper bound
+    s_i = ½·d²_i/Σd² + ½/n mixes the point's share of the clustering
+    cost (far points are irreplaceable) with a uniform floor (dense
+    regions still represented), and weight kept points by 1/p_i so
+    weighted cost estimates stay unbiased — the standard data-pruning
+    primitive for training-set reduction.
+
+    Determinism/oracle surface: centroids are the k lowest-id vectors
+    (`_assigned_pairs`), per-row cost is floored to integer micros
+    BEFORE the global sum (order-independent exact long), and the coin
+    is the seeded md5 uniform u_i = (hex32(md5(id||salt)) + ½)/2³² —
+    every arithmetic step bit-mirrored in SQL, so the exact sampled
+    set and weights are value-level checkable.
+
+    Scale shape: one broadcast-k assignment pass, one scalar aggregate
+    (n, Σd²) broadcast back, per-row coin math — no shuffle beyond the
+    struct-min assignment's partial aggregation; the output is ~m rows
+    regardless of corpus size.
+
+    Output: (vec_id, cluster_id, d2_micros, p_micros, weight_micros)
+    for kept rows only.
+    """
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    assigned = _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    # the narrow (id, cluster, cost) grain frame feeds BOTH the scalar
+    # totals and the coin pass — persist it once (the cuped/cusum
+    # grain-frame convention) so the broadcast-k assignment runs once
+    asg = persist_tracked(
+        assigned.select(
+            "vec_id",
+            "cluster_id",
+            F.floor(F.col("d2") * F.lit(1000000.0)).cast("long").alias(
+                "d2_micros"
+            ),
+        )
+    )
+    totals = asg.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("d2_micros").alias("total_micros"),
+    )
+    x = asg.crossJoin(F.broadcast(totals))
+    sens = (
+        F.lit(0.5) * F.col("d2_micros").cast("double")
+        / F.col("total_micros").cast("double")
+        + F.lit(0.5) / F.col("n_rows").cast("double")
+    )
+    p = F.least(F.lit(1.0), F.lit(float(m)) * sens)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    return (
+        x.withColumn("__p", p)
+        .filter(u < F.col("__p"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "d2_micros",
+            F.floor(F.col("__p") * F.lit(1000000.0)).cast("long").alias(
+                "p_micros"
+            ),
+            F.floor(F.lit(1000000.0) / F.col("__p")).cast("long").alias(
+                "weight_micros"
+            ),
+        )
+    )

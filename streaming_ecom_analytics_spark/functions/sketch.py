@@ -387,3 +387,174 @@ def misra_gries_check(
         )
         .orderBy(F.desc("exact_count"), F.asc("item"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch — deterministic, fully-mergeable quantile sketch with a
+# relative-error guarantee (Masson, Rim & Lee, VLDB 2019).
+# ---------------------------------------------------------------------------
+
+
+def ddsketch_gamma(alpha: float) -> float:
+    """The bucket growth factor: buckets are (γ^(i-1), γ^i] with
+    γ = (1+α)/(1-α), so the geometric bucket midpoint 2γ^i/(γ+1) is
+    within relative error α of EVERY value in the bucket."""
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def ddsketch_build(
+    values: DataFrame,
+    col: str,
+    *,
+    alpha: float = 0.01,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build a DDSketch per group: (group_cols..., bucket, c).
+
+    Unlike KLL/t-digest the sketch is DETERMINISTIC and its merge is a
+    plain counter sum — so a distributed build is independent of
+    partitioning/aggregation order (bit-reproducible, engine-mirrored
+    by a SQL twin) and partial aggregation compresses every partition
+    map-side to the bucket count, which is bounded by the VALUE RANGE
+    (ceil(log_γ(max/min)) buckets), never by the corpus size. Only
+    strictly-positive values are sketched (standard DDSketch domain;
+    callers route zeros/negatives to their own counters if needed).
+
+    The bucket index is ceil(round(ln(x)/ln(γ), 6)): the 6-dp round
+    absorbs cross-engine ln() last-ULP differences that would
+    otherwise flip ceil at bucket boundaries (the repo's ROUND(...,6)
+    parity convention)."""
+    import math
+
+    lng = math.log(ddsketch_gamma(alpha))
+    bucket = F.ceil(F.round(F.log(F.col(col)) / F.lit(lng), 6)).alias("bucket")
+    return (
+        values.filter(F.col(col) > 0)
+        .groupBy(*group_cols, bucket)
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def ddsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches of disjoint corpora: union + counter re-sum.
+    Exactly equals the sketch of the concatenated corpus (unit-pinned)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "c"]
+    return out.groupBy(*keys).agg(F.sum("c").alias("c"))
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    *,
+    alpha: float = 0.01,
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from a DDSketch: for integer percentile p the
+    target rank is (p·(n-1)) div 100 + 1 (1-indexed, integer-exact in
+    both engines — no float rank boundaries), the answer bucket is the
+    smallest whose cumulative count reaches that rank, and the estimate
+    is the geometric bucket midpoint 2γ^i/(γ+1) — guaranteed within
+    relative error α of the true rank element (unit-pinned vs numpy).
+
+    Output: (group_cols..., q_pct, n_pos, bucket, est_micros). The
+    cumulative window is partitioned by the group and ordered by
+    bucket — its frame is the per-group BUCKET list, bounded by the
+    value range (not the corpus), so the sort is sketch-sized."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    g = ddsketch_gamma(alpha)
+    spark = sketch.sparkSession
+    qf = spark.createDataFrame([(int(p),) for p in q_pcts], "q_pct long")
+    # the sketch frame is tiny (range-bounded buckets) but its subtree
+    # is a full corpus scan — persist so totals + the cumulative walk
+    # share ONE build instead of scanning twice
+    sketch = persist_tracked(sketch)
+    totals = sketch.groupBy(*group_cols).agg(F.sum("c").alias("n_pos"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("c").over(w))
+    # both sides derive from `sketch` — rename the rank side's group
+    # columns so the equi-join keys are unambiguous (no self-join
+    # column lineage)
+    ranks = (
+        totals.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols], "n_pos"
+        )
+        .crossJoin(F.broadcast(qf))
+        .withColumn("rank_1", F.expr("q_pct * (n_pos - 1) div 100") + F.lit(1))
+    )
+    on = [F.col(c) == F.col(f"__g_{c}") for c in group_cols] or [F.lit(True)]
+    picked = (
+        cum.join(
+            ranks,
+            on=[*on, F.col("cum") >= F.col("rank_1")],
+        )
+        .groupBy(
+            *[F.col(f"__g_{c}").alias(c) for c in group_cols], "q_pct", "n_pos"
+        )
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = (
+        F.lit(2.0)
+        * F.pow(F.lit(g), F.col("bucket").cast("double"))
+        / F.lit(g + 1.0)
+    )
+    return picked.select(
+        *group_cols,
+        "q_pct",
+        "n_pos",
+        "bucket",
+        F.floor(est * F.lit(1000000.0)).cast("long").alias("est_micros"),
+    )
+
+
+def windowed_ddsketch(
+    events: DataFrame,
+    *,
+    col: str,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    watermark: str | None = "1 hour",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch per event-time window — streaming quantiles with
+    HARD-BOUNDED state: at most #buckets counters per open window
+    (bounded by the value RANGE, not the stream volume or cardinality),
+    and because both the bucket function and the merge (counter sum)
+    are deterministic, the streaming grid is bit-equal to the batch
+    twin no matter how micro-batches split the data (unit-pinned, the
+    windowed_count_min pattern).
+
+    Works identically on a batch frame (watermark=None) — the batch
+    twin is the test oracle. Output: (window_start, window_end,
+    bucket, c); feed ``ddsketch_quantiles`` with
+    group_cols=("window_start", "window_end") for per-window p50/p99.
+    """
+    import math
+
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    lng = math.log(ddsketch_gamma(alpha))
+    bucket = F.ceil(F.round(F.log(F.col(col)) / F.lit(lng), 6)).alias("bucket")
+    return (
+        df.filter(F.col(col) > 0)
+        .groupBy(F.window(F.col(ts_col), window), bucket)
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "c",
+        )
+    )

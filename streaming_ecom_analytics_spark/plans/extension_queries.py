@@ -4009,3 +4009,317 @@ def q_zorder_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.min("value") <= 200.0)
         ).alias("scanned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 session-2 additions: deterministic quantile sketch, semantic
+# dedup (SemDeDup), int8 embedding quantization, DP-noised release.
+# ---------------------------------------------------------------------------
+
+# γ = (1+α)/(1-α) for α = 0.01 and its log, as shared double literals:
+# BOTH engines divide by / exponentiate the SAME parsed-double constant
+# (shortest-repr round-trip), so the only cross-engine float surface is
+# ln(value) itself, absorbed by the ROUND(...,6) convention.
+_DD_ALPHA = 0.01
+_DD_GAMMA = 1.02020202020202
+_DD_LNG = 0.020000666706669435
+
+_DDSKETCH_ORACLE = f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(CEIL(ROUND(LN(value) / {_DD_LNG!r}, 6)) AS BIGINT) AS bucket,
+             COUNT(*) AS c
+      FROM events WHERE value > 0
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+    cum AS (
+      SELECT event_type, bucket,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket)
+                  AS BIGINT) AS cum
+      FROM b
+    ),
+    r AS (
+      SELECT t.event_type, CAST(q.q_pct AS BIGINT) AS q_pct, t.n_pos,
+             (CAST(q.q_pct AS BIGINT) * (t.n_pos - 1)) // 100 + 1 AS rank_1
+      FROM t CROSS JOIN (SELECT * FROM (VALUES (50), (90), (99)) AS v(q_pct)) q
+    ),
+    pick AS (
+      SELECT r.event_type, r.q_pct, r.n_pos, MIN(cum.bucket) AS bucket
+      FROM r JOIN cum ON cum.event_type = r.event_type AND cum.cum >= r.rank_1
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, q_pct, n_pos, bucket,
+           CAST(FLOOR(2.0 * POW({_DD_GAMMA!r}, bucket) / ({_DD_GAMMA!r} + 1.0)
+                      * 1000000.0) AS BIGINT) AS est_micros
+    FROM pick
+"""
+
+
+@register("ddsketch_value_quantiles", _DDSKETCH_ORACLE)
+def q_ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per event type from a DDSketch
+    (Masson, Rim & Lee, VLDB 2019) — the deterministic, fully-mergeable
+    quantile sketch: bucket = ceil(log_γ(x)), merge = counter sum, so
+    the distributed build is independent of partitioning/aggregation
+    order and the WHOLE sketch pipeline is bit-mirrored by the SQL
+    twin (unlike KLL/t-digest, whose merge is order-sensitive and at
+    best bound-checkable). The estimate is the geometric bucket
+    midpoint, guaranteed within relative error α=1% of the true
+    rank-element (unit-pinned vs numpy; the oracle pins the exact
+    arithmetic). 100 TB posture: the map-side partial aggregate
+    compresses every partition to ≤ #buckets rows — bounded by the
+    VALUE RANGE (≈ log_γ(max/min) ≈ 560 buckets for a 0.01..327 value
+    span), never the corpus — and the quantile walk is a window over
+    per-group bucket lists, sketch-sized by construction."""
+    from streaming_ecom_analytics_spark.functions import sketch as sk
+
+    ev = catalog.events(spark, sf_dir).select("event_type", "value")
+    dd = sk.ddsketch_build(
+        ev, "value", alpha=_DD_ALPHA, group_cols=("event_type",)
+    )
+    return sk.ddsketch_quantiles(
+        dd, alpha=_DD_ALPHA, q_pcts=(50, 90, 99), group_cols=("event_type",)
+    )
+
+
+_SEMANTIC_DEDUP_ORACLE = _KMEANS_ASSIGN_ORACLE_BODY.replace(
+    "WITH c AS", "WITH RECURSIVE c AS", 1
+) + """
+    , pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.vec_id < b.vec_id AND a.cluster_id = b.cluster_id
+      WHERE ROUND(list_dot_product(a.xv, b.xv)
+                  / (sqrt(list_dot_product(a.xv, a.xv))
+                     * sqrt(list_dot_product(b.xv, b.xv))), 6) >= 0.45
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS group_id FROM reach GROUP BY a),
+    jn AS (
+      SELECT c.vec_id, s.cluster_id, c.group_id,
+             CAST(FLOOR(s.d2 * 1000000.0) AS BIGINT) AS d2_micros
+      FROM comp c JOIN assigned s USING (vec_id)
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY group_id ORDER BY d2_micros DESC, vec_id ASC
+      ) AS rn FROM jn
+    )
+    SELECT vec_id, cluster_id, group_id, d2_micros,
+           CAST(rn = 1 AS BIGINT) AS keep
+    FROM rk
+"""
+
+
+@register("semantic_dedup_prune", _SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023) over the embedding
+    corpus: fixed-centroid k-means clusters (k=8, the lowest-id-vector
+    convention shared with kmeans_assign_fixed), cosine-≥0.45 duplicate
+    groups WITHIN each cluster, keep the member furthest from its
+    centroid per group. The whole keep/drop decision — assignment,
+    pair set, components, keep rule — is value-level checked against a
+    recursive-CTE oracle. Candidates come from the linear IVF
+    similarity join and the cluster constraint is a filter, so the
+    cost profile is the embedding_dup_clusters_scalable one (probe exp
+    0.58), independent of k."""
+    emb = catalog.embeddings(spark, sf_dir)
+    return similarity.semantic_dedup(
+        emb,
+        k=8,
+        threshold=0.45,
+        dim=64,
+        n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
+        method="ivf",
+    )
+
+
+_INT8_QUANT_ORACLE = """
+    WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (
+      SELECT i AS dim_idx, v[i] AS val
+      FROM x, UNNEST(generate_series(1, 64)) AS t(i)
+    ),
+    st AS (SELECT dim_idx, MIN(val) AS mn, MAX(val) AS mx FROM ex GROUP BY dim_idx),
+    er AS (
+      SELECT e.dim_idx,
+        CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+             ELSE CAST(FLOOR(ABS(e.val - (s.mn
+                  + LEAST(255.0, GREATEST(0.0,
+                      FLOOR((e.val - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5)))
+                    * ((s.mx - s.mn) / 255.0))) * 1000000.0) AS BIGINT)
+        END AS em
+      FROM ex e JOIN st s USING (dim_idx)
+    )
+    SELECT CAST(s.dim_idx AS BIGINT) AS dim_idx,
+           CAST(FLOOR(s.mn * 1000000.0) AS BIGINT) AS vmin_micros,
+           CAST(FLOOR(s.mx * 1000000.0) AS BIGINT) AS vmax_micros,
+           CAST(SUM(er.em) AS BIGINT) AS sum_abs_err_micros,
+           CAST(MAX(er.em) AS BIGINT) AS max_abs_err_micros,
+           MAX(er.em) <= FLOOR((s.mx - s.mn) / 255.0 * 500000.0) AS bound_ok
+    FROM er JOIN st s USING (dim_idx)
+    GROUP BY s.dim_idx, s.mn, s.mx
+"""
+
+
+@register("embedding_int8_quantization", _INT8_QUANT_ORACLE)
+def q_embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit for the embedding corpus: per-dim
+    affine scales and round-trip reconstruction error, with the hard
+    |x−x̂| ≤ scale/2 bound as an in-row falsifiable contract — the
+    go/no-go report before shipping 4×-smaller quantized embeddings to
+    ANN serving or training shards. Two map-side-combining aggregate
+    passes (stats, then errors vs the broadcast stats row); no explode,
+    no vector shuffle, no UDF — at 100 TB this is two columnar scans."""
+    return similarity.embedding_int8_quant_report(
+        catalog.embeddings(spark, sf_dir), dim=64
+    )
+
+
+_DP_NOISED_ORACLE = """
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+             COUNT(*) AS n_events
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT event_date, n_events,
+             md5(strftime(event_date, '%Y-%m-%d') || ':dp7') AS hx
+      FROM d
+    ),
+    u AS (
+      SELECT event_date, n_events,
+             ((  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 268435456
+               + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16777216
+               + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 1048576
+               + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 65536
+               + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1)
+              ) + 0.5) / 4294967296.0 AS u
+      FROM h
+    )
+    SELECT event_date, n_events,
+           CAST(FLOOR(-SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))
+                      * 1000000.0) AS BIGINT) AS noise_micros,
+           n_events * 1000000
+             + CAST(FLOOR(-SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))
+                          * 1000000.0) AS BIGINT) AS noised_micros
+    FROM u
+"""
+
+
+@register("dp_noised_daily_counts", _DP_NOISED_ORACLE)
+def q_dp_noised_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differential-privacy-SHAPED release of the daily purchase
+    counts: Laplace(1/ε) noise (ε=1, sensitivity 1 for user-level
+    add/remove on a per-day count) added via the inverse-CDF transform
+    X = −(1/ε)·sgn(u−½)·ln(1−2|u−½|). The uniform u is DERIVED FROM A
+    SEEDED md5 OF THE RELEASED KEY — deterministic so the mechanism is
+    engine-mirrorable and regression-testable end to end; an actual
+    privacy deployment must draw u from a CSPRNG instead (a
+    public-seed hash provides NO privacy — this query verifies the
+    release pipeline's arithmetic, not a privacy guarantee). Noise is
+    floored to integer micros directly (never round-then-rescale,
+    which parks values exactly on floor boundaries), so the released
+    integers are cross-engine exact. One hash aggregate + per-row
+    expressions; noise math never shuffles."""
+    ev = catalog.events(spark, sf_dir)
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("event_date"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.date_format("event_date", "yyyy-MM-dd"), F.lit(":dp7")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    noise_micros = (
+        F.floor(
+            -F.signum(u - F.lit(0.5))
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+    )
+    return base.select(
+        "event_date",
+        "n_events",
+        noise_micros.alias("noise_micros"),
+        (F.col("n_events") * F.lit(1000000) + noise_micros).alias(
+            "noised_micros"
+        ),
+    )
+
+
+def _sql_hex32(expr: str) -> str:
+    """DuckDB twin of Spark's CONV(SUBSTRING(md5(x),1,8),16,10): fold
+    the first 8 hex chars of md5(expr) into a 32-bit integer."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
+_CORESET_ORACLE = _KMEANS_ASSIGN_ORACLE_BODY + f"""
+    , asg AS (
+      SELECT vec_id, cluster_id,
+             CAST(FLOOR(d2 * 1000000.0) AS BIGINT) AS d2_micros
+      FROM assigned
+    ),
+    t AS (
+      SELECT COUNT(*) AS n_rows, CAST(SUM(d2_micros) AS BIGINT) AS total_micros
+      FROM asg
+    ),
+    s AS (
+      SELECT vec_id, cluster_id, d2_micros,
+             LEAST(1.0, 64.0 * (0.5 * CAST(d2_micros AS DOUBLE)
+                                     / CAST(total_micros AS DOUBLE)
+                                 + 0.5 / CAST(n_rows AS DOUBLE))) AS p,
+             ({_sql_hex32("CAST(vec_id AS VARCHAR) || ':cs7'")} + 0.5)
+               / 4294967296.0 AS u
+      FROM asg CROSS JOIN t
+    )
+    SELECT vec_id, cluster_id, d2_micros,
+           CAST(FLOOR(p * 1000000.0) AS BIGINT) AS p_micros,
+           CAST(FLOOR(1000000.0 / p) AS BIGINT) AS weight_micros
+    FROM s WHERE u < p
+"""
+
+
+@register("kmeans_coreset_sample", _CORESET_ORACLE)
+def q_kmeans_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity-sampled k-means coreset (m=64 target over the fixed
+    k=8 centroids) — the data-pruning primitive: every point kept with
+    probability ∝ its share of the clustering cost plus a uniform
+    floor, weighted 1/p for unbiased downstream estimates. The full
+    sampled set and weights are value-level oracle-checked (integer-
+    micro cost sums, seeded md5 coins). One assignment pass + one
+    scalar aggregate broadcast back; output is ~m rows at any corpus
+    size."""
+    return similarity.kmeans_coreset_sample(
+        catalog.embeddings(spark, sf_dir), k=8, m=64
+    )

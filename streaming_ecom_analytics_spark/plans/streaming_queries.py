@@ -545,3 +545,72 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("n_events") == 1, 1)) / F.count("*"), 6
         ).alias("bounce_rate"),
     )
+
+
+_DD_15M_ORACLE = """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+             time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+               AS window_end,
+             CAST(CEIL(ROUND(LN(value) / 0.020000666706669435, 6)) AS BIGINT)
+               AS bucket,
+             COUNT(*) AS c
+      FROM events WHERE value > 0
+      GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT window_start, window_end, CAST(SUM(c) AS BIGINT) AS n_pos
+      FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT window_start, window_end, bucket,
+             CAST(SUM(c) OVER (PARTITION BY window_start, window_end
+                               ORDER BY bucket) AS BIGINT) AS cum
+      FROM b
+    ),
+    r AS (
+      SELECT t.window_start, t.window_end,
+             CAST(q.q_pct AS BIGINT) AS q_pct, t.n_pos,
+             (CAST(q.q_pct AS BIGINT) * (t.n_pos - 1)) // 100 + 1 AS rank_1
+      FROM t CROSS JOIN (SELECT * FROM (VALUES (50), (99)) AS v(q_pct)) q
+    ),
+    pick AS (
+      SELECT r.window_start, r.window_end, r.q_pct, r.n_pos,
+             MIN(cum.bucket) AS bucket
+      FROM r JOIN cum
+        ON cum.window_start = r.window_start
+       AND cum.window_end = r.window_end
+       AND cum.cum >= r.rank_1
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT window_start, window_end, q_pct, n_pos, bucket,
+           CAST(FLOOR(2.0 * POW(1.02020202020202, bucket)
+                      / (1.02020202020202 + 1.0) * 1000000.0) AS BIGINT)
+             AS est_micros
+    FROM pick
+"""
+
+
+@register("ddsketch_value_quantiles_15m", _DD_15M_ORACLE)
+def q_ddsketch_value_quantiles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-15-minute-window p50/p99 of event value from the windowed
+    DDSketch — the streaming-quantile SLO tile (latency/price
+    percentiles per window) with state bounded by the value range per
+    open window, not the stream volume. This is the batch twin of
+    functions/sketch.windowed_ddsketch (streaming==batch grid equality
+    is pinned in tests/test_streaming.py; the sketch's determinism is
+    what makes that equality exact); the whole pipeline — bucketing,
+    merge, rank walk, midpoint estimate — is bit-mirrored by the SQL
+    oracle."""
+    from streaming_ecom_analytics_spark.functions import sketch as sk
+
+    ev = catalog.events(spark, sf_dir)
+    grid = sk.windowed_ddsketch(
+        ev, col="value", window="15 minutes", watermark=None, alpha=0.01
+    )
+    return sk.ddsketch_quantiles(
+        grid,
+        alpha=0.01,
+        q_pcts=(50, 99),
+        group_cols=("window_start", "window_end"),
+    )

@@ -1,0 +1,245 @@
+"""Round-9 session-2 operators: DDSketch quantiles, SemDeDup semantic
+pruning, int8 embedding quantization, DP-noised release.
+
+The registered queries' value-level parity runs in test_oracle_parity;
+these tests pin the operator-level contracts the oracles can't express:
+the DDSketch merge identity and α-relative-error guarantee, the
+SemDeDup keep rule on a crafted corpus, the quantization error bound on
+adversarial columns, and the DP release's determinism/shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_ecom_analytics_spark.functions import sketch as sk
+from streaming_ecom_analytics_spark.functions import similarity
+
+
+ALPHA = 0.01
+
+
+def _values_df(spark, vals, group=None):
+    rows = [(group if group is not None else "g", float(v)) for v in vals]
+    return spark.createDataFrame(rows, "grp string, value double")
+
+
+class TestDDSketch:
+    def test_merge_equals_whole_corpus_sketch(self, spark):
+        rng = np.random.default_rng(7)
+        a = rng.lognormal(2.0, 1.0, 400).tolist()
+        b = rng.lognormal(1.0, 0.5, 300).tolist()
+        whole = sk.ddsketch_build(
+            _values_df(spark, a + b), "value", alpha=ALPHA, group_cols=("grp",)
+        )
+        merged = sk.ddsketch_merge(
+            sk.ddsketch_build(
+                _values_df(spark, a), "value", alpha=ALPHA, group_cols=("grp",)
+            ),
+            sk.ddsketch_build(
+                _values_df(spark, b), "value", alpha=ALPHA, group_cols=("grp",)
+            ),
+        )
+        wrows = {(r.grp, r.bucket): r.c for r in whole.collect()}
+        mrows = {(r.grp, r.bucket): r.c for r in merged.collect()}
+        assert wrows == mrows  # merge IS the whole-corpus sketch, exactly
+
+    def test_relative_error_guarantee_vs_numpy(self, spark):
+        rng = np.random.default_rng(11)
+        vals = np.concatenate(
+            [
+                rng.lognormal(3.0, 1.5, 2000),
+                rng.uniform(0.01, 5.0, 1000),
+            ]
+        )
+        df = _values_df(spark, vals.tolist())
+        dd = sk.ddsketch_build(df, "value", alpha=ALPHA, group_cols=("grp",))
+        out = sk.ddsketch_quantiles(
+            dd, alpha=ALPHA, q_pcts=(50, 90, 99), group_cols=("grp",)
+        ).collect()
+        assert len(out) == 3
+        srt = np.sort(vals)
+        n = len(srt)
+        for r in out:
+            rank = (r.q_pct * (n - 1)) // 100  # 0-indexed target element
+            exact = srt[rank]
+            est = r.est_micros / 1e6
+            # DDSketch hard guarantee: the bucket midpoint is within α
+            # of every member, hence of the rank element (plus the
+            # 1-micro flooring slack)
+            assert abs(est - exact) <= ALPHA * exact + 2e-6, (
+                r.q_pct,
+                est,
+                exact,
+            )
+            assert r.n_pos == n
+
+    def test_nonpositive_values_excluded(self, spark):
+        df = _values_df(spark, [0.0, -3.0, 1.0, 2.0])
+        dd = sk.ddsketch_build(df, "value", alpha=ALPHA, group_cols=("grp",))
+        assert dd.agg(F.sum("c")).collect()[0][0] == 2
+
+    def test_bucket_count_bounded_by_value_range(self, spark):
+        # 10k values spanning [1, 100]: bucket count must track the
+        # RANGE (log_gamma(100) ~ 230), not the corpus size
+        rng = np.random.default_rng(3)
+        vals = rng.uniform(1.0, 100.0, 10_000).tolist()
+        dd = sk.ddsketch_build(
+            _values_df(spark, vals), "value", alpha=ALPHA, group_cols=("grp",)
+        )
+        n_buckets = dd.count()
+        limit = math.ceil(math.log(100.0) / math.log(sk.ddsketch_gamma(ALPHA))) + 2
+        assert n_buckets <= limit
+
+
+class TestSemanticDedup:
+    def _emb_df(self, spark, vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_keep_rule_keeps_furthest_from_centroid(self, spark):
+        # centroids = 2 lowest-id vectors (k=2). Build one duplicate
+        # group near centroid 0 with members at increasing distance,
+        # plus an isolated singleton near centroid 1.
+        base = np.zeros(8)
+        base[0] = 1.0
+        far = np.zeros(8)
+        far[1] = 1.0
+        group = [
+            base,  # id 0 -> centroid 0
+            far,  # id 1 -> centroid 1
+            base + 0.01,  # id 2: dup of 0, closer to centroid
+            base + np.full(8, 0.02),  # id 3: dup, furthest from centroid 0
+        ]
+        out = similarity.semantic_dedup(
+            self._emb_df(spark, group),
+            k=2,
+            threshold=0.9,
+            method="block",
+        )
+        rows = {r.vec_id: r for r in out.collect()}
+        assert len(rows) == 4
+        dup_group = {i for i in rows if rows[i].group_id == 0}
+        assert dup_group == {0, 2, 3}
+        kept = [i for i in dup_group if rows[i].keep == 1]
+        # id 3 has the largest centroid distance in the group
+        assert kept == [3]
+        assert rows[1].keep == 1  # singleton keeps itself
+        d2s = [rows[i].d2_micros for i in sorted(dup_group)]
+        assert max(d2s) == rows[3].d2_micros
+
+    def test_exactly_one_keeper_per_group(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(60, 8))
+        # plant duplicate runs
+        vecs[10] = vecs[11] = vecs[12]
+        vecs[20] = vecs[21]
+        out = similarity.semantic_dedup(
+            self._emb_df(spark, vecs), k=4, threshold=0.95, method="block"
+        )
+        per_group = (
+            out.groupBy("group_id").agg(F.sum("keep").alias("k")).collect()
+        )
+        assert all(r.k == 1 for r in per_group)
+
+
+class TestInt8Quant:
+    def _df(self, spark, mat):
+        rows = [([float(x) for x in r],) for r in mat]
+        return spark.createDataFrame(rows, "embedding array<float>")
+
+    def test_bound_holds_and_constant_dim_is_zero_error(self, spark):
+        rng = np.random.default_rng(9)
+        mat = rng.normal(size=(200, 4)).astype(np.float32)
+        mat[:, 2] = 1.25  # constant dimension: scale 0 -> zero error
+        out = similarity.embedding_int8_quant_report(
+            self._df(spark, mat), dim=4
+        ).collect()
+        assert len(out) == 4
+        by_dim = {r.dim_idx: r for r in out}
+        assert all(r.bound_ok for r in out)
+        assert by_dim[3].sum_abs_err_micros == 0
+        assert by_dim[3].max_abs_err_micros == 0
+        # non-constant dims: max error <= scale/2 against numpy
+        for d in (1, 2, 4):
+            col = mat[:, d - 1].astype(np.float64)
+            mn, mx = col.min(), col.max()
+            if mx == mn:
+                continue
+            sc = (mx - mn) / 255.0
+            code = np.clip(np.floor((col - mn) / sc + 0.5), 0, 255)
+            err = np.abs(col - (mn + code * sc))
+            assert by_dim[d].max_abs_err_micros <= math.floor(sc / 2 * 1e6)
+            assert by_dim[d].sum_abs_err_micros == int(
+                np.sum(np.floor(err * 1e6))
+            )
+
+    def test_two_point_column_quantizes_exactly(self, spark):
+        # values at exactly min and max land on codes 0/255: zero error
+        mat = np.array([[0.0], [1.0], [0.0], [1.0]])
+        out = similarity.embedding_int8_quant_report(
+            self._df(spark, mat), dim=1
+        ).collect()
+        assert out[0].sum_abs_err_micros == 0
+        assert out[0].bound_ok
+
+
+class TestDPNoise:
+    def test_release_is_deterministic_and_integer_consistent(self, spark):
+        from streaming_ecom_analytics_spark.plans import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        fn = REGISTRY["dp_noised_daily_counts"].fn
+        a = {r.event_date: r for r in fn(spark, sf).collect()}
+        b = {r.event_date: r for r in fn(spark, sf).collect()}
+        assert a.keys() == b.keys() and len(a) > 0
+        for d in a:
+            assert a[d].noise_micros == b[d].noise_micros
+            assert (
+                a[d].noised_micros
+                == a[d].n_events * 1_000_000 + a[d].noise_micros
+            )
+
+    def test_noise_scale_matches_laplace_b1(self, spark):
+        # Laplace(b=1): |noise| has mean b; across ~30 seeded days the
+        # sample mean should sit well inside [0.2, 3] * b
+        from streaming_ecom_analytics_spark.plans import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        rows = REGISTRY["dp_noised_daily_counts"].fn(spark, sf).collect()
+        mean_abs = np.mean([abs(r.noise_micros) / 1e6 for r in rows])
+        assert 0.2 <= mean_abs <= 3.0
+
+
+class TestCoreset:
+    def test_outlier_always_kept_and_weights_consistent(self, spark):
+        rng = np.random.default_rng(13)
+        vecs = rng.normal(size=(300, 8)) * 0.1
+        vecs[250] = np.full(8, 50.0)  # dominates the cost -> p = 1
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = similarity.kmeans_coreset_sample(df, k=4, m=32)
+        got = {r.vec_id: r for r in out.collect()}
+        assert 250 in got
+        assert got[250].p_micros == 1_000_000
+        assert got[250].weight_micros == 1_000_000
+        for r in got.values():
+            # weight = floor(1e6 / p); reconstruct from p_micros within
+            # the two floors' slack
+            assert r.p_micros <= 1_000_000
+            approx_w = 1e12 / r.p_micros
+            assert abs(r.weight_micros - approx_w) <= approx_w * 0.01 + 2
+
+    def test_sample_size_tracks_target(self, spark):
+        rng = np.random.default_rng(17)
+        vecs = rng.normal(size=(500, 8))
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        n = similarity.kmeans_coreset_sample(df, k=8, m=64).count()
+        # E[n] = sum(min(1, m*s_i)) ~ m; seeded coins make this exact
+        # per corpus — assert the sane band, not the RNG
+        assert 32 <= n <= 128

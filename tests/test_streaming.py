@@ -625,3 +625,36 @@ def test_late_dlq_null_event_time_quarantined_not_lost(spark, tmp_path):
     )
     assert {r.event_id for r in b1.collect()} == {3}
     assert {r.event_id for r in spark.read.parquet(dlq).collect()} == {2, 4, 5}
+
+
+def test_windowed_ddsketch_streaming_matches_batch(spark, events_dir):
+    """The streaming windowed DDSketch grid must equal the batch
+    twin's bit-for-bit: bucket placement and merge (counter sum) are
+    deterministic, so micro-batch boundaries cannot change the grid —
+    the property that makes per-window quantile SLOs replayable."""
+    from streaming_ecom_analytics_spark.functions import sketch as sk
+
+    stream = _stream(spark, events_dir)
+    agg = sk.windowed_ddsketch(
+        stream, col="value", window="15 minutes", watermark="1 hour"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dd_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.bucket): r.c
+        for r in spark.sql("SELECT * FROM dd_out").collect()
+    }
+    batch = spark.read.parquet(events_dir + "/*")
+    want = {
+        (r.window_start, r.bucket): r.c
+        for r in sk.windowed_ddsketch(
+            batch, col="value", window="15 minutes", watermark=None
+        ).collect()
+    }
+    assert got == want and len(got) > 0
