@@ -61,6 +61,19 @@ INDEXES = [
         lambda emb, q: similarity.ivfpq_topk(emb, q, k=5, dim=64),
         0.40,
     ),
+    # round-9 session-2: exact scoring over the int8-dequantized corpus
+    # — the compression-fidelity trend. The query side is the SAME
+    # dequantized view filtered to the standard query ids (corpus-wide
+    # scales, matching the registered contract exactly).
+    (
+        "ann_int8_topk",
+        lambda emb, q: (
+            lambda deq: similarity.cosine_topk_blas(
+                deq, deq.join(q.select("vec_id"), on="vec_id"), k=5
+            )
+        )(similarity.embedding_int8_dequantized(emb, dim=64)),
+        0.85,
+    ),
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

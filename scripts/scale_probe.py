@@ -65,6 +65,13 @@ PROBE_QUERIES = [
     "embedding_near_dups_scalable",
     "embedding_dup_clusters_scalable",
     "near_dup_jaccard_capped",
+    # round-9 session-2 additions: the new sketch/curation-policy tier's
+    # scale claims (range-bounded DDSketch state, k-independent SemDeDup,
+    # two-scan int8 audit, ~m-row coreset) get measured exponents too
+    "ddsketch_value_quantiles_15m",
+    "semantic_dedup_prune",
+    "embedding_int8_quantization",
+    "kmeans_coreset_sample",
 ]
 
 # (label, dir, relative scale). Override with SPARK_GRAFT_PROBE_SCALES =

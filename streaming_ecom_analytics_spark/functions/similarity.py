@@ -1805,17 +1805,10 @@ def embedding_int8_quant_report(
     Output: (dim_idx 1-based, vmin_micros, vmax_micros,
     sum_abs_err_micros, max_abs_err_micros, bound_ok) — dim rows.
     """
-    from streaming_ecom_analytics_spark.caching import persist_tracked
-
     x = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
     # the 1-row stats frame feeds both the error pass and the final
     # projection — persist it so its corpus scan runs once, not twice
-    stats = persist_tracked(
-        x.agg(
-            *[F.min(F.col("v")[i]).alias(f"mn{i}") for i in range(dim)],
-            *[F.max(F.col("v")[i]).alias(f"mx{i}") for i in range(dim)],
-        )
-    )
+    stats = _int8_stats(x, dim)
     joined = x.crossJoin(F.broadcast(stats))
     err_aggs = []
     for i in range(dim):
@@ -1914,7 +1907,13 @@ def kmeans_coreset_sample(
         F.sum("d2_micros").alias("total_micros"),
     )
     x = asg.crossJoin(F.broadcast(totals))
-    sens = (
+    # degenerate corpus (every point ON a centroid → Σd² = 0): the cost
+    # share is 0/0 — fall back to pure uniform sensitivity instead of
+    # letting NaN silently empty the sample
+    sens = F.when(
+        F.col("total_micros") == 0,
+        F.lit(1.0) / F.col("n_rows").cast("double"),
+    ).otherwise(
         F.lit(0.5) * F.col("d2_micros").cast("double")
         / F.col("total_micros").cast("double")
         + F.lit(0.5) / F.col("n_rows").cast("double")
@@ -1942,4 +1941,66 @@ def kmeans_coreset_sample(
                 "weight_micros"
             ),
         )
+    )
+
+
+def _int8_stats(x: DataFrame, dim: int) -> DataFrame:
+    """Persisted 1-row per-dim min/max frame (mn0..mn{d-1}, mx0..) over
+    a (v array<double>) frame — the affine-scale definition shared by
+    the int8 report and the dequantized retrieval view."""
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    return persist_tracked(
+        x.agg(
+            *[F.min(F.col("v")[i]).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(F.col("v")[i]).alias(f"mx{i}") for i in range(dim)],
+        )
+    )
+
+
+def embedding_int8_dequantized(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus as an int8-quantized index would score it: every
+    vector round-tripped through the per-dim affine int8 codes
+    (embedding_int8_quant_report's exact scheme — same stats frame,
+    same floor(u+0.5) code rule). Feeding this view to the exact
+    top-k scorer measures precisely the retrieval fidelity a
+    4×-compressed index loses — nothing else changes. Constant
+    dimensions dequantize to their constant. One broadcast stats row +
+    a per-row JVM transform; vectors never shuffle.
+
+    Output: (id_col, vec_col array<double>) — drop-in for the topk
+    scorers.
+    """
+    x = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    stats = _int8_stats(x.select("v"), dim)
+    mn_arr = F.array(*[F.col(f"mn{i}") for i in range(dim)])
+    sc_arr = F.array(
+        *[
+            (F.col(f"mx{i}") - F.col(f"mn{i}")) / F.lit(255.0)
+            for i in range(dim)
+        ]
+    )
+    j = x.crossJoin(F.broadcast(stats)).select(
+        id_col, "v", mn_arr.alias("__mn"), sc_arr.alias("__sc")
+    )
+
+    def _deq(xv, i):
+        mn = F.get(F.col("__mn"), i)
+        sc = F.get(F.col("__sc"), i)
+        code = F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.floor((xv - mn) / sc + F.lit(0.5)).cast("double")),
+        )
+        return F.when(sc == 0, mn).otherwise(mn + code * sc)
+
+    return j.select(
+        id_col, F.transform("v", _deq).alias(vec_col)
     )

@@ -462,7 +462,10 @@ def ddsketch_quantiles(
     Output: (group_cols..., q_pct, n_pos, bucket, est_micros). The
     cumulative window is partitioned by the group and ordered by
     bucket — its frame is the per-group BUCKET list, bounded by the
-    value range (not the corpus), so the sort is sketch-sized."""
+    value range (not the corpus), so the sort is sketch-sized. With
+    empty ``group_cols`` the rank join degenerates to a (bounded)
+    range-only join between two SKETCH-sized frames — still never
+    corpus-scaled, but grouped callers get a plain equi-join."""
     import math
 
     from pyspark.sql.window import Window

@@ -243,3 +243,40 @@ class TestCoreset:
         # E[n] = sum(min(1, m*s_i)) ~ m; seeded coins make this exact
         # per corpus — assert the sane band, not the RNG
         assert 32 <= n <= 128
+
+
+class TestInt8Retrieval:
+    def test_contract_green_and_quantization_is_real(self, spark):
+        from streaming_ecom_analytics_spark import catalog
+        from streaming_ecom_analytics_spark.plans import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        row = REGISTRY["ann_int8_topk"].fn(spark, sf).collect()
+        assert len(row) == 1 and row[0].mean_recall_ok and row[0].n_queries == 10
+        # the dequantized view must actually differ from the raw
+        # vectors (float32 values rarely sit exactly on the int8 grid)
+        emb = catalog.embeddings(spark, sf).limit(5)
+        deq = similarity.embedding_int8_dequantized(emb, dim=64)
+        raw = {r.vec_id: r.embedding for r in emb.collect()}
+        got = {r.vec_id: r.embedding for r in deq.collect()}
+        diffs = [
+            abs(float(a) - b)
+            for vid in raw
+            for a, b in zip(raw[vid], got[vid])
+        ]
+        assert max(diffs) > 0.0
+        # and each coordinate moved at most half a quantization step
+        # (step <= (max-min)/255 over the 5-row sample's parent corpus
+        # is not recoverable here; the report test pins the exact bound)
+
+
+class TestCoresetDegenerate:
+    def test_degenerate_corpus_falls_back_to_uniform(self, spark):
+        # every point identical -> sum(d2)=0: sensitivity must fall
+        # back to uniform, not NaN-empty the sample
+        rows = [(i, [1.0] * 8) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = similarity.kmeans_coreset_sample(df, k=4, m=100).collect()
+        # m >= n -> p = min(1, 100/50) = 1: everything kept, weight 1
+        assert len(out) == 50
+        assert all(r.p_micros == 1_000_000 and r.weight_micros == 1_000_000 for r in out)
