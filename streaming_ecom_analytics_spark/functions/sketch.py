@@ -466,8 +466,6 @@ def ddsketch_quantiles(
     empty ``group_cols`` the rank join degenerates to a (bounded)
     range-only join between two SKETCH-sized frames — still never
     corpus-scaled, but grouped callers get a plain equi-join."""
-    import math
-
     from pyspark.sql.window import Window
 
     from streaming_ecom_analytics_spark.caching import persist_tracked
