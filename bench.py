@@ -104,6 +104,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     from streaming_ecom_analytics_spark.caching import release_tracked
+    from streaming_ecom_analytics_spark.hostprobe import host_fixture
+
+    # Host-throughput stamp (round-9 verdict: the +46% common-query
+    # drift was adjudicated as host variance from telemetry breadth —
+    # this fixture makes the next such shift a measured divisor).
+    host = host_fixture(spark)
+    print(f"bench: host fixture {host}", file=sys.stderr)
 
     # Warm the JVM/codegen/Python-worker paths with a full untimed pass
     # at smoke scale: JIT compilation otherwise lands on whichever
@@ -165,11 +172,12 @@ def main() -> None:
         "runs": runs,
         "mode": mode,
         "aggregation": "median" if runs > 1 else "single",
+        "host": host,
     }
     # changed-since runs must never clobber the committed full-sweep
     # artifact — they go to a scratch file unless explicitly redirected
     default_out = (
-        REPO / "BENCH_LOCAL_r9.json" if mode == "full" else REPO / "BENCH_CHANGED.json"
+        REPO / "BENCH_LOCAL_r10.json" if mode == "full" else REPO / "BENCH_CHANGED.json"
     )
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", str(default_out))
     try:
@@ -193,6 +201,11 @@ def main() -> None:
         "mode": mode,
         "sec_per_query": round(total / max(1, len(timings)), 3),
         "full_map": os.path.basename(out_path),
+        # host-throughput stamp: BLAS GFLOP/s + JVM codegen Mrows/s at
+        # pinned sizes — round-over-round totals divide through these
+        # (hostprobe.py; round-9 verdict #2)
+        "host_gflops": host.get("host_gflops"),
+        "host_jvm_mrows_s": host.get("host_jvm_mrows_s"),
     }
     print(json.dumps(compact))
 

@@ -203,17 +203,28 @@ def main() -> int:
         },
     )
 
+    from streaming_ecom_analytics_spark.hostprobe import host_fixture
+
     for name in PROBE_QUERIES:  # warmup: JIT + codegen, untimed
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
         release_tracked()
 
+    # host-throughput stamp per decade (round-9 verdict #2/#5: the r9
+    # artifacts mixed a fast-BLAS and a slow-BLAS session and every
+    # reader had to go through SCALE.md's adjudication prose — with a
+    # fixture PER SCALE, an exponent read off two decades carries its
+    # own host-consistency evidence)
+    host_stamps: dict[str, dict] = {}
+
     timings: dict[str, dict[str, float]] = {n: {} for n in PROBE_QUERIES}
     guards: dict[str, dict[str, str]] = {n: {} for n in PROBE_QUERIES}
     shuffles: dict[str, dict[str, dict[str, int]]] = {n: {} for n in PROBE_QUERIES}
     joins: dict[str, dict[str, dict[str, int]]] = {n: {} for n in PROBE_QUERIES}
     for label, sf_dir, _scale in SCALES:
+        host_stamps[label] = host_fixture(spark)
+        print(f"scale_probe: {label} host fixture {host_stamps[label]}", file=sys.stderr)
         samples: dict[str, list[float]] = {n: [] for n in PROBE_QUERIES}
         for run_i in range(runs):
             for name in PROBE_QUERIES:
@@ -319,6 +330,17 @@ def main() -> int:
         "runs_per_scale": runs,
         "aggregation": "median (timings); first-run diff of the status REST API's completed-stage totals (shuffle/spill) and SQL-graph join-node counts (join strategies, AQE-final)",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # pinned BLAS-GEMM + JVM-codegen throughput measured at the
+        # START of each decade's timed block (hostprobe.py): exponents
+        # are only comparable when these agree across decades, and a
+        # disagreement is now a number in the artifact, not a story
+        "host": {
+            lab: {k: v for k, v in st.items() if not isinstance(v, dict)}
+            for lab, st in host_stamps.items()
+        },
+        "host_end": {
+            k: v for k, v in host_fixture(spark).items() if not isinstance(v, dict)
+        },
         "queries": out,
         "totals": {
             lab: round(
