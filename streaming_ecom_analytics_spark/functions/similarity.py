@@ -1796,62 +1796,63 @@ def embedding_int8_quant_report(
     Everything is closed-form deterministic double arithmetic (one
     division defines s; no round(), whose half-way rule differs across
     engines) and error totals are order-independent integer-micro
-    sums — bit-mirrored by the SQL twin. Two aggregate passes over the
-    corpus (min/max, then errors vs the broadcast stats row), each a
-    map-side-combining hash aggregate of 2·dim scalar aggs; no explode,
-    no shuffle of vectors, no UDF. Constant dimensions (max = min)
-    quantize to code 0 with zero error.
+    sums — bit-mirrored by the SQL twin. Plan shape (round-10 rewrite):
+    posexplode to (pos, val) rows and hash-aggregate keyed by the
+    64-value ``pos`` — two map-side-combining passes (min/max, then
+    errors vs the dim-row broadcast stats). The previous shape kept the
+    vectors un-exploded and compiled 2·dim aggregate expressions per
+    pass plus a dim-wide struct projection: semantically identical,
+    but the 2·64-agg + 384-expression codegen cost a fixed ~10 s at
+    ANY scale (round-9 driver bench: the most expensive query in the
+    suite, 11x the mean, exp 0.21 — pure compile overhead). The
+    exploded form streams n·dim narrow rows through a 64-key partial
+    aggregate instead: identical output values (same floor/least/
+    greatest arithmetic per element), ~100x less generated code. No
+    UDF; vectors never shuffle (the partial aggregate reduces each
+    partition to ≤64 rows map-side). Constant dimensions (max = min)
+    quantize to code 0 with zero error. Empty corpus => 0 rows (the
+    SQL twin's UNNEST pipeline agrees; the previous shape emitted
+    dim all-null rows from Spark's global-agg-on-empty row —
+    round-9 advisor).
 
     Output: (dim_idx 1-based, vmin_micros, vmax_micros,
     sum_abs_err_micros, max_abs_err_micros, bound_ok) — dim rows.
     """
     x = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
-    # the 1-row stats frame feeds both the error pass and the final
-    # projection — persist it so its corpus scan runs once, not twice
-    stats = _int8_stats(x, dim)
-    joined = x.crossJoin(F.broadcast(stats))
-    err_aggs = []
-    for i in range(dim):
-        mn, mx, val = F.col(f"mn{i}"), F.col(f"mx{i}"), F.col("v")[i]
-        sc = (mx - mn) / F.lit(255.0)
-        code = F.least(
-            F.lit(255.0),
-            F.greatest(
-                F.lit(0.0), F.floor((val - mn) / sc + F.lit(0.5)).cast("double")
-            ),
-        )
-        err = F.when(mx == mn, F.lit(0.0)).otherwise(
-            F.abs(val - (mn + code * sc))
-        )
-        em = F.floor(err * F.lit(1000000.0)).cast("long")
-        err_aggs.append(F.sum(em).alias(f"se{i}"))
-        err_aggs.append(F.max(em).alias(f"me{i}"))
-    errs = joined.agg(*err_aggs).crossJoin(F.broadcast(stats))
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).cast("long").alias("dim_idx"),
-                F.floor(F.col(f"mn{i}") * F.lit(1000000.0))
-                .cast("long")
-                .alias("vmin_micros"),
-                F.floor(F.col(f"mx{i}") * F.lit(1000000.0))
-                .cast("long")
-                .alias("vmax_micros"),
-                F.col(f"se{i}").alias("sum_abs_err_micros"),
-                F.col(f"me{i}").alias("max_abs_err_micros"),
-                (
-                    F.col(f"me{i}")
-                    <= F.floor(
-                        (F.col(f"mx{i}") - F.col(f"mn{i}"))
-                        / F.lit(255.0)
-                        * F.lit(500000.0)
-                    )
-                ).alias("bound_ok"),
-            )
-            for i in range(dim)
-        ]
+    ex = x.select(F.posexplode("v").alias("pos", "val"))
+    # the dim-row stats frame feeds the error pass's broadcast join —
+    # persist it so its corpus scan runs once
+    stats = _int8_stats_rows(ex)
+    mn, mx, val = F.col("mn"), F.col("mx"), F.col("val")
+    sc = (mx - mn) / F.lit(255.0)
+    code = F.least(
+        F.lit(255.0),
+        F.greatest(
+            F.lit(0.0), F.floor((val - mn) / sc + F.lit(0.5)).cast("double")
+        ),
     )
-    return errs.select(F.explode(rows).alias("r")).select("r.*")
+    err = F.when(mx == mn, F.lit(0.0)).otherwise(F.abs(val - (mn + code * sc)))
+    em = F.floor(err * F.lit(1000000.0)).cast("long")
+    return (
+        ex.join(F.broadcast(stats), on="pos")
+        .select("pos", "mn", "mx", em.alias("em"))
+        .groupBy("pos", "mn", "mx")
+        .agg(
+            F.sum("em").alias("sum_abs_err_micros"),
+            F.max("em").alias("max_abs_err_micros"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim_idx"),
+            F.floor(mn * F.lit(1000000.0)).cast("long").alias("vmin_micros"),
+            F.floor(mx * F.lit(1000000.0)).cast("long").alias("vmax_micros"),
+            "sum_abs_err_micros",
+            "max_abs_err_micros",
+            (
+                F.col("max_abs_err_micros")
+                <= F.floor((mx - mn) / F.lit(255.0) * F.lit(500000.0))
+            ).alias("bound_ok"),
+        )
+    )
 
 
 def kmeans_coreset_sample(
@@ -1944,17 +1945,18 @@ def kmeans_coreset_sample(
     )
 
 
-def _int8_stats(x: DataFrame, dim: int) -> DataFrame:
-    """Persisted 1-row per-dim min/max frame (mn0..mn{d-1}, mx0..) over
-    a (v array<double>) frame — the affine-scale definition shared by
-    the int8 report and the dequantized retrieval view."""
+def _int8_stats_rows(ex: DataFrame) -> DataFrame:
+    """Persisted per-dim min/max frame — (pos 0-based, mn, mx), one row
+    per dimension — over a posexploded (pos, val) frame: the affine-
+    scale definition shared by the int8 report and the dequantized
+    retrieval view. A 64-key hash aggregate with map-side combine
+    (each partition reduces to ≤dim rows before the exchange); the
+    previous 1-row 2·dim-agg form compiled 128 aggregate expressions
+    and dominated the suite's bench at ~10 s of fixed codegen."""
     from streaming_ecom_analytics_spark.caching import persist_tracked
 
     return persist_tracked(
-        x.agg(
-            *[F.min(F.col("v")[i]).alias(f"mn{i}") for i in range(dim)],
-            *[F.max(F.col("v")[i]).alias(f"mx{i}") for i in range(dim)],
-        )
+        ex.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     )
 
 
@@ -1980,17 +1982,27 @@ def embedding_int8_dequantized(
     x = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    stats = _int8_stats(x.select("v"), dim)
-    mn_arr = F.array(*[F.col(f"mn{i}") for i in range(dim)])
-    sc_arr = F.array(
-        *[
-            (F.col(f"mx{i}") - F.col(f"mn{i}")) / F.lit(255.0)
-            for i in range(dim)
-        ]
+    stats = _int8_stats_rows(x.select(F.posexplode("v").alias("pos", "val")))
+    # collapse the dim-row stats to pos-ordered arrays (one broadcast
+    # row) — array_sort on struct(pos, ...) orders by pos first, so
+    # F.get(__mn, i) below reads dimension i exactly
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("__mn"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        ((F.col("mx") - F.col("mn")) / F.lit(255.0)).alias("sc"),
+                    )
+                )
+            ),
+            lambda s: s["sc"],
+        ).alias("__sc"),
     )
-    j = x.crossJoin(F.broadcast(stats)).select(
-        id_col, "v", mn_arr.alias("__mn"), sc_arr.alias("__sc")
-    )
+    j = x.crossJoin(F.broadcast(arrs))
 
     def _deq(xv, i):
         mn = F.get(F.col("__mn"), i)
