@@ -601,6 +601,42 @@ def _near_dup_candidates_lsh(
     )
 
 
+def _ivf_training_sample(
+    embeddings: DataFrame, *, id_col: str, vec_col: str, train_rows: int
+):
+    """Bounded, id-sorted driver-side training sample as a normalized
+    float64 matrix (the pq_topk/ivf_topk training policy — one bounded
+    job, the codebook becomes a plan literal), or None when the input
+    is empty. Shared by the IVF-join candidate generator and the Gram
+    cost contract so both see the SAME codebook."""
+    import numpy as np
+
+    sample = [
+        r[0]
+        for r in embeddings.select(vec_col)
+        .orderBy(id_col)
+        .limit(train_rows)
+        .collect()
+    ]
+    if not sample:
+        return None
+    mat = np.asarray(sample, dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return mat
+
+
+def _ivf_centroids(mat, n_lists: int, seed: int):
+    """(k_eff, unit-normalized centroids) from the deterministic numpy
+    Lloyd over a prepared training matrix — the IVF coarse quantizer
+    shared by the join and the cost contract."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k_eff, cent = _lloyd_np(mat, n_lists, rng)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return k_eff, cent
+
+
 def _ivf_auto_n_assign(n_lists: int) -> int:
     """Multi-assignment schedule for the IVF similarity join: m grows
     with log2 of the list count so pair recall holds decade-over-decade
@@ -657,10 +693,15 @@ def _near_dup_candidates_ivf(
     the probe measured it at 59 s / exp 1.12 at the 10x decade vs this
     shape's 2.8-5.5 s — shuffling 40M id pairs costs far more than
     BLAS-scoring them in place. Vectors travel the packing shuffle as
-    little-endian float64 BYTES and each list is scored in
-    applyInPandas: the array<double> + collect_list form spent ~40 s
-    of the 100x point in per-element Python boxing (measured; the
-    whole query now runs that decade in ~30 s, exponent 0.69).
+    little-endian FLOAT32 bytes and each list is scored in
+    applyInPandas as a float32 Gram with a 1e-4 prefilter margin
+    (round 10 — the BLAS-bound-host lever: ~2x sgemm-vs-dgemm
+    throughput and half the shuffle bytes; the margin dwarfs float32
+    rounding so no exact-threshold pair is ever dropped, and the
+    float64 re-verify keeps output bits identical). The
+    array<double> + collect_list form this replaced spent ~40 s of
+    the 100x point in per-element Python boxing (measured; the round-9
+    query ran that decade in ~30 s, exponent 0.69).
 
     Approximate by design: a qualifying pair whose list sets are
     disjoint is missed, so callers hold it to a measured recall
@@ -677,14 +718,10 @@ def _near_dup_candidates_ivf(
     import numpy as np
     import pandas as pd
 
-    sample = [
-        r[0]
-        for r in embeddings.select(vec_col)
-        .orderBy(id_col)
-        .limit(train_rows)
-        .collect()
-    ]
-    if not sample:
+    mat = _ivf_training_sample(
+        embeddings, id_col=id_col, vec_col=vec_col, train_rows=train_rows
+    )
+    if mat is None:
         # empty (or filtered-to-empty) input: np.linalg.norm on a
         # shape-(0,) array raises AxisError at plan construction —
         # return the empty candidate frame the block path would have
@@ -692,13 +729,11 @@ def _near_dup_candidates_ivf(
         return embeddings.sparkSession.createDataFrame(
             [], "id_a long, id_b long"
         )
-    mat = np.asarray(sample, dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     if n_lists is None:
         if n_rows is not None:
             n = n_rows
-        elif len(sample) < train_rows:  # sample not capped → full corpus
-            n = len(sample)
+        elif mat.shape[0] < train_rows:  # sample not capped → full corpus
+            n = mat.shape[0]
         else:
             raise ValueError(
                 "embedding_near_dup_pairs(method='ivf'): auto n_lists needs "
@@ -707,22 +742,33 @@ def _near_dup_candidates_ivf(
                 "n_lists explicitly."
             )
         n_lists = max(4, -(-n // target_occupancy))  # ceil
-    rng = np.random.default_rng(seed)
-    k_eff, cent = _lloyd_np(mat, n_lists, rng)
-    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    k_eff, cent = _ivf_centroids(mat, n_lists, seed)
     if n_assign is None:
         n_assign = _ivf_auto_n_assign(n_lists)
     m = min(n_assign, k_eff)
-    # the assignment threshold travels with the Gram scorer: the margin
-    # guarantees BLAS-vs-fold rounding can't drop a true pair (the
-    # block path's identical argument); the exact verify prunes noise
-    margin_threshold = threshold - 1e-6
+    # the assignment threshold travels with the Gram scorer. Round 10:
+    # the per-list Gram runs in FLOAT32 (the round-9 verdict's "fp16
+    # Gram if recall margin allows" lever, taken at fp32): ~2x BLAS
+    # throughput and half the packing-shuffle bytes, paid for by a
+    # wider prefilter margin — a float32 dot of dim-64 unit vectors is
+    # within (dim+2)·eps_f32 ≈ 8e-6 of the exact value (plus ~2e-7
+    # normalization error), so a 1e-4 margin can NEVER drop a pair
+    # whose exact cosine clears the threshold: candidates only widen,
+    # recall is monotonically >= the float64/1e-6 shape's, and the
+    # exact float64 re-verify prunes the extra margin noise so output
+    # bits are unchanged. (The block path keeps float64 + 1e-6: it is
+    # the EXACT oracle twin and 1e-6 would not dwarf float32 error.)
+    margin_threshold = threshold - 1e-4
 
     def assign(batches):
-        # vectors travel as little-endian float64 BYTES: one compact
-        # Arrow binary per row instead of a Python list per element —
-        # the array<double> form spent ~40 s of the 100x probe point in
-        # object conversion alone
+        # vectors travel as little-endian FLOAT32 bytes: one compact
+        # Arrow binary per row instead of a Python list per element
+        # (the array<double> form spent ~40 s of the 100x probe point
+        # in object conversion alone), and float32 — not float64 —
+        # because the downstream Gram is float32 (see margin note
+        # above): half the shuffle volume for the same verified output.
+        # Assignment top-m stays float64 so the list schedule (and the
+        # RECALL ledger it feeds) is bit-stable across rounds.
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -731,7 +777,7 @@ def _near_dup_candidates_ivf(
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             dots = v @ cent.T  # (n, k_eff) cosine to centroids
             top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
-            rep = np.repeat(v, m, axis=0)
+            rep = np.repeat(v.astype(np.float32), m, axis=0)
             out = pd.DataFrame(
                 {
                     "list_id": top.astype(np.int32).ravel(),
@@ -746,8 +792,8 @@ def _near_dup_candidates_ivf(
     )
 
     # sims row-tile so the Gram scratch is TILE×occ, never occ² — the
-    # raw group input (occ·dim·8 bytes) stays the only occ-linear
-    # allocation in a scoring task
+    # raw group input (occ·dim·4 bytes, float32) stays the only
+    # occ-linear allocation in a scoring task
     tile = 4096
 
     def _emit_pairs(ids_a, mat_a, ids_b, mat_b):
@@ -770,10 +816,10 @@ def _near_dup_candidates_ivf(
         # one group = one IVF list, delivered Arrow-native by
         # applyInPandas (no collect_list re-boxing)
         ids = pdf["id"].to_numpy(dtype=np.int64)
-        mat_l = np.frombuffer(b"".join(pdf["vec"]), dtype="<f8").reshape(
+        mat_l = np.frombuffer(b"".join(pdf["vec"]), dtype="<f4").reshape(
             len(ids), -1
         )
-        # vectors arrive pre-normalized
+        # vectors arrive pre-normalized (float64 norm, then f32 cast)
         return _emit_pairs(ids, mat_l, ids, mat_l)
 
     if max_list_rows is None:
@@ -851,10 +897,10 @@ def _near_dup_candidates_ivf(
             for row in pdf.itertuples(index=False):
                 ids_a = np.asarray(row.ids_a, dtype=np.int64)
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
-                ma = np.frombuffer(b"".join(row.vecs_a), dtype="<f8").reshape(
+                ma = np.frombuffer(b"".join(row.vecs_a), dtype="<f4").reshape(
                     len(ids_a), -1
                 )
-                mb = np.frombuffer(b"".join(row.vecs_b), dtype="<f8").reshape(
+                mb = np.frombuffer(b"".join(row.vecs_b), dtype="<f4").reshape(
                     len(ids_b), -1
                 )
                 yield _emit_pairs(ids_a, ma, ids_b, mb)
@@ -955,6 +1001,108 @@ def pairs_recall_vs_exact(
             >= F.ceil(F.lit(float(min_recall)) * F.col("n_exact_pairs"))
         ).alias("recall_ok"),
     )
+
+
+def ivf_gram_cost_contract(
+    embeddings: DataFrame,
+    *,
+    n_rows: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_occupancy: int = 256,
+    train_rows: int = 65_536,
+    seed: int = 42,
+    max_skew_ratio: int = 4,
+    emit_observed: bool = False,
+) -> DataFrame:
+    """Cost-at-scale contract for the IVF similarity join (round-9
+    verdict #7): one row carrying the join's multi-assignment schedule
+    and its PREDICTED Gram work, plus a falsifiable skew bound on the
+    OBSERVED work — so the join's compute curve is a driver-checkable
+    number alongside its recall, not prose in SCALE.md.
+
+    - ``n_lists`` / ``m_assign`` — the schedule the join derives from
+      the parquet-footer count: n_lists = max(4, ceil(n/occ)),
+      m = max(4, min(32, ceil(1.5·log2(n_lists)))). (The join's
+      effective m is min(m_assign, k_eff); they are equal whenever
+      Lloyd retains ≥ m lists — true on every shipped corpus and
+      unit-asserted.)
+    - ``predicted_gram_mflops`` — the uniform-occupancy model
+      n·occ·m²·dim·2 (each of n/occ lists holds ~occ·m multi-assigned
+      members and costs (occ·m)²·dim·2 flops), in integer megaflops —
+      exactly reproducible by the SQL twin from COUNT(*).
+    - ``gram_skew_ok`` — observed Σ_l cnt_l²·dim·2 (cnt_l from a real
+      assignment pass over the corpus with the SAME codebook the join
+      trains) ≤ max_skew_ratio × predicted. Observed/predicted =
+      1 + CV² of list occupancy, so the default 4 tolerates CV ≤ √3;
+      a skew regression (degenerate centroids, hot lists) flips the
+      boolean. The exact measured ratio per decade lives in the RECALL
+      ledger, where cross-engine exactness is not required.
+
+    One bounded training job + one columnar assignment-count scan
+    (int32 list ids only — no vector bytes); scalar aggregate output.
+    ``emit_observed=True`` adds the raw ``observed_gram_mflops``
+    column for ledgers (scripts/recall_report.py) — data-dependent on
+    the trained codebook, hence NOT part of the oracle-checked row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_lists = max(4, -(-n_rows // target_occupancy))  # ceil
+    m_sched = _ivf_auto_n_assign(n_lists)
+    predicted_mflops = (
+        n_rows * target_occupancy * m_sched * m_sched * dim * 2 // 1_000_000
+    )
+    mat = _ivf_training_sample(
+        embeddings, id_col=id_col, vec_col=vec_col, train_rows=train_rows
+    )
+    spark = embeddings.sparkSession
+    if mat is None:  # empty corpus: zero observed work, bound holds
+        obs = spark.range(1).select(F.lit(0).cast("long").alias("sum_c2"))
+    else:
+        k_eff, cent = _ivf_centroids(mat, n_lists, seed)
+        m_eff = min(m_sched, k_eff)
+
+        def assign_counts(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                )
+                v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                dots = v @ cent.T
+                top = np.argpartition(-dots, m_eff - 1, axis=1)[:, :m_eff]
+                yield pd.DataFrame({"list_id": top.astype(np.int32).ravel()})
+
+        obs = (
+            embeddings.select(vec_col)
+            .mapInPandas(assign_counts, schema="list_id int")
+            .groupBy("list_id")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0)).alias(
+                    "sum_c2"
+                )
+            )
+        )
+    cols = [
+        F.lit(n_lists).cast("long").alias("n_lists"),
+        F.lit(m_sched).cast("long").alias("m_assign"),
+        F.lit(predicted_mflops).cast("long").alias("predicted_gram_mflops"),
+        (
+            F.col("sum_c2") * F.lit(dim * 2)
+            <= F.lit(max_skew_ratio * predicted_mflops * 1_000_000)
+        ).alias("gram_skew_ok"),
+    ]
+    if emit_observed:
+        cols.append(
+            (F.col("sum_c2") * F.lit(dim * 2) / F.lit(1_000_000))
+            .cast("long")
+            .alias("observed_gram_mflops")
+        )
+    return obs.select(*cols)
 
 
 def _lloyd_np(sub, k: int, rng, iters: int = 12):

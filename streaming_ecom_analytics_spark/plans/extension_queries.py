@@ -523,8 +523,25 @@ _IVF_PAIR_RECALL_ORACLE = """
                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
                   6) >= 0.45
+    ),
+    sched AS (
+      SELECT n, GREATEST(4, CAST(CEIL(n / 256.0) AS BIGINT)) AS n_lists
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    msched AS (
+      SELECT n, n_lists,
+             GREATEST(4, LEAST(32, CAST(CEIL(
+               1.5 * LOG2(CAST(GREATEST(n_lists, 2) AS DOUBLE))
+             ) AS BIGINT))) AS m_assign
+      FROM sched
     )
-    SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok FROM exact
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+           TRUE AS recall_ok,
+           n_lists, m_assign,
+           (n * 256 * m_assign * m_assign * 128) // 1000000
+             AS predicted_gram_mflops,
+           TRUE AS gram_skew_ok
+    FROM msched
 """
 
 
@@ -532,25 +549,36 @@ _IVF_PAIR_RECALL_ORACLE = """
 def q_embedding_ivf_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall contract for the IVF similarity join: the approximate
     pair set vs the exact block twin, asserted as one driver-checkable
-    row (n_exact_pairs, recall_ok) — the pairs-join counterpart of the
-    ann_*_topk recall contracts. Floor 0.80 = observed minimum at the
-    shipped SFs (1.0 at sf0.001/0.01/0.1 with the registered
-    auto-sizing) minus a generous margin; since round 9 the 10x probe
-    decade also clears it (0.99, log-scaled multi-assignment — the
-    RECALL ledger carries the decade trend). A candidate-generation
+    row — the pairs-join counterpart of the ann_*_topk recall
+    contracts, extended in round 10 with the join's COST surface
+    (round-9 verdict #7): n_lists and m_assign (the schedule the join
+    derives from the footer count), predicted_gram_mflops (the
+    uniform-occupancy model n·occ·m²·dim·2, reproduced exactly by the
+    SQL twin from COUNT(*)), and gram_skew_ok (measured Σcnt²·dim·2
+    from a real assignment pass ≤ 4× predicted — list-occupancy skew
+    is a flipped boolean, not a SCALE.md paragraph). Recall floor 0.80
+    = observed minimum at the shipped SFs (1.0 at sf0.001/0.01/0.1
+    with the registered auto-sizing) minus a generous margin; since
+    round 9 the 10x probe decade also clears it (0.99, log-scaled
+    multi-assignment — the RECALL ledger carries the decade trend,
+    plus the measured flops ratio per decade). A candidate-generation
     regression (e.g. single-assignment) still demonstrably fails the
     floor (tests/test_similarity.py). NOT probe-registered: the exact
     twin side hits the 250k block guard by design."""
     emb = catalog.embeddings(spark, sf_dir)
+    n_rows = catalog.parquet_num_rows(sf_dir, "embeddings")
     approx = similarity.embedding_near_dup_pairs(
         emb, threshold=0.45, dim=64, method="ivf",
-        ivf_target_occupancy=256,
-        n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
+        ivf_target_occupancy=256, n_rows=n_rows,
     )
     exact = similarity.embedding_near_dup_pairs(
         emb, threshold=0.45, dim=64, method="block"
     )
-    return similarity.pairs_recall_vs_exact(approx, exact, min_recall=0.80)
+    recall = similarity.pairs_recall_vs_exact(approx, exact, min_recall=0.80)
+    cost = similarity.ivf_gram_cost_contract(
+        emb, n_rows=n_rows, dim=64, target_occupancy=256
+    )
+    return recall.crossJoin(F.broadcast(cost))
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS)

@@ -729,6 +729,58 @@ def test_ivf_auto_n_assign_schedule():
     assert ms == sorted(ms)
 
 
+def test_ivf_gram_cost_contract(spark):
+    """Round-9 verdict #7: the IVF join's cost curve must be a
+    driver-checkable row, not SCALE.md prose. Pins: (a) the schedule
+    columns match the join's own derivation from the corpus size;
+    (b) the effective m (min(schedule, k_eff)) equals the schedule m
+    on shipped-shaped corpora (the contract row's documented premise);
+    (c) the skew boolean is genuinely falsifiable — a degenerate
+    all-identical corpus concentrates every assignment into m lists
+    and flips gram_skew_ok at a tight ratio while the default 4x
+    tolerates it."""
+    import numpy as np
+
+    from streaming_ecom_analytics_spark.functions.similarity import (
+        _ivf_auto_n_assign,
+        _ivf_centroids,
+        _ivf_training_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    from streaming_ecom_analytics_spark import catalog
+
+    emb = catalog.embeddings(spark, sf)
+    n_rows = catalog.parquet_num_rows(sf, "embeddings")
+    row = similarity.ivf_gram_cost_contract(
+        emb, n_rows=n_rows, dim=64, target_occupancy=256
+    ).collect()[0]
+    n_lists = max(4, -(-n_rows // 256))
+    m = _ivf_auto_n_assign(n_lists)
+    assert row.n_lists == n_lists and row.m_assign == m
+    assert row.predicted_gram_mflops == n_rows * 256 * m * m * 128 // 1_000_000
+    assert row.gram_skew_ok is True
+    # (b) effective m == schedule m: Lloyd retains >= m lists here
+    mat = _ivf_training_sample(
+        emb, id_col="vec_id", vec_col="embedding", train_rows=65_536
+    )
+    k_eff, _cent = _ivf_centroids(mat, n_lists, 42)
+    assert min(m, k_eff) == m
+    # (c) falsifiability: identical vectors -> all mass in m lists
+    base = np.linspace(0.1, 1.0, 8).tolist()
+    degen = spark.createDataFrame(
+        [(i, base) for i in range(2000)], "vec_id long, embedding array<double>"
+    )
+    ok_default = similarity.ivf_gram_cost_contract(
+        degen, n_rows=2000, dim=8, target_occupancy=256
+    ).collect()[0]
+    tight = similarity.ivf_gram_cost_contract(
+        degen, n_rows=2000, dim=8, target_occupancy=256, max_skew_ratio=1
+    ).collect()[0]
+    assert ok_default.gram_skew_ok is True
+    assert tight.gram_skew_ok is False
+
+
 def test_ivf_empty_input_short_circuits(spark):
     """Round-8 advisor: an empty (or filtered-to-empty) input crashed
     the IVF path at plan construction (np.linalg.norm on a shape-(0,)
