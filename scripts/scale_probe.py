@@ -67,9 +67,12 @@ PROBE_QUERIES = [
     "near_dup_jaccard_capped",
     # round-9 session-2 additions: the new sketch/curation-policy tier's
     # scale claims (range-bounded DDSketch state, k-independent SemDeDup,
-    # two-scan int8 audit, ~m-row coreset) get measured exponents too
+    # two-scan int8 audit, ~m-row coreset) get measured exponents too.
+    # Round 10: semantic_dedup_prune is now the exact guarded twin
+    # (refuses past 250k by design); the probed query is the scalable
+    # IVF-backed variant with the cluster-pushdown candidate key.
     "ddsketch_value_quantiles_15m",
-    "semantic_dedup_prune",
+    "semantic_dedup_prune_scalable",
     "embedding_int8_quantization",
     "kmeans_coreset_sample",
 ]

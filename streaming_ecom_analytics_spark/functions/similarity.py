@@ -350,6 +350,7 @@ def embedding_near_dup_pairs(
     ivf_train_rows: int = 65_536,
     ivf_target_occupancy: int = 128,
     ivf_max_list_rows: int | None = 65_536,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
 
@@ -436,6 +437,13 @@ def embedding_near_dup_pairs(
     """
     if method == "auto":
         method = "lsh" if threshold >= MIN_LSH_NEAR_DUP_THRESHOLD else "ivf"
+    if partition_col is not None and method != "ivf":
+        raise ValueError(
+            "partition_col (partition-local pair generation) is only "
+            "supported on method='ivf' — the lsh/block candidate "
+            "generators have no partitioned kernel; filter their exact "
+            "pair output instead."
+        )
     if method == "lsh":
         bands, bits = _lsh_near_dup_params(
             n_rows=n_rows, n_bands=n_bands, band_bits=band_bits
@@ -450,6 +458,7 @@ def embedding_near_dup_pairs(
             n_lists=ivf_n_lists, n_assign=ivf_n_assign, seed=seed,
             train_rows=ivf_train_rows, target_occupancy=ivf_target_occupancy,
             n_rows=n_rows, max_list_rows=ivf_max_list_rows,
+            partition_col=partition_col,
         )
         # the per-list BLAS prefilter makes the candidate set
         # output-sized per ROW, but the output of a near-dup join is
@@ -666,6 +675,7 @@ def _near_dup_candidates_ivf(
     target_occupancy: int,
     n_rows: int | None,
     max_list_rows: int | None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Candidate pairs via an IVF coarse quantizer with multi-assignment
     — the scale-safe MID-THRESHOLD candidate generator (round-7 verdict
@@ -714,6 +724,18 @@ def _near_dup_candidates_ivf(
     lists) — qualifying t=0.45 pairs in this near-uniform testdata are
     ~3.6σ distribution tails, the hardest case for metric
     partitioning; clustered real embeddings sit higher.
+
+    ``partition_col`` (round-10, SemDeDup pushdown — round-9 verdict
+    #4): when set (a long-castable column on ``embeddings``), lists
+    are keyed by (partition, list_id) and pairs are only generated
+    WITHIN a partition value. For a caller that would filter the pair
+    set to same-partition anyway (SemDeDup's cluster-locality rule),
+    this is output-identical to filter-after-join — a same-partition
+    pair that shares an IVF list also shares the (partition, list)
+    key — but cross-partition candidates are never Gram-scored: with
+    k roughly-even partitions, per-list Gram work drops ~k× (Σ_c f_c²
+    of the occ² term). Training/assignment are unchanged (centroids
+    see the whole corpus), so recall events are identical too.
     """
     import numpy as np
     import pandas as pd
@@ -778,17 +800,27 @@ def _near_dup_candidates_ivf(
             dots = v @ cent.T  # (n, k_eff) cosine to centroids
             top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
             rep = np.repeat(v.astype(np.float32), m, axis=0)
-            out = pd.DataFrame(
-                {
-                    "list_id": top.astype(np.int32).ravel(),
-                    "id": np.repeat(ids, m),
-                    "vec": [rep[i].tobytes() for i in range(len(rep))],
+            cols = {
+                "list_id": top.astype(np.int32).ravel(),
+                "id": np.repeat(ids, m),
+                "vec": [rep[i].tobytes() for i in range(len(rep))],
+            }
+            if partition_col is not None:
+                cols = {
+                    "pc": np.repeat(
+                        pdf[partition_col].to_numpy(dtype=np.int64), m
+                    ),
+                    **cols,
                 }
-            )
-            yield out
+            yield pd.DataFrame(cols)
 
-    stacked = embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema="list_id int, id long, vec binary"
+    keys = (["pc"] if partition_col is not None else []) + ["list_id"]
+    sel = [id_col, vec_col] + (
+        [partition_col] if partition_col is not None else []
+    )
+    pc_ddl = "pc long, " if partition_col is not None else ""
+    stacked = embeddings.select(*sel).mapInPandas(
+        assign, schema=f"{pc_ddl}list_id int, id long, vec binary"
     )
 
     # sims row-tile so the Gram scratch is TILE×occ, never occ² — the
@@ -824,7 +856,7 @@ def _near_dup_candidates_ivf(
 
     if max_list_rows is None:
         return (
-            stacked.groupBy("list_id")
+            stacked.groupBy(*keys)
             .applyInPandas(score, schema="id_a long, id_b long")
             .distinct()
         )
@@ -847,25 +879,33 @@ def _near_dup_candidates_ivf(
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             dots = v @ cent.T
             top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
-            yield pd.DataFrame({"list_id": top.astype(np.int32).ravel()})
+            cols = {"list_id": top.astype(np.int32).ravel()}
+            if partition_col is not None:
+                cols = {
+                    "pc": np.repeat(
+                        pdf[partition_col].to_numpy(dtype=np.int64), m
+                    ),
+                    **cols,
+                }
+            yield pd.DataFrame(cols)
 
     fat = (
-        embeddings.select(vec_col)
-        .mapInPandas(assign_counts, schema="list_id int")
-        .groupBy("list_id")
+        embeddings.select(*sel[1:])  # vec_col (+ partition_col)
+        .mapInPandas(assign_counts, schema=f"{pc_ddl}list_id int")
+        .groupBy(*keys)
         .agg(F.count("*").alias("list_rows"))
         .filter(F.col("list_rows") > max_list_rows)
         .select(
-            "list_id",
+            *keys,
             F.ceil(F.col("list_rows") / max_list_rows).cast("int").alias("n_salts"),
         )
     )
     # the fat set is bounded by total_assignments/cap rows — broadcast
-    enriched = stacked.join(F.broadcast(fat), on="list_id", how="left")
+    enriched = stacked.join(F.broadcast(fat), on=keys, how="left")
     small_pairs = (
         enriched.filter(F.col("n_salts").isNull())
-        .select("list_id", "id", "vec")
-        .groupBy("list_id")
+        .select(*keys, "id", "vec")
+        .groupBy(*keys)
         .applyInPandas(score, schema="id_a long, id_b long")
     )
 
@@ -874,21 +914,24 @@ def _near_dup_candidates_ivf(
         .withColumn(
             "salt", F.pmod(F.xxhash64(F.col("id")), F.col("n_salts")).cast("int")
         )
-        .groupBy("list_id", "salt")
+        .groupBy(*keys, "salt")
         .agg(F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs"))
     )
     pa_ = packed.select(
-        F.col("list_id").alias("lid_a"), F.col("salt").alias("salt_a"),
+        *[F.col(k).alias(f"{k}_a") for k in keys],
+        F.col("salt").alias("salt_a"),
         F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"),
     )
     pb_ = packed.select(
-        F.col("list_id").alias("lid_b"), F.col("salt").alias("salt_b"),
+        *[F.col(k).alias(f"{k}_b") for k in keys],
+        F.col("salt").alias("salt_b"),
         F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"),
     )
-    sub_pairs = pa_.join(
-        pb_,
-        (F.col("lid_a") == F.col("lid_b")) & (F.col("salt_a") <= F.col("salt_b")),
-    )
+    key_eq = [F.col(f"{k}_a") == F.col(f"{k}_b") for k in keys]
+    cond = key_eq[0]
+    for e in key_eq[1:]:
+        cond = cond & e
+    sub_pairs = pa_.join(pb_, cond & (F.col("salt_a") <= F.col("salt_b")))
 
     def score_sub_blocks(batches):
         # collect_list(binary) boxes one bytes object per ROW (not per
@@ -1841,27 +1884,46 @@ def semantic_dedup(
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication — cluster the embedding space, find semantic
     duplicates (cosine ≥ threshold) WITHIN each cluster, and keep one
-    representative per duplicate group: the member FURTHEST from its
-    cluster centroid (the paper's low-similarity-to-centroid keep rule,
-    which preserves the cluster's diversity), ties to the lowest id.
+    representative per duplicate group: the member FURTHEST (squared
+    L2) from its cluster centroid, ties to the lowest id. NOTE: this
+    keep rule is the L2 ANALOGUE of the paper's lowest-cosine-to-
+    centroid rule — they coincide for unit-norm embeddings (furthest
+    L2 on the sphere = lowest cosine) but can pick a different
+    representative on unnormalized vectors (round-9 advisor); the L2
+    form is kept because it reuses the assignment pass's d2 and stays
+    integer-micro exact.
 
     Determinism/oracle surface: centroids are the k lowest-id vectors
     (the fixed-centroid kmeans convention, `_assigned_pairs`), pair
     membership uses the exact sequential-fold cosine rounded to 6 dp,
     groups are connected components, and centroid distance is floored
-    to integer micros — every step SQL-mirrored, so the full
-    keep/drop decision is value-level checkable.
+    to integer micros. With method='block' (exact candidates, guarded
+    quadratic) every step is SQL-mirrored UNCONDITIONALLY — the full
+    keep/drop decision is value-level checkable at any input. With
+    method='ivf' the candidate set is approximate by design, so the
+    output equals the exact one only when the IVF join's measured
+    pair recall is 1.0 (true at the shipped SFs; 0.99/0.92 at the
+    10x/100x probe decades — and one missed pair can split a
+    connected component, changing group_id/keep for its whole group):
+    hold the ivf path to the RECALL ledger contract, not to exact
+    value parity (round-9 advisor).
 
     Scale shape: the paper clusters so that duplicate search is
     cluster-local; here the candidate generation is the IVF similarity
-    join (linear, `_near_dup_candidates_ivf`) and the cluster-locality
-    constraint is applied as a FILTER on the verified pairs — the
-    same output, but candidate volume never depends on k, so a small
-    interpretable k (the oracle's k=8) does not force occ² work on
-    corpus/k-sized clusters. Assignment is a broadcast cross join of k
-    centroids (one partial-aggregable struct-min, no window); the keep
-    rule is a per-group struct-max; components are the O(log n)
-    large/small-star rounds. No step is quadratic in the corpus.
+    join (linear, `_near_dup_candidates_ivf`) with the cluster id
+    PUSHED INTO the candidate key — lists are bucketed by
+    (cluster, ivf_list), so cross-cluster candidates are never
+    Gram-scored (round-9 verdict #4: the filter-after-join shape paid
+    occ²·m² flops on pairs it then discarded; with k roughly-even
+    clusters the pushdown cuts per-list Gram work ~k×, and
+    output-identical — a same-cluster pair that shares an IVF list
+    also shares the (cluster, list) key). Candidate volume still
+    never depends on k, so a small interpretable k (the oracle's k=8)
+    does not force occ² work on corpus/k-sized clusters. Assignment
+    is a broadcast cross join of k centroids (one partial-aggregable
+    struct-min, no window); the keep rule is a per-group struct-max;
+    components are the O(log n) large/small-star rounds. No step is
+    quadratic in the corpus.
 
     Output: (vec_id, cluster_id, group_id, d2_micros, keep) — one row
     per vector; keep=1 marks the retained representative (singletons
@@ -1879,28 +1941,52 @@ def semantic_dedup(
                 "d2_micros"
             ),
         )
-    )  # feeds the pair filter, the component join, and the keep rule
-    pairs = embedding_near_dup_pairs(
-        embeddings,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        n_rows=n_rows,
-        method=method,
-    ).select("id_a", "id_b")
-    ca = asg.select(
-        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("__ca")
-    )
-    cb = asg.select(
-        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("__cb")
-    )
-    same_cluster = (
-        pairs.join(ca, on="id_a")
-        .join(cb, on="id_b")
-        .filter(F.col("__ca") == F.col("__cb"))
-        .select("id_a", "id_b")
-    )
+    )  # feeds the pair generation, the component join, and the keep rule
+    if method == "ivf":
+        # cluster-locality pushed into candidate generation: the IVF
+        # join sees (embedding ⋈ cluster_id) and buckets lists by
+        # (cluster, list), so cross-cluster pairs are never scored
+        with_cluster = embeddings.join(
+            asg.select(
+                F.col("vec_id").alias(id_col),
+                F.col("cluster_id").alias("__sem_cluster"),
+            ),
+            on=id_col,
+        )
+        same_cluster = embedding_near_dup_pairs(
+            with_cluster,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_rows=n_rows,
+            method="ivf",
+            partition_col="__sem_cluster",
+        ).select("id_a", "id_b")
+    else:
+        # exact candidate paths emit the full pair set — apply the
+        # cluster constraint as a filter on the verified pairs
+        pairs = embedding_near_dup_pairs(
+            embeddings,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_rows=n_rows,
+            method=method,
+        ).select("id_a", "id_b")
+        ca = asg.select(
+            F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("__ca")
+        )
+        cb = asg.select(
+            F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("__cb")
+        )
+        same_cluster = (
+            pairs.join(ca, on="id_a")
+            .join(cb, on="id_b")
+            .filter(F.col("__ca") == F.col("__cb"))
+            .select("id_a", "id_b")
+        )
     comp = dedup.dup_clusters(
         asg.select("vec_id"), same_cluster, id_col="vec_id", src="id_a", dst="id_b"
     ).select("vec_id", F.col("cluster_id").alias("group_id"))

@@ -4153,13 +4153,43 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic pruning (Abbas et al. 2023) over the embedding
     corpus: fixed-centroid k-means clusters (k=8, the lowest-id-vector
     convention shared with kmeans_assign_fixed), cosine-≥0.45 duplicate
-    groups WITHIN each cluster, keep the member furthest from its
-    centroid per group. The whole keep/drop decision — assignment,
-    pair set, components, keep rule — is value-level checked against a
-    recursive-CTE oracle. Candidates come from the linear IVF
-    similarity join and the cluster constraint is a filter, so the
-    cost profile is the embedding_dup_clusters_scalable one (probe exp
-    0.58), independent of k."""
+    groups WITHIN each cluster, keep the member furthest (squared L2)
+    from its centroid per group. The whole keep/drop decision —
+    assignment, pair set, components, keep rule — is value-level
+    checked against a recursive-CTE oracle; candidates come from the
+    EXACT guarded block path (round-9 advisor: binding an exact
+    all-pairs oracle to the approximate IVF candidate join made parity
+    conditional on the join's recall being 1.0 — this registration is
+    now exact at any input, and the scale path lives in
+    `semantic_dedup_prune_scalable`). The 250k block guard is fine at
+    every oracle SF and refuses at the probe decades by design."""
+    emb = catalog.embeddings(spark, sf_dir)
+    return similarity.semantic_dedup(
+        emb,
+        k=8,
+        threshold=0.45,
+        dim=64,
+        n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
+        method="block",
+    )
+
+
+@register("semantic_dedup_prune_scalable", _SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup_prune_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SemDeDup: same clusters/groups/keep rule as
+    `semantic_dedup_prune`, but candidates from the linear IVF
+    similarity join with the cluster id PUSHED INTO the candidate key
+    — lists bucketed by (cluster, ivf_list), so cross-cluster pairs
+    are never Gram-scored (round-9 verdict #4; ~k× less list-Gram
+    work than the filter-after-join shape, output-identical given the
+    same candidate coverage). Approximate by design: hash-green vs
+    the exact recursive-CTE oracle BECAUSE the IVF join's measured
+    pair recall is 1.0 at the shipped SFs (the
+    embedding_near_dups_scalable convention — the strongest available
+    check); at the probe decades recall is 0.99/0.92 and one missed
+    pair can re-split a connected component, so at scale the contract
+    is the RECALL ledger + `embedding_ivf_join_recall`, not value
+    parity. Probe-registered (the exact twin is not)."""
     emb = catalog.embeddings(spark, sf_dir)
     return similarity.semantic_dedup(
         emb,
@@ -4255,8 +4285,11 @@ _DP_NOISED_ORACLE = """
 @register("dp_noised_daily_counts", _DP_NOISED_ORACLE)
 def q_dp_noised_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-differential-privacy-SHAPED release of the daily purchase
-    counts: Laplace(1/ε) noise (ε=1, sensitivity 1 for user-level
-    add/remove on a per-day count) added via the inverse-CDF transform
+    counts: Laplace(1/ε) noise (ε=1, sensitivity 1 for EVENT-level
+    add/remove — one user contributes arbitrarily many purchase events
+    per day, so a user-level guarantee at ε=1 would additionally
+    require bounding per-user daily contributions before the count;
+    round-9 advisor) added via the inverse-CDF transform
     X = −(1/ε)·sgn(u−½)·ln(1−2|u−½|). The uniform u is DERIVED FROM A
     SEEDED md5 OF THE RELEASED KEY — deterministic so the mechanism is
     engine-mirrorable and regression-testable end to end; an actual

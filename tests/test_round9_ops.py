@@ -132,6 +132,32 @@ class TestSemanticDedup:
         d2s = [rows[i].d2_micros for i in sorted(dup_group)]
         assert max(d2s) == rows[3].d2_micros
 
+    def test_ivf_cluster_pushdown_matches_exact_block(self, spark):
+        """Round-9 verdict #4: pushing the cluster id into the IVF
+        candidate key ((cluster, list) buckets) must be output-
+        identical to the exact filter-after-join shape. At this size
+        m >= n_lists, so every vector lands in every list and IVF
+        candidate coverage is pigeonhole-complete — the comparison is
+        deterministic, not recall-contingent."""
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(300, 8))
+        vecs[40] = vecs[41] = vecs[42]
+        vecs[100] = vecs[101]
+        df = self._emb_df(spark, vecs)
+        block = {
+            tuple(r)
+            for r in similarity.semantic_dedup(
+                df, k=4, threshold=0.9, method="block"
+            ).collect()
+        }
+        ivf = {
+            tuple(r)
+            for r in similarity.semantic_dedup(
+                df, k=4, threshold=0.9, method="ivf", n_rows=300
+            ).collect()
+        }
+        assert block == ivf
+
     def test_exactly_one_keeper_per_group(self, spark):
         rng = np.random.default_rng(5)
         vecs = rng.normal(size=(60, 8))
