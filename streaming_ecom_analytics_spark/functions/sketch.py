@@ -408,6 +408,7 @@ def ddsketch_build(
     *,
     alpha: float = 0.01,
     group_cols: tuple[str, ...] = (),
+    max_buckets: int | None = None,
 ) -> DataFrame:
     """Build a DDSketch per group: (group_cols..., bucket, c).
 
@@ -420,6 +421,20 @@ def ddsketch_build(
     strictly-positive values are sketched (standard DDSketch domain;
     callers route zeros/negatives to their own counters if needed).
 
+    ``max_buckets`` (round-9 verdict #6) is the paper's COLLAPSING
+    variant: range-bounded is not hard-bounded — an adversarial value
+    span (1e-9..1e9 at α=1%) yields ~2,100 buckets per group, and a
+    100 TB corpus with per-group spans deserves an unconditional cap.
+    When a group exceeds the cap, its LOWEST buckets collapse into the
+    lowest kept bucket (the m-th from the top), preserving total count
+    and rank order; quantiles whose answer bucket lies at or above the
+    collapse point keep the full α-guarantee (unit-pinned), lower ones
+    degrade to an upper-bound estimate — the paper's documented trade.
+    The collapse is a per-group window over the SKETCH (≤ range-bound
+    rows per group, never corpus-scaled) followed by a re-sum, so the
+    build stays two hash aggregates + one sketch-sized window. Default
+    None preserves the uncapped sketch bit-for-bit.
+
     The bucket index is ceil(round(ln(x)/ln(γ), 6)): the 6-dp round
     absorbs cross-engine ln() last-ULP differences that would
     otherwise flip ceil at bucket boundaries (the repo's ROUND(...,6)
@@ -428,10 +443,45 @@ def ddsketch_build(
 
     lng = math.log(ddsketch_gamma(alpha))
     bucket = F.ceil(F.round(F.log(F.col(col)) / F.lit(lng), 6)).alias("bucket")
-    return (
+    sk = (
         values.filter(F.col(col) > 0)
         .groupBy(*group_cols, bucket)
         .agg(F.count("*").alias("c"))
+    )
+    if max_buckets is None:
+        return sk
+    return _ddsketch_collapse(sk, group_cols=group_cols, max_buckets=max_buckets)
+
+
+def _ddsketch_collapse(
+    sketch: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    max_buckets: int,
+) -> DataFrame:
+    """Lowest-bucket collapse to at most ``max_buckets`` buckets per
+    group: every bucket below the max_buckets-th highest merges into
+    that bucket (counter sum). Groups already under the cap pass
+    through unchanged (greatest(bucket, cutoff) is the identity when
+    the cutoff is the group's lowest bucket). The window partitions by
+    the group and ranks a sketch-sized frame — with empty group_cols
+    it is a single global window over ≤ the range bound rows, bounded
+    by construction."""
+    from pyspark.sql.window import Window
+
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("bucket"))
+    ranked = sketch.withColumn("__rnk", F.row_number().over(w))
+    cutoff = F.min(
+        F.when(F.col("__rnk") <= max_buckets, F.col("bucket"))
+    ).over(Window.partitionBy(*group_cols))
+    return (
+        ranked.withColumn(
+            "bucket", F.greatest(F.col("bucket"), cutoff)
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("c").alias("c"))
     )
 
 
@@ -540,6 +590,13 @@ def windowed_ddsketch(
     twin is the test oracle. Output: (window_start, window_end,
     bucket, c); feed ``ddsketch_quantiles`` with
     group_cols=("window_start", "window_end") for per-window p50/p99.
+
+    Hard bucket cap: streaming state is already bounded by the value
+    range; for an unconditional cap, apply ``_ddsketch_collapse`` to
+    each micro-batch's OUTPUT in the foreachBatch materializer (the
+    collapse is a window function, which streaming aggregation cannot
+    host pre-state; collapsing a merged/emitted grid is the paper's
+    read-time collapse and preserves the same guarantee).
     """
     import math
 

@@ -4103,8 +4103,13 @@ def q_ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.functions import sketch as sk
 
     ev = catalog.events(spark, sf_dir).select("event_type", "value")
+    # max_buckets=2048 (round-10): the paper's collapsing cap, an
+    # unconditional bound for adversarial value spans at 100 TB — on
+    # this corpus the range bound (~560) never reaches it, so the
+    # collapse is exercised structurally with the oracle unchanged
     dd = sk.ddsketch_build(
-        ev, "value", alpha=_DD_ALPHA, group_cols=("event_type",)
+        ev, "value", alpha=_DD_ALPHA, group_cols=("event_type",),
+        max_buckets=2048,
     )
     return sk.ddsketch_quantiles(
         dd, alpha=_DD_ALPHA, q_pcts=(50, 90, 99), group_cols=("event_type",)

@@ -78,6 +78,52 @@ class TestDDSketch:
             )
             assert r.n_pos == n
 
+    def test_collapse_caps_buckets_and_keeps_upper_guarantee(self, spark):
+        """Round-9 verdict #6: the paper's collapsing variant. Pins:
+        (a) the cap binds — an adversarial 1e-6..1e6 span collapses to
+        exactly max_buckets buckets; (b) total count is preserved;
+        (c) quantiles whose answer bucket lies ABOVE the collapse
+        point keep the full α-guarantee; (d) a quantile inside the
+        collapsed region degrades to an UPPER bound (never an
+        underestimate); (e) a group under the cap is bit-identical to
+        the uncapped sketch."""
+        rng = np.random.default_rng(13)
+        vals = np.exp(rng.uniform(np.log(1e-6), np.log(1e6), 4000))
+        df = _values_df(spark, vals.tolist())
+        cap = 200
+        capped = sk.ddsketch_build(
+            df, "value", alpha=ALPHA, group_cols=("grp",), max_buckets=cap
+        )
+        rows = capped.collect()
+        assert len(rows) == cap  # (a): ~1,390 raw buckets collapsed
+        assert sum(r.c for r in rows) == len(vals)  # (b)
+        srt = np.sort(vals)
+        n = len(srt)
+        out = {
+            r.q_pct: r.est_micros / 1e6
+            for r in sk.ddsketch_quantiles(
+                capped, alpha=ALPHA, q_pcts=(5, 90, 99), group_cols=("grp",)
+            ).collect()
+        }
+        for p in (90, 99):  # (c): answer bucket far above the collapse
+            exact = srt[(p * (n - 1)) // 100]
+            assert abs(out[p] - exact) <= ALPHA * exact + 2e-6, (p, out[p], exact)
+        # (d): p5 falls inside the collapsed low region — the estimate
+        # is the collapse bucket's midpoint, an upper bound on the
+        # true rank element (all collapsed mass moved UP to it)
+        exact5 = srt[(5 * (n - 1)) // 100]
+        assert out[5] >= exact5 * (1 - ALPHA)
+        # (e): identity when the cap doesn't bind
+        uncapped = sk.ddsketch_build(
+            df, "value", alpha=ALPHA, group_cols=("grp",)
+        )
+        roomy = sk.ddsketch_build(
+            df, "value", alpha=ALPHA, group_cols=("grp",), max_buckets=100_000
+        )
+        assert {(r.grp, r.bucket): r.c for r in uncapped.collect()} == {
+            (r.grp, r.bucket): r.c for r in roomy.collect()
+        }
+
     def test_nonpositive_values_excluded(self, spark):
         df = _values_df(spark, [0.0, -3.0, 1.0, 2.0])
         dd = sk.ddsketch_build(df, "value", alpha=ALPHA, group_cols=("grp",))
