@@ -224,6 +224,15 @@ class TestInt8Quant:
         rows = [([float(x) for x in r],) for r in mat]
         return spark.createDataFrame(rows, "embedding array<float>")
 
+    def test_empty_corpus_yields_zero_rows(self, spark):
+        """Round-9 advisor: the un-exploded shape emitted dim all-null
+        rows on an empty corpus (Spark global aggregates on empty
+        input produce one null row) while the SQL twin's UNNEST
+        pipeline yields none. The posexplode rewrite must agree with
+        the twin: zero rows."""
+        empty = spark.createDataFrame([], "embedding array<float>")
+        assert similarity.embedding_int8_quant_report(empty, dim=4).count() == 0
+
     def test_bound_holds_and_constant_dim_is_zero_error(self, spark):
         rng = np.random.default_rng(9)
         mat = rng.normal(size=(200, 4)).astype(np.float32)
