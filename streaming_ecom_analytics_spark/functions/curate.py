@@ -502,3 +502,75 @@ def quality_classifier_eval(
             (F.col("__acc") >= F.lit(min_accuracy)).alias("accuracy_ok"),
         )
     )
+
+
+def curriculum_schedule(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic quality-curriculum export: rank the corpus by the
+    composite quality heuristic (best first, id tiebreak), cut the
+    ranking into ``n_buckets`` NTILE bands, and emit the round-robin
+    interleave key a curriculum loader sorts by — each training cycle
+    sees one document from every quality band, best-of-band first
+    (Bengio et al. 2009's easy-to-hard schedule, flattened so no band
+    starves).
+
+    Scale shape: the global ranking comes from
+    :func:`operators.prefix.global_rank` (range-repartition + bounded
+    offset pass) — NEVER a corpus-sized single-partition window — and
+    the NTILE band is then pure arithmetic on (rank, corpus size):
+    with t rows and n buckets, the first t % n bands hold
+    ceil(t/n) rows (the SQL NTILE contract, mirrored exactly by the
+    registered DuckDB oracle). The corpus-size scalar rides a
+    broadcast crossJoin of a one-row aggregate; ``pos_in_bucket`` and
+    the interleave key are arithmetic on the same rank, so the whole
+    schedule costs one distributed sort + one count — no second
+    ranking pass.
+
+    Output: (doc_id, quality_score, curriculum_rank, bucket 1-based,
+    pos_in_bucket 1-based, interleave_key) — ORDER BY interleave_key
+    is the training order.
+    """
+    from streaming_ecom_analytics_spark.operators.prefix import global_rank
+
+    q = docs.select(
+        F.col(id_col), text.quality_score_col(text_col).alias("quality_score")
+    )
+    ranked = global_rank(
+        q,
+        order_cols=[F.col("quality_score").desc(), F.col(id_col).asc()],
+        out_col="curriculum_rank",
+        num_partitions=num_partitions,
+    )
+    total = ranked.groupBy().agg(F.count("*").alias("__t"))
+    r = ranked.crossJoin(F.broadcast(total))
+    qsize = F.floor(F.col("__t") / n_buckets).cast("long")
+    rem = (F.col("__t") % n_buckets).cast("long")
+    idx = (F.col("curriculum_rank") - 1).cast("long")
+    big = (qsize + 1) * rem  # rows covered by the size-(qsize+1) bands
+    # guard divisor: when t < n_buckets, qsize = 0 but every idx < big,
+    # so the otherwise-branch is never selected — greatest() keeps the
+    # unevaluated branch from dividing by zero under ANSI semantics
+    safe_q = F.greatest(qsize, F.lit(1))
+    bucket = (
+        F.when(idx < big, F.floor(idx / (qsize + 1)))
+        .otherwise(rem + F.floor((idx - big) / safe_q))
+        .cast("long")
+        + 1
+    )
+    pos_in_bucket = (
+        F.when(idx < big, idx % (qsize + 1)).otherwise((idx - big) % safe_q)
+    ).cast("long") + 1
+    return r.select(
+        id_col,
+        "quality_score",
+        "curriculum_rank",
+        bucket.alias("bucket"),
+        pos_in_bucket.alias("pos_in_bucket"),
+        ((pos_in_bucket - 1) * n_buckets + (bucket - 1)).alias("interleave_key"),
+    )

@@ -521,6 +521,192 @@ def contaminated_docs(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Clean-corpus export: ``corpus`` rows sharing NO word ``k``-gram
+    with ``benchmark``, the benchmark shingle set compiled into a Bloom
+    bit table that prefilters corpus shingles BEFORE the exact
+    contamination join.
+
+    Why a bloom stage when :func:`contaminated_docs` already reduces
+    the benchmark to a distinct shingle set: that set is shingle
+    STRINGS — a large benchmark suite (every eval set a lab holds out)
+    is tens of GBs of 4-gram text, past the broadcast-join regime, so
+    the exact join would shuffle the CORPUS side by shingle. The bit
+    table (``sketch.bloom_bits``) is fixed-size (n_bits/8 bytes ≈ 128 KB
+    at the default, a few MB for any real suite) no matter how many
+    shingles it encodes, broadcastable and storable — build once,
+    prefilter every future ingest. The probe is a broadcast join of
+    each (doc, shingle)'s ``n_hashes`` cell indices against the bit
+    table — no shuffle of corpus shingles; only survivors (true hits +
+    the ~(1-e^{-kn/m})^k false-positive minority) reach the exact semi
+    join that removes false positives. One-sided error makes the bloom
+    stage invisible in the result: no false negatives, so every truly
+    contaminated shingle survives to the exact join, and the exact join
+    drops every false positive — output == the plain NOT EXISTS
+    anti-join, which is exactly what the registered DuckDB oracle
+    checks. (Only the per-(doc,shingle) distinct inside
+    :func:`shingles` and the survivor aggregation shuffle; both are
+    map-side combinable and neither moves document text.)
+    """
+    from streaming_ecom_analytics_spark.functions import sketch
+
+    c_sh = shingles(corpus, text_col=text_col, id_col=id_col, k=k)
+    b_sh = (
+        shingles(benchmark, text_col=text_col, id_col=id_col, k=k)
+        .select("shingle")
+        .distinct()
+    )
+    bits = sketch.bloom_bits(
+        b_sh, "shingle", n_bits=n_bits, n_hashes=n_hashes, seed=seed
+    )
+    # doc-aware probe (sketch.bloom_contains_keys keys on the column
+    # alone): a (doc, shingle) passes iff all n_hashes cells are set —
+    # count(*) == n_hashes is exact because `shingles` already
+    # deduplicated per (doc, shingle), so each cell row appears once.
+    probes = c_sh.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.explode(
+            F.array(
+                *sketch._cells(
+                    F.col("shingle"), depth=n_hashes, width=n_bits, seed=seed
+                )
+            )
+        ).alias("cell"),
+    ).select(id_col, "shingle", F.col("cell.idx").alias("idx"))
+    survivors = (
+        probes.join(F.broadcast(bits), on="idx")
+        .groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("__hits"))
+        .where(F.col("__hits") == F.lit(n_hashes))
+        .select(id_col, "shingle")
+    )
+    contaminated_ids = (
+        survivors.join(b_sh, on="shingle", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated_ids, on=id_col, how="left_anti")
+
+
+def minhash_lsh_pairs_against(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental NEAR-dup: MinHash-LSH candidates between NEW docs and
+    a standing REFERENCE corpus only, verified by exact cross-corpus
+    Jaccard — the near-dup analogue of :func:`dedup_against` (which
+    catches only byte-identical text). This is the production ingest
+    shape: the reference side's shingles/signatures are computed once
+    per snapshot (at 100 TB they'd be persisted artifacts, recomputed
+    here because the testdata is one parquet), and each delta batch
+    pays bands×|delta| + verify work — NEVER reference×reference and
+    never delta×delta, so re-ingesting against an ever-growing corpus
+    stays linear in the delta.
+
+    Banding math is :func:`minhash_lsh_pairs`'s: 16 bands × 4 rows over
+    64 perms → P[candidate miss | j ≥ 0.8] ≈ 4e-8, and the exact
+    verify prunes every false candidate, so the output is held to the
+    same exact-Jaccard oracle as the symmetric query.
+
+    Output: (``id_col``, ref_id, jaccard) — one row per (new doc,
+    reference doc) pair with exact Jaccard ≥ ``threshold``; anti-join
+    ``new_docs`` against the first column to admit only novel text.
+    """
+    rows_per_band = num_perm // bands
+    sh_n = persist_tracked(
+        shingles(new_docs, text_col=text_col, id_col=id_col, k=k)
+    )
+    sh_r = persist_tracked(
+        shingles(reference, text_col=text_col, id_col=id_col, k=k)
+    )
+    sig_n = persist_tracked(
+        minhash_signatures(sh_n, id_col=id_col, num_perm=num_perm)
+    )
+    sig_r = persist_tracked(
+        minhash_signatures(sh_r, id_col=id_col, num_perm=num_perm)
+    )
+
+    def _stacked(sig: DataFrame, out_id: str) -> DataFrame:
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        banded = sig.select(F.col(id_col).alias(out_id), *band_cols)
+        return banded.select(
+            out_id,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"band_{b}").alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, "bb.band_id", "bb.band_hash")
+
+    candidates = persist_tracked(
+        _stacked(sig_n, "__new_id")
+        .join(_stacked(sig_r, "ref_id"), on=["band_id", "band_hash"])
+        .select("__new_id", "ref_id")
+        .distinct()
+    )
+    # exact verify on candidates only — same semi-reduction as the
+    # symmetric path: shingle tables shrink to candidate docs before
+    # the intersection joins, so verify volume is candidate-sized.
+    cand_new = candidates.select(F.col("__new_id").alias(id_col)).distinct()
+    cand_ref = candidates.select(F.col("ref_id").alias(id_col)).distinct()
+    shn_c = sh_n.join(cand_new, on=id_col, how="left_semi").select(
+        F.col(id_col).alias("__new_id"), "shingle"
+    )
+    shr_c = sh_r.join(cand_ref, on=id_col, how="left_semi").select(
+        F.col(id_col).alias("ref_id"), "shingle"
+    )
+    inter = (
+        candidates.join(shn_c, on="__new_id")
+        .join(shr_c, on=["ref_id", "shingle"])
+        .groupBy("__new_id", "ref_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sig_n.select(F.col(id_col).alias("__new_id"), F.col("n_sh").alias("n_a"))
+    sb = sig_r.select(F.col(id_col).alias("ref_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, on="__new_id")
+        .join(sb, on="ref_id")
+        .select(
+            F.col("__new_id").alias(id_col),
+            "ref_id",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

@@ -81,3 +81,34 @@ def running_total(
         .withColumn(out_col, F.col("__off") + F.sum(value_col).over(local_w))
         .drop("__pid", "__off")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    *,
+    order_cols: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global ROW_NUMBER over the total order
+    ``order_cols`` — the distributed zipWithIndex every ordered export
+    needs (curriculum schedules, deterministic shard assignment, global
+    percentile cuts), without funnelling the corpus through the
+    single-reducer ``Window.orderBy(...)``.
+
+    It is the rank specialization of :func:`running_total`: with the
+    summand ≡ 1 the inclusive prefix sum IS the row number, so the
+    shape (range-repartition + per-partition window + a bounded
+    |partitions|-row offset pass) and the bit-identical-to-the-global-
+    window guarantee carry over unchanged. The order MUST be total —
+    callers include a unique tiebreak column (range partition
+    boundaries come from sampling, so rows tied on a non-total order
+    could legally land on either side of a boundary and swap ranks).
+    """
+    return running_total(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        order_cols=order_cols,
+        value_col="__one",
+        out_col=out_col,
+        num_partitions=num_partitions,
+    ).drop("__one")

@@ -4418,3 +4418,154 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), k=5
     )
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: production-ingest tier — bloom-prefiltered decontamination,
+# incremental near-dup against a standing corpus, and a quality-curriculum
+# export built on the distributed global rank (operators/prefix.py).
+# ---------------------------------------------------------------------------
+
+_DECONTAM_BLOOM_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 3, 1)),
+               i -> array_to_string(list_slice(w, i, i + 3), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    bad AS (
+      SELECT DISTINCT c.doc_id FROM sh c JOIN bench b USING (shingle)
+      WHERE c.source <> 'src0'
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@register("decontaminate_bloom", _DECONTAM_BLOOM_ORACLE)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-corpus export via a Bloom-prefiltered 4-gram
+    decontamination pass: benchmark (src0) shingles compile into a
+    128 KB bit table; corpus shingles probe it with a broadcast join
+    (no corpus-side shuffle), and only bloom survivors reach the exact
+    join that removes false positives — one-sided error keeps the
+    bloom stage invisible, so the oracle is the plain NOT-EXISTS
+    anti-join. The complement of `decontaminate_ngrams` (which reports
+    the contaminated docs and their hit counts); this is the artifact
+    a training run actually reads."""
+    docs = catalog.documents(spark, sf_dir)
+    clean = dedup.decontaminate_bloom(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=4,
+    )
+    return clean.select("doc_id", "source", "n_chars")
+
+
+_CROSS_NEAR_DUP_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 2, 1)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')
+             )) AS shingle
+      FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source <> 'src0' AND b.source = 'src0'
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.ref_id,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_id
+    JOIN sizes sb ON sb.doc_id = i.ref_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+          >= 0.8
+"""
+
+
+@register("near_dup_cross_corpus", _CROSS_NEAR_DUP_ORACLE)
+def q_near_dup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest gate: MinHash-LSH candidates between
+    the incoming batch (source != src0) and the standing corpus (src0)
+    ONLY — never corpus×corpus, never batch×batch — verified by exact
+    cross-corpus Jaccard ≥ 0.8. The near-dup completion of
+    `dedup_cross_corpus`'s exact-hash gate; oracle is the exact
+    quadratic cross join. At scale the corpus-side signatures are a
+    stored artifact and each ingest pays work linear in the batch."""
+    docs = catalog.documents(spark, sf_dir)
+    return dedup.minhash_lsh_pairs_against(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=3,
+        threshold=0.8,
+    ).sort("doc_id", "ref_id")
+
+
+_CURRICULUM_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+'))
+               AS stopword_ratio,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  AS DOUBLE) / nullif(length(text), 0) AS punct_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   + least(coalesce(stopword_ratio, 0.0) * 10.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - coalesce(punct_ratio, 0.0) * 5.0)
+                     * 0.2, 6) AS quality_score
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, quality_score,
+             ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id)
+               AS curriculum_rank,
+             NTILE(4) OVER (ORDER BY quality_score DESC, doc_id) AS bucket
+      FROM q
+    )
+    SELECT doc_id, quality_score, curriculum_rank, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY curriculum_rank)
+             AS pos_in_bucket,
+           (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY curriculum_rank)
+              - 1) * 4 + (bucket - 1) AS interleave_key
+    FROM r
+"""
+
+
+@register("curriculum_schedule", _CURRICULUM_ORACLE)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order: global quality ranking via the
+    distributed prefix rank (range repartition + bounded offset pass —
+    never a corpus-sized single-partition window), NTILE(4) bands
+    mirrored ARITHMETICALLY from (rank, corpus size), and the
+    round-robin interleave key a curriculum loader sorts by. The
+    oracle states the same schedule in window form — value-level
+    equality proves the arithmetic NTILE matches SQL's contract."""
+    from streaming_ecom_analytics_spark.functions import curate
+
+    return curate.curriculum_schedule(
+        catalog.documents(spark, sf_dir), n_buckets=4
+    )

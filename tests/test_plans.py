@@ -911,6 +911,9 @@ def test_manifest_contains_curation_subtree_once(spark):
 GLOBAL_WINDOW_ALLOWLIST = {
     "category_abc_classes": 1,
     "centroid_score_decile_lift": 1,
+    # prefix.global_rank's offset pass — |partitions| rows, bounded by
+    # cluster config, not data (same frame as revenue_pareto_scaled's)
+    "curriculum_schedule": 1,
     "embedding_centroid_auc": 1,
     "gapfilled_highvalue_revenue": 1,
     "heavy_hitters_mg": 1,
