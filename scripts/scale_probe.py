@@ -75,6 +75,14 @@ PROBE_QUERIES = [
     "semantic_dedup_prune_scalable",
     "embedding_int8_quantization",
     "kmeans_coreset_sample",
+    # round-10 production-ingest tier: the bloom prefilter's claim is
+    # that contamination checks stay corpus-shuffle-free, the
+    # cross-corpus pairer's that ingest cost is linear in the delta,
+    # and the curriculum's that the global rank is a distributed sort
+    # (no single-reducer window) — all three get measured exponents.
+    "decontaminate_bloom",
+    "near_dup_cross_corpus",
+    "curriculum_schedule",
 ]
 
 # (label, dir, relative scale). Override with SPARK_GRAFT_PROBE_SCALES =

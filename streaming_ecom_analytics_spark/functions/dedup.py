@@ -528,7 +528,7 @@ def decontaminate_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 4,
-    n_bits: int = 1 << 20,
+    n_bits: int = 1 << 24,
     n_hashes: int = 5,
     seed: int = 0,
 ) -> DataFrame:
@@ -541,22 +541,23 @@ def decontaminate_bloom(
     the benchmark to a distinct shingle set: that set is shingle
     STRINGS — a large benchmark suite (every eval set a lab holds out)
     is tens of GBs of 4-gram text, past the broadcast-join regime, so
-    the exact join would shuffle the CORPUS side by shingle. The bit
-    table (``sketch.bloom_bits``) is fixed-size (n_bits/8 bytes ≈ 128 KB
-    at the default, a few MB for any real suite) no matter how many
-    shingles it encodes, broadcastable and storable — build once,
-    prefilter every future ingest. The probe is a broadcast join of
-    each (doc, shingle)'s ``n_hashes`` cell indices against the bit
-    table — no shuffle of corpus shingles; only survivors (true hits +
-    the ~(1-e^{-kn/m})^k false-positive minority) reach the exact semi
-    join that removes false positives. One-sided error makes the bloom
-    stage invisible in the result: no false negatives, so every truly
-    contaminated shingle survives to the exact join, and the exact join
-    drops every false positive — output == the plain NOT EXISTS
-    anti-join, which is exactly what the registered DuckDB oracle
-    checks. (Only the per-(doc,shingle) distinct inside
-    :func:`shingles` and the survivor aggregation shuffle; both are
-    map-side combinable and neither moves document text.)
+    the exact join would shuffle the CORPUS side by shingle. The
+    packed bit table (:func:`sketch.bloom_bitmap`) is n_bits/8 bytes
+    (2 MB at the default) NO MATTER how many shingles it encodes,
+    broadcastable as one row and storable — build once against the
+    full held-out suite, prefilter every future ingest. The probe is
+    :func:`sketch.bloom_member_expr`: a codegen'd shift/mask boolean
+    per corpus shingle against the broadcast bitmap — zero row
+    expansion, zero probe-side shuffle — and only survivors (true hits
+    + the ~(1-e^{-kn/m})^k false-positive minority) reach the exact
+    semi join that removes false positives. One-sided error makes the
+    bloom stage invisible in the result: no false negatives, so every
+    truly contaminated shingle survives to the exact join, and the
+    exact join drops every false positive — output == the plain
+    NOT EXISTS anti-join, which is exactly what the registered DuckDB
+    oracle checks. (Only the per-(doc,shingle) distinct inside
+    :func:`shingles` and the survivor-sized exact join shuffle; both
+    are map-side combinable and neither moves document text.)
     """
     from streaming_ecom_analytics_spark.functions import sketch
 
@@ -566,29 +567,15 @@ def decontaminate_bloom(
         .select("shingle")
         .distinct()
     )
-    bits = sketch.bloom_bits(
+    bm = sketch.bloom_bitmap(
         b_sh, "shingle", n_bits=n_bits, n_hashes=n_hashes, seed=seed
+    ).withColumnRenamed("bm", "__bloom_bm")
+    member = sketch.bloom_member_expr(
+        "shingle", "__bloom_bm", n_bits=n_bits, n_hashes=n_hashes, seed=seed
     )
-    # doc-aware probe (sketch.bloom_contains_keys keys on the column
-    # alone): a (doc, shingle) passes iff all n_hashes cells are set —
-    # count(*) == n_hashes is exact because `shingles` already
-    # deduplicated per (doc, shingle), so each cell row appears once.
-    probes = c_sh.select(
-        F.col(id_col),
-        F.col("shingle"),
-        F.explode(
-            F.array(
-                *sketch._cells(
-                    F.col("shingle"), depth=n_hashes, width=n_bits, seed=seed
-                )
-            )
-        ).alias("cell"),
-    ).select(id_col, "shingle", F.col("cell.idx").alias("idx"))
     survivors = (
-        probes.join(F.broadcast(bits), on="idx")
-        .groupBy(id_col, "shingle")
-        .agg(F.count("*").alias("__hits"))
-        .where(F.col("__hits") == F.lit(n_hashes))
+        c_sh.join(F.broadcast(bm))  # one-row bitmap: broadcast cross join
+        .where(member)
         .select(id_col, "shingle")
     )
     contaminated_ids = (

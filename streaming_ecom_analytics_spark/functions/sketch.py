@@ -24,7 +24,7 @@ Spark-first realization: the grid IS a DataFrame of (d, idx, c) rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from streaming_ecom_analytics_spark.functions.dedup import _mix_constants
@@ -245,6 +245,97 @@ def bloom_contains_keys(
         .where(F.col("__hits") == n_hashes)
         .select(col)
     )
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bits: int = 1 << 24,
+    n_hashes: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """PACKED Bloom filter over ``col``: ONE row holding the whole bit
+    table as ``array<long>`` (n_bits/64 words — exactly n_bits/8 bytes,
+    2 MB at the default), the membership artifact for
+    :func:`bloom_member_expr`.
+
+    :func:`bloom_bits` stores SET POSITIONS as rows (8 bytes each, ≈
+    40 bytes per inserted key at 5 hashes) — fine when the filter is
+    sparse, but for a big key set the positions table approaches the
+    size of the keys themselves and the probe needs a row explosion
+    plus a per-key aggregate. The packed form is the honest 100 TB
+    artifact: its size is n_bits/8 REGARDLESS of how many keys it
+    encodes, it broadcasts as one row, and membership is a pure
+    codegen'd boolean (shift/mask on array words) — zero row
+    expansion, zero probe-side shuffle.
+
+    Built distributed: per-partition numpy bitmaps (one mapInPandas
+    pass over the position stream), then an OR-reduce of the
+    |partitions| partial bitmaps through a single-task second pass —
+    bounded by partitions × n_bits/8 bytes, never by key count. Hash
+    family is :func:`_cells`'s (pmod(xxhash64(xxhash64(v) ^ mask_d),
+    n_bits)), so a filter built here is probe-compatible with
+    :func:`bloom_member_expr` at the same (n_bits, n_hashes, seed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_bits % 64:
+        raise ValueError("bloom_bitmap: n_bits must be a multiple of 64")
+    n_words = n_bits // 64
+    positions = df.select(
+        F.explode(
+            F.array(*_cells(F.col(col), depth=n_hashes, width=n_bits, seed=seed))
+        ).alias("cell")
+    ).select(F.col("cell.idx").alias("idx"))
+
+    def _partial(batches):
+        words = np.zeros(n_words, dtype=np.uint64)
+        for b in batches:
+            idx = b["idx"].to_numpy(dtype=np.uint64)
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)), np.uint64(1) << (idx & np.uint64(63))
+            )
+        yield pd.DataFrame({"bm": [words.view(np.int64).tolist()]})
+
+    def _reduce(batches):
+        words = np.zeros(n_words, dtype=np.int64)
+        for b in batches:
+            for row in b["bm"]:
+                words |= np.asarray(row, dtype=np.int64)
+        yield pd.DataFrame({"bm": [words.tolist()]})
+
+    partials = positions.mapInPandas(_partial, "bm array<bigint>")
+    # repartition (not coalesce): coalesce would collapse the partial
+    # pass into the same single task and serialize the position scan
+    return partials.repartition(1).mapInPandas(_reduce, "bm array<bigint>")
+
+
+def bloom_member_expr(
+    col_name: str,
+    bitmap_name: str,
+    *,
+    n_bits: int,
+    n_hashes: int = 5,
+    seed: int = 0,
+) -> Column:
+    """Membership predicate against a :func:`bloom_bitmap` column: TRUE
+    iff all ``n_hashes`` bits are set — pure built-in long arithmetic
+    (element_at + shiftright + mask), fully inside whole-stage codegen.
+    ``col_name``/``bitmap_name`` are SQL identifiers (the expression is
+    assembled as SQL text because shift amounts are columns, which the
+    typed ``F.shiftright`` helper does not accept).
+    """
+    base = f"xxhash64({col_name})"
+    tests = []
+    for mask in _mix_constants(n_hashes, seed=seed):
+        idx = f"pmod(xxhash64({base} ^ {mask}L), {n_bits}L)"
+        word = f"element_at({bitmap_name}, CAST(shiftright({idx}, 6) AS INT) + 1)"
+        tests.append(
+            f"((shiftright({word}, CAST(pmod({idx}, 64) AS INT)) & 1L) = 1L)"
+        )
+    return F.expr(" AND ".join(tests))
 
 
 def bloom_semi_join(

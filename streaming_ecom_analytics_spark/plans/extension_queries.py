@@ -4454,13 +4454,15 @@ _DECONTAM_BLOOM_ORACLE = """
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clean-corpus export via a Bloom-prefiltered 4-gram
     decontamination pass: benchmark (src0) shingles compile into a
-    128 KB bit table; corpus shingles probe it with a broadcast join
-    (no corpus-side shuffle), and only bloom survivors reach the exact
-    join that removes false positives — one-sided error keeps the
-    bloom stage invisible, so the oracle is the plain NOT-EXISTS
-    anti-join. The complement of `decontaminate_ngrams` (which reports
-    the contaminated docs and their hit counts); this is the artifact
-    a training run actually reads."""
+    2 MB packed bitmap (one array<long> row — fixed size at ANY suite
+    size); corpus shingles probe it with a codegen'd shift/mask
+    boolean against the broadcast row (no corpus-side shuffle, no row
+    expansion), and only bloom survivors reach the exact join that
+    removes false positives — one-sided error keeps the bloom stage
+    invisible, so the oracle is the plain NOT-EXISTS anti-join. The
+    complement of `decontaminate_ngrams` (which reports the
+    contaminated docs and their hit counts); this is the artifact a
+    training run actually reads."""
     docs = catalog.documents(spark, sf_dir)
     clean = dedup.decontaminate_bloom(
         docs.filter(F.col("source") != "src0"),

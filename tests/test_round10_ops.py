@@ -53,6 +53,45 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+class TestBloomBitmap:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        from streaming_ecom_analytics_spark.functions import sketch
+
+        n_bits, n_hashes = 1 << 14, 5
+        members = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(500)], "k string"
+        ).repartition(7)
+        bm = sketch.bloom_bitmap(
+            members, "k", n_bits=n_bits, n_hashes=n_hashes
+        ).withColumnRenamed("bm", "__bm")
+        probe_rows = [(f"key-{i}",) for i in range(500)] + [
+            (f"other-{i}",) for i in range(2000)
+        ]
+        probes = spark.createDataFrame(probe_rows, "k string")
+        member = sketch.bloom_member_expr(
+            "k", "__bm", n_bits=n_bits, n_hashes=n_hashes
+        )
+        hits = {
+            r.k for r in probes.join(F.broadcast(bm)).where(member).collect()
+        }
+        # one-sided error: every inserted key tests positive
+        assert all(f"key-{i}" in hits for i in range(500))
+        # fp rate near the analytic (1 - e^{-kn/m})^k ≈ 0.0097 here:
+        # allow 3x headroom so the test pins the order of magnitude
+        fp = sum(1 for k in hits if k.startswith("other-")) / 2000
+        assert fp < 0.03, fp
+
+    def test_bitmap_size_independent_of_keys(self, spark):
+        from streaming_ecom_analytics_spark.functions import sketch
+
+        small = spark.createDataFrame([("a",)], "k string")
+        rows = sketch.bloom_bitmap(small, "k", n_bits=1 << 10).collect()
+        assert len(rows) == 1 and len(rows[0].bm) == (1 << 10) // 64
+        empty = spark.createDataFrame([], "k string")
+        rows0 = sketch.bloom_bitmap(empty, "k", n_bits=1 << 10).collect()
+        assert len(rows0) == 1 and all(w == 0 for w in rows0[0].bm)
+
+
 CLEAN = "the quick brown fox jumps over the lazy dog near the river bank"
 BENCH = "question answer pairs held out for evaluation only never train"
 
