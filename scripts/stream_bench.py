@@ -289,6 +289,9 @@ def main() -> int:
         "SPARK_GRAFT_STREAM_PROBE_DIR", str(REPO / "scale_probe" / "sf1")
     )
     spark = get_spark(app_name="stream_bench")
+    from streaming_ecom_analytics_spark.hostprobe import host_fixture
+
+    host = host_fixture(spark)  # round 10: every perf artifact stamps
     root = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         src1, n1, total = _write_day_files(spark, sf_dir, root, 1)
@@ -306,6 +309,7 @@ def main() -> int:
                 "StreamingQueryProgress"
             ),
             "sf_dir": sf_dir,
+            "host": host,
             "total_rows": total,
             "freshness_slo_ms": FRESHNESS_SLO_MS,
             "day_partition_slo_rows": DAY_SLO_ROWS,
