@@ -11,8 +11,10 @@ factor and prints ONE compact JSON line for the driver
   per-query map overflowed the driver's capture window and truncated the
   JSON from the left (round-5 verdict #1). The stdout ``queries`` field
   now carries only the slowest 5 queries as a health signal; the full
-  per-query median map is written to ``BENCH_LOCAL_r6.json`` next to
-  this file (override with $SPARK_GRAFT_BENCH_OUT).
+  per-query median map is written to ``BENCH_FULL_LATEST.json`` next to
+  this file (override with $SPARK_GRAFT_BENCH_OUT — the round-close
+  chain redirects to the committed ``BENCH_LOCAL_r{N}.json``; default
+  runs never clobber a committed artifact, round-10 verdict #4).
 - Default is median of 3 full passes ($SPARK_GRAFT_RUNS to override) so
   the driver's own artifact benefits from noise suppression too.
 - ``--changed-since <git-ref>`` (round-7 verdict #8) restricts the run
@@ -145,12 +147,30 @@ def main() -> None:
     # plans, not single-pass machine-load noise (round-4 verdict #3).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in bench_registry}
+    # Interleaved host stamps (round-10 verdict task #1a): the r10
+    # driver bench was 33% slower than the builder close DESPITE
+    # healthier end-of-run GEMM/JVM stamps — contention arrived during,
+    # not at, stamp time. Every ~STAMP_EVERY timed queries we record a
+    # cheap GEMM+parquet-scan stamp so a slow run decomposes per-segment.
+    from streaming_ecom_analytics_spark.hostprobe import quick_stamp
+
+    stamp_every = int(os.environ.get("SPARK_GRAFT_STAMP_EVERY", "25"))
+    interleaved: list[dict] = []
+    bench_t0 = time.perf_counter()
+    executed = 0
     for _ in range(runs):
         for name, rq in sorted(bench_registry.items()):
             t0 = time.perf_counter()
             rq.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
             release_tracked()  # caches don't accumulate across queries
+            executed += 1
+            if stamp_every > 0 and executed % stamp_every == 0:
+                s = quick_stamp(spark)
+                s["after_n_queries"] = executed
+                s["t_offset_s"] = round(time.perf_counter() - bench_t0, 1)
+                interleaved.append(s)
+                print(f"bench: interleaved stamp {s}", file=sys.stderr)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -173,11 +193,15 @@ def main() -> None:
         "mode": mode,
         "aggregation": "median" if runs > 1 else "single",
         "host": host,
+        "host_interleaved": interleaved,
     }
-    # changed-since runs must never clobber the committed full-sweep
-    # artifact — they go to a scratch file unless explicitly redirected
+    # NO run ever writes a committed-artifact path by default: the r10
+    # driver re-run clobbered the committed BENCH_LOCAL_r10.json on disk
+    # (round-10 verdict #4). Round-close chains pass
+    # SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL_r{N}.json explicitly; everything
+    # else lands in a scratch file.
     default_out = (
-        REPO / "BENCH_LOCAL_r10.json" if mode == "full" else REPO / "BENCH_CHANGED.json"
+        REPO / "BENCH_FULL_LATEST.json" if mode == "full" else REPO / "BENCH_CHANGED.json"
     )
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", str(default_out))
     try:
@@ -206,6 +230,15 @@ def main() -> None:
         # (hostprobe.py; round-9 verdict #2)
         "host_gflops": host.get("host_gflops"),
         "host_jvm_mrows_s": host.get("host_jvm_mrows_s"),
+        "host_io_mrows_s": host.get("host_io_mrows_s"),
+        # min over the interleaved mid-run stamps: a healthy end-stamp
+        # with a degraded mid-run min is the r10 blind-spot signature
+        "min_mid_io_mrows_s": (
+            min((s["io_mrows_s"] for s in interleaved), default=None)
+        ),
+        "min_mid_gemm_gflops": (
+            min((s["gemm_gflops"] for s in interleaved), default=None)
+        ),
     }
     print(json.dumps(compact))
 

@@ -24,11 +24,22 @@ import statistics
 import sys
 
 
-def main() -> None:
-    if len(sys.argv) != 3:
+MIXED_HOST_RATIO = 1.5  # stamp disparity beyond this = different host
+# conditions; a raw comparison is meaningless and the tool REFUSES
+# (exit 2) unless --mixed-ok acknowledges it (round-10 verdict #6: the
+# driver's healthy-stamp re-run silently replaced the builder's
+# degraded-stamp close and the tooling compared across the swap).
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    mixed_ok = "--mixed-ok" in argv
+    if mixed_ok:
+        argv.remove("--mixed-ok")
+    if len(argv) != 2:
         raise SystemExit(__doc__)
-    a = json.load(open(sys.argv[1]))
-    b = json.load(open(sys.argv[2]))
+    a = json.load(open(argv[0]))
+    b = json.load(open(argv[1]))
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
     only_b = sorted(set(qb) - set(qa))
@@ -43,9 +54,17 @@ def main() -> None:
           f"(>1.5x: {sum(1 for r, _ in ratios if r > 1.5)}, "
           f"<0.67x: {sum(1 for r, _ in ratios if r < 2 / 3)})")
     host_a, host_b = a.get("host"), b.get("host")
+    mixed = False
     if host_a and host_b:
-        for key, label in (("host_gflops", "BLAS"), ("host_jvm_mrows_s", "JVM")):
+        for key, label in (
+            ("host_gflops", "BLAS"),
+            ("host_jvm_mrows_s", "JVM"),
+            ("host_io_mrows_s", "IO"),
+        ):
+            if key not in host_a or key not in host_b:
+                continue  # IO stamp exists from round 11 on
             hf = host_a[key] / host_b[key]  # >1 = B's host slower
+            mixed = mixed or max(hf, 1 / hf) > MIXED_HOST_RATIO
             print(f"{label} stamp: {host_a[key]:.1f} -> {host_b[key]:.1f} "
                   f"(host factor x{hf:.3f}); engine factor under this proxy: "
                   f"x{(tb / ta) / hf:.3f}")
@@ -59,7 +78,16 @@ def main() -> None:
     print("top improvements:")
     for r, k in ratios[:5]:
         print(f"  x{r:.2f}  {k}  ({qa[k]:.2f} -> {qb[k]:.2f} s)")
+    if mixed and not mixed_ok:
+        print(
+            f"MIXED-HOST: stamp disparity exceeds x{MIXED_HOST_RATIO} — the "
+            "raw totals above compare different host conditions; only the "
+            "stamped engine factors are meaningful. Re-run with --mixed-ok "
+            "to acknowledge."
+        )
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -98,6 +98,55 @@ def jvm_mrows_s(spark, rows: int = JVM_ROWS, reps: int = JVM_REPS) -> float:
     return round(rows / min(times) / 1e6, 1)
 
 
+IO_SCAN_PATH = "/root/testdata/sf0.1/lineitem.parquet"  # pinned scan
+IO_REPS = 3
+
+
+def io_scan_mrows_s(spark, path: str = IO_SCAN_PATH, reps: int = IO_REPS) -> float:
+    """Best-of-``reps`` parquet scan rate in Mrows/s over a pinned file:
+    full-table read of two numeric columns -> 2 scalar aggs. Unlike
+    ``jvm_mrows_s`` (spark.range, no IO), this path goes through the
+    parquet reader + page cache + filesystem, the substrate the r10
+    driver bench showed can degrade while GEMM/JVM stamps stay healthy
+    (410.9 s at 693 GFLOP/s vs 307.9 s at 362 — the blind spot this
+    probe closes, round-10 verdict task #1a). Page-cache state is part
+    of what we're measuring, so no cache-drop: a contended cache shows
+    up as a lower rate, which is exactly the signal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(path):
+        return float("nan")
+
+    def run() -> int:
+        df = spark.read.parquet(path).select("l_quantity", "l_extendedprice")
+        row = df.agg(
+            F.count("*").alias("n"), F.sum("l_extendedprice").alias("s")
+        ).collect()[0]
+        return row["n"]
+
+    n_rows = run()  # untimed: reader init + first page-cache touch
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return round(n_rows / min(times) / 1e6, 1)
+
+
+def quick_stamp(spark, gemm_n: int = 1024, gemm_reps: int = 2) -> dict:
+    """Cheap (~1-2 s) mid-run stamp for interleaving DURING a bench:
+    small-GEMM GFLOP/s + pinned parquet-scan Mrows/s. The full fixture
+    stamps the ends; this catches contention that arrives mid-run
+    (round-10 verdict task #1a: the driver bench was slow at healthy
+    end-stamps — contention during, not at, stamp time)."""
+    return {
+        "gemm_gflops": blas_gflops(n=gemm_n, reps=gemm_reps),
+        "io_mrows_s": io_scan_mrows_s(spark, reps=2),
+    }
+
+
 def host_fixture(spark=None) -> dict:
     """The stamp every bench/probe artifact carries: pinned-size BLAS
     and JVM-codegen throughput (JVM omitted when no session is up)."""
@@ -108,4 +157,6 @@ def host_fixture(spark=None) -> dict:
     if spark is not None:
         out["host_jvm_mrows_s"] = jvm_mrows_s(spark)
         out["jvm"] = {"rows": JVM_ROWS, "reps": JVM_REPS, "warm": JVM_WARM}
+        out["host_io_mrows_s"] = io_scan_mrows_s(spark)
+        out["io"] = {"path": IO_SCAN_PATH, "reps": IO_REPS}
     return out
