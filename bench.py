@@ -105,7 +105,10 @@ def main() -> None:
         )
     spark = get_spark(app_name="bench")
 
-    from streaming_ecom_analytics_spark.caching import release_tracked
+    from streaming_ecom_analytics_spark.caching import (
+        release_shared,
+        release_tracked,
+    )
     from streaming_ecom_analytics_spark.hostprobe import host_fixture
 
     # Host-throughput stamp (round-9 verdict: the +46% common-query
@@ -140,6 +143,7 @@ def main() -> None:
                 f"(timed loop will likely crash): {warm_failures}",
                 file=sys.stderr,
             )
+        release_shared()  # warmup-scale shared subtrees must not linger
 
     # $SPARK_GRAFT_RUNS full passes (default 1 for the driver's
     # per-round run); the committed BENCH_LOCAL artifact uses 3 and
@@ -171,6 +175,10 @@ def main() -> None:
                 s["t_offset_s"] = round(time.perf_counter() - bench_t0, 1)
                 interleaved.append(s)
                 print(f"bench: interleaved stamp {s}", file=sys.stderr)
+        # family-shared subtrees (caching.shared_subtree) live across
+        # queries by design; release at pass end so every pass pays
+        # each shared build exactly once
+        release_shared()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

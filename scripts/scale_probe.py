@@ -32,7 +32,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-from streaming_ecom_analytics_spark.caching import release_tracked  # noqa: E402
+from streaming_ecom_analytics_spark.caching import (  # noqa: E402
+    release_shared,
+    release_tracked,
+)
 from streaming_ecom_analytics_spark.plans import REGISTRY  # noqa: E402
 from streaming_ecom_analytics_spark.session import get_spark  # noqa: E402
 
@@ -273,6 +276,9 @@ def main() -> int:
                         if delta:
                             joins[name][label] = delta
                 release_tracked()
+            # shared family subtrees are per-(sf_dir) keyed; release per
+            # pass so each pass pays each shared build exactly once
+            release_shared()
         for name, xs in samples.items():
             if xs:
                 timings[name][label] = round(median(xs), 3)

@@ -15,6 +15,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_SHARED: dict[tuple, DataFrame] = {}
+
+
+def shared_subtree(key: tuple, builder) -> DataFrame:
+    """A persisted subtree shared ACROSS queries (round-10 verdict #1b):
+    the text-dedup family (near_dup_minhash_lsh, dedup_clusters,
+    dedup_keep_best, curated_documents, training_export_manifest) all
+    recompute the same shingle → MinHash → banded-LSH → exact-verify
+    pair set; in a real pipeline the signature/pair artifact is
+    computed once and reused. First caller pays the build; later
+    callers read the persisted frame (tiny: verified pairs only).
+
+    Unlike :func:`persist_tracked` frames, shared subtrees survive the
+    per-query ``release_tracked()`` — the host releases them with
+    :func:`release_shared` at pass/run end, so a multi-pass bench pays
+    the build exactly once per pass, not once per family member.
+    """
+    df = _SHARED.get(key)
+    if df is None:
+        df = builder()
+        df.persist()
+        _SHARED[key] = df
+    return df
+
+
+def release_shared() -> int:
+    """Unpersist and forget every shared subtree; returns the count."""
+    n = 0
+    while _SHARED:
+        _, df = _SHARED.popitem()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:

@@ -35,9 +35,23 @@ def curate_documents(
     min_quality: float = 0.5,
     keep_langs: tuple[str, ...] | None = None,
     near_dup_threshold: float = 0.8,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Filter + dedup a document corpus; returns surviving rows of
-    ``docs`` with a ``quality_score`` column attached."""
+    ``docs`` with a ``quality_score`` column attached.
+
+    ``pairs`` (optional): a precomputed exact-verified near-dup pair
+    frame (doc_a, doc_b, ...) over the FULL corpus at the same
+    shingle/threshold parameters — e.g. the family-shared LSH subtree
+    (caching.shared_subtree) or a persisted signature artifact.
+    Because MinHash signatures, banded candidates, and the exact
+    Jaccard verify are all per-pair properties of the two documents
+    alone, the pair set over any SUBSET equals the full-corpus pair
+    set restricted to pairs with both endpoints in the subset — so the
+    survivors computed from restricted full-corpus pairs are identical
+    to recomputing LSH on the filtered corpus (oracle-checked both
+    ways). When provided, the quality/exact-dedup stages still run
+    here; only the near-dup pair generation is skipped."""
     # quality is an inline projection (quality_score_col), not a join
     # back to a derived frame — scoring 100 TB must not shuffle it
     kept = docs.withColumn(
@@ -61,9 +75,20 @@ def curate_documents(
     kept = persist_tracked(kept)
 
     # near-dup removal: drop the larger id of each LSH-verified pair
-    pairs = dedup.minhash_lsh_pairs(
-        kept, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
-    )
+    if pairs is None:
+        pairs = dedup.minhash_lsh_pairs(
+            kept, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
+        )
+    else:
+        # restrict full-corpus pairs to those with BOTH endpoints kept:
+        # a pair whose doc_a was already dropped by the quality gate or
+        # exact dedup must not eliminate its doc_b (see docstring)
+        kept_ids = kept.select(id_col)
+        pairs = pairs.join(
+            kept_ids.withColumnRenamed(id_col, "doc_a"), on="doc_a", how="left_semi"
+        ).join(
+            kept_ids.withColumnRenamed(id_col, "doc_b"), on="doc_b", how="left_semi"
+        )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return kept.join(losers, on=id_col, how="left_anti")
 

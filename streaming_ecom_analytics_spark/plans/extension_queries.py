@@ -9,9 +9,11 @@ engine-specific (MinHash signatures themselves, LSH-bucketed
 approximations, FFT-based audio features, pixel decoding).
 
 The LSH dedup query shares its oracle with the brute-force one: LSH at
-64 perms / 16 bands has P[miss | j≥0.8] ≈ 4e-8 and candidates are
-exact-verified, so its output must equal the brute-force ground truth —
-the oracle doubles as a recall test.
+64 perms / 16 bands has P[miss | j] = (1−j⁴)¹⁶ — ≈ 2.2e-4 at exactly
+j=0.8, ≈ 4e-8 by j=0.9 — and candidates are exact-verified, so its
+output equals the brute-force ground truth up to a ~2e-4 per-pair miss
+chance for threshold-boundary pairs (round-10 advisor) — the oracle
+doubles as a recall test.
 """
 
 from __future__ import annotations
@@ -213,13 +215,32 @@ def q_near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared LSH subtree (round-10 verdict #1b): five
+    registered queries (near_dup_minhash_lsh, dedup_clusters,
+    dedup_keep_best, curated_documents → training_export_manifest)
+    all derive from the same shingle → MinHash → banded-LSH →
+    exact-verify pair set over the raw corpus at (k=3, 64 perms,
+    16 bands, j ≥ 0.8). In a production pipeline this is a stored
+    signature artifact computed once per corpus snapshot; within a
+    session it is one persisted frame — the first family member pays
+    the build, the rest reuse it (bench releases it per pass)."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("lsh_pairs", sf_dir, 3, 64, 16, 0.8),
+        lambda: dedup.minhash_lsh_pairs(
+            catalog.documents(spark, sf_dir),
+            k=3, num_perm=64, bands=16, threshold=0.8,
+        ),
+    )
+
+
 @register("near_dup_minhash_lsh", _JACCARD_ORACLE, headline=True)
 def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified — must reproduce the
     brute-force oracle (the oracle doubles as an LSH recall test)."""
-    return dedup.minhash_lsh_pairs(
-        catalog.documents(spark, sf_dir), k=3, num_perm=64, bands=16, threshold=0.8
-    )
+    return _shared_lsh_pairs(spark, sf_dir)
 
 
 _CLUSTER_CTES = """
@@ -276,7 +297,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     star algorithm is the O(log n)-round scale path.
     """
     docs = catalog.documents(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.8)
+    pairs = _shared_lsh_pairs(spark, sf_dir)
     out = dedup.dup_clusters(docs, pairs)
     return out.select(
         "doc_id", "cluster_id", F.col("is_canonical").cast("long").alias("is_canonical")
@@ -504,7 +525,17 @@ def q_embedding_near_dups_scalable(spark: SparkSession, sf_dir: str) -> DataFram
     fixed m=4 measured 0.71/0.30 at 10x/100x — the round-8 verdict's
     #1 defect; `embedding_ivf_join_recall` pins the floor). At
     10x/100x the plan completes without guard refusal (SCALEPROBE) —
-    the block path refuses at 250k rows by design."""
+    the block path refuses at 250k rows by design.
+
+    Round-11 scale lever: the candidate kernel is Arrow-NATIVE
+    (mapInArrow assignment building one packed binary buffer,
+    applyInArrow scoring reading it zero-copy) — the mapInPandas form
+    spent most of the 100x decade's wall in per-row Python boxing, not
+    Gram flops (candidate stage 130.7 s → 49.3 s cold / 21.5 s warm,
+    byte-identical pairs). The asymmetric home×probe Gram
+    (ivf_assign_mode='asym') exists as an explicit opt-in for
+    BLAS-degraded hosts only — measured a 2x regression on a healthy
+    one (see _near_dup_candidates_ivf)."""
     return similarity.embedding_near_dup_pairs(
         catalog.embeddings(spark, sf_dir),
         threshold=0.45,
@@ -715,11 +746,18 @@ def q_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup → MinHash near-dup removal) as one lazy plan — and the whole
     chain is oracle-verified: the DuckDB twin recomputes quality, exact
     dedup, and brute-force Jaccard losers, so the LSH stage must again
-    achieve exact recall for the hashes to match."""
+    achieve exact recall for the hashes to match. Near-dup pairs come
+    from the family-shared full-corpus subtree restricted to the kept
+    subset — identical output (pair membership is a property of the
+    two documents alone; see curate_documents docstring), one LSH
+    build across the whole dedup family instead of one per query."""
     from streaming_ecom_analytics_spark.functions.curate import curate_documents
 
     return curate_documents(
-        catalog.documents(spark, sf_dir), min_quality=0.3, near_dup_threshold=0.8
+        catalog.documents(spark, sf_dir),
+        min_quality=0.3,
+        near_dup_threshold=0.8,
+        pairs=_shared_lsh_pairs(spark, sf_dir),
     )
 
 
@@ -1197,7 +1235,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.functions import curate
 
     docs = catalog.documents(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=16, threshold=0.8)
+    pairs = _shared_lsh_pairs(spark, sf_dir)
     return curate.dedup_keep_best(docs, pairs)
 
 
@@ -2887,9 +2925,7 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.functions import curate
 
     docs = catalog.documents(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, k=3, num_perm=64, bands=16, threshold=0.8
-    ).select("doc_a", "doc_b")
+    pairs = _shared_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     _, split_col = curate.split_exprs(id_col="doc_id")
     sp = docs.select("doc_id", split_col.alias("split"))
     tagged = (
@@ -4138,16 +4174,24 @@ _SEMANTIC_DEDUP_ORACLE = _KMEANS_ASSIGN_ORACLE_BODY.replace(
     ),
     comp AS (SELECT a AS vec_id, MIN(b) AS group_id FROM reach GROUP BY a),
     jn AS (
-      SELECT c.vec_id, s.cluster_id, c.group_id,
-             CAST(FLOOR(s.d2 * 1000000.0) AS BIGINT) AS d2_micros
-      FROM comp c JOIN assigned s USING (vec_id)
+      SELECT co.vec_id, s.cluster_id, co.group_id,
+             CAST(FLOOR(s.d2 * 1000000.0) AS BIGINT) AS d2_micros,
+             CAST(FLOOR(
+               CASE WHEN sqrt(list_dot_product(s.xv, s.xv))
+                         * sqrt(list_dot_product(ct.cv, ct.cv)) = 0 THEN 0.0
+                    ELSE list_dot_product(s.xv, ct.cv)
+                         / (sqrt(list_dot_product(s.xv, s.xv))
+                            * sqrt(list_dot_product(ct.cv, ct.cv)))
+               END * 1000000.0) AS BIGINT) AS cos_micros
+      FROM comp co JOIN assigned s USING (vec_id)
+           JOIN c ct ON ct.cluster_id = s.cluster_id
     ),
     rk AS (
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY group_id ORDER BY d2_micros DESC, vec_id ASC
+        PARTITION BY group_id ORDER BY cos_micros ASC, vec_id ASC
       ) AS rn FROM jn
     )
-    SELECT vec_id, cluster_id, group_id, d2_micros,
+    SELECT vec_id, cluster_id, group_id, d2_micros, cos_micros,
            CAST(rn = 1 AS BIGINT) AS keep
     FROM rk
 """
@@ -4158,8 +4202,9 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic pruning (Abbas et al. 2023) over the embedding
     corpus: fixed-centroid k-means clusters (k=8, the lowest-id-vector
     convention shared with kmeans_assign_fixed), cosine-≥0.45 duplicate
-    groups WITHIN each cluster, keep the member furthest (squared L2)
-    from its centroid per group. The whole keep/drop decision —
+    groups WITHIN each cluster, keep the member with the LOWEST cosine
+    to its centroid per group (the paper's rule, unconditional on
+    normalization since round 11). The whole keep/drop decision —
     assignment, pair set, components, keep rule — is value-level
     checked against a recursive-CTE oracle; candidates come from the
     EXACT guarded block path (round-9 advisor: binding an exact
@@ -4510,14 +4555,22 @@ def q_near_dup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY — never corpus×corpus, never batch×batch — verified by exact
     cross-corpus Jaccard ≥ 0.8. The near-dup completion of
     `dedup_cross_corpus`'s exact-hash gate; oracle is the exact
-    quadratic cross join. At scale the corpus-side signatures are a
-    stored artifact and each ingest pays work linear in the batch."""
+    quadratic cross join. The corpus-side signatures and shingle
+    hashes are a STORED versioned-lake artifact (round-10 verdict #3:
+    previously the scale story was prose and every run re-shingled and
+    re-signed the standing corpus) — built once per corpus snapshot by
+    `dedup.corpus_signature_artifact`, so the registered query's
+    corpus-side work is reading the signature table into the band join
+    plus a candidate-sized scan of the hash table; only delta-side
+    work scales with the batch."""
     docs = catalog.documents(spark, sf_dir)
+    ref_sigs, ref_sh = dedup.corpus_signature_artifact(spark, sf_dir)
     return dedup.minhash_lsh_pairs_against(
         docs.filter(F.col("source") != "src0"),
-        docs.filter(F.col("source") == "src0"),
         k=3,
         threshold=0.8,
+        ref_sigs=ref_sigs,
+        ref_sh_hash=ref_sh,
     ).sort("doc_id", "ref_id")
 
 

@@ -576,13 +576,41 @@ def q_active_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "viewers_never_buying",
     """
+    SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date
+    FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_viewers_never_buying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (the set-algebra twin of the J1 anti-join), at the
+    (user, day) grain: viewer-days with no same-day purchase. The
+    user-grain form returns 0 rows from both engines at every shipped
+    SF (every user purchases eventually — round-10 verdict #1), so its
+    hash-green was empty-vs-empty; day-scoping keeps the identical
+    EXCEPT operator with spark_rows > 0 (96 / 1060 / 10280). The
+    all-time user-grain form survives as
+    ``viewers_never_buying_alltime``."""
+    ev = catalog.events(spark, sf_dir)
+    day = F.date_trunc("day", "ts").alias("event_date")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id", day)
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return viewers.subtract(buyers)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "viewers_never_buying_alltime",
+    """
     SELECT user_id FROM events WHERE event_type = 'view'
     EXCEPT
     SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
 )
-def q_viewers_never_buying(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: EXCEPT (the set-algebra twin of the J1 anti-join)."""
+def q_viewers_never_buying_alltime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-grain EXCEPT — the literal set-algebra twin of the J1
+    anti-join. Vacuous on the shipped testdata (kept for operator-form
+    parity; the populated signal is ``viewers_never_buying``)."""
     ev = catalog.events(spark, sf_dir)
     viewers = ev.filter(F.col("event_type") == "view").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")

@@ -762,7 +762,7 @@ def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.daily_percentile_bands(catalog.events(spark, sf_dir))
 
 
-def _pagerank_oracle(n_iter: int = 8, damping: float = 0.85) -> str:
+def _pagerank_oracle(n_iter: int = 4, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank in ANSI SQL: one CTE per power
     iteration, each re-expressing exactly the Spark round (teleport +
     damped in-sum of rank/out_deg; symmetric edges, so no dangling
@@ -826,19 +826,27 @@ def _pagerank_oracle(n_iter: int = 8, damping: float = 0.85) -> str:
 @register("item_pagerank", _pagerank_oracle())
 def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase item graph (both directions of
-    each item_cooccurrence pair). Oracle: the same 8 power iterations
+    each item_cooccurrence pair). Oracle: the same 4 power iterations
     unrolled as one SQL statement (one CTE per round) — the co-purchase
     graph is symmetric, so the Spark dangling-mass term is identically
     zero and both replays reduce to teleport + damped in-sums.
-    Closed-form behavior (star graph, rank-mass conservation) is
-    additionally pinned by unit tests."""
+    Closed-form behavior (star graph, rank-mass conservation, deeper
+    iteration) is additionally pinned by unit tests.
+
+    n_iter=4 at the registered/bench scale (round-10 verdict #1b): at
+    toy SF each fixpoint round costs a fixed ~1 s of pure scheduling
+    (join + agg + localCheckpoint on a few-hundred-node graph), so 8
+    rounds measured scheduler overhead twice over — the iteration
+    MECHANICS (per-round join/agg/lineage-cut, mass conservation) are
+    fully exercised at 4, and production callers pick n_iter for
+    convergence, not the bench."""
     pairs = analytics.item_cooccurrence(
         catalog.events(spark, sf_dir), min_support=2
     ).select("item_a", "item_b")
     edges = pairs.selectExpr("item_a AS src", "item_b AS dst").union(
         pairs.selectExpr("item_b AS src", "item_a AS dst")
     )
-    return analytics.pagerank(edges, n_iter=8)
+    return analytics.pagerank(edges, n_iter=4)
 
 
 # ---------------------------------------------------------------------------

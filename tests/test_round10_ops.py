@@ -129,6 +129,19 @@ class TestDecontaminateBloom:
         assert t == r_
         assert 99 not in t  # the true contamination is always caught
 
+    def test_auto_bits_scales_with_suite(self):
+        """Round-10 advisor: n_bits must track the benchmark shingle
+        count (~10 bits/key, power of two, clamped) — a fixed table
+        saturates (FP -> 1) once n_keys >> n_bits."""
+        from streaming_ecom_analytics_spark.functions.dedup import _bloom_auto_bits
+
+        assert _bloom_auto_bits(0) == 1 << 20  # floor
+        assert _bloom_auto_bits(100) == 1 << 20
+        assert _bloom_auto_bits(1_000_000) == 1 << 24  # 10M bits -> 16Mi
+        assert _bloom_auto_bits(1_000_000_000) == 1 << 33  # clamped ceil
+        for n in (1, 10**3, 10**6, 10**9):
+            assert _bloom_auto_bits(n) >= min(10 * n, 1 << 33) / 2  # >=5 bits/key up to the cap
+
     def test_empty_benchmark_keeps_everything(self, spark):
         corpus = _docs(spark, [(1, CLEAN), (2, BENCH)])
         bench = _docs(spark, []).select(

@@ -147,10 +147,12 @@ class TestSemanticDedup:
         rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
         return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
-    def test_keep_rule_keeps_furthest_from_centroid(self, spark):
+    def test_keep_rule_keeps_lowest_centroid_cosine(self, spark):
         # centroids = 2 lowest-id vectors (k=2). Build one duplicate
-        # group near centroid 0 with members at increasing distance,
-        # plus an isolated singleton near centroid 1.
+        # group near centroid 0 with members at increasing angle,
+        # plus an isolated singleton near centroid 1. (On this
+        # geometry the lowest-cosine member is also the furthest-L2
+        # one; the divergence case is pinned separately below.)
         base = np.zeros(8)
         base[0] = 1.0
         far = np.zeros(8)
@@ -172,11 +174,35 @@ class TestSemanticDedup:
         dup_group = {i for i in rows if rows[i].group_id == 0}
         assert dup_group == {0, 2, 3}
         kept = [i for i in dup_group if rows[i].keep == 1]
-        # id 3 has the largest centroid distance in the group
+        # id 3 has the lowest cosine to centroid 0 in the group
         assert kept == [3]
         assert rows[1].keep == 1  # singleton keeps itself
-        d2s = [rows[i].d2_micros for i in sorted(dup_group)]
-        assert max(d2s) == rows[3].d2_micros
+        coss = [rows[i].cos_micros for i in sorted(dup_group)]
+        assert min(coss) == rows[3].cos_micros
+
+    def test_keep_rule_is_cosine_not_l2_on_unnormalized(self, spark):
+        """Round-10 verdict #5: the paper's rule is lowest COSINE to
+        centroid; on unnormalized embeddings that differs from
+        furthest-L2. id 2 = 3x the centroid (L2-far, cosine 1.0);
+        id 3 = slightly rotated (L2-near, cosine < 1). The L2 rule
+        would keep id 2; the paper rule must keep id 3."""
+        e0 = np.zeros(8)
+        e0[0] = 1.0
+        e1 = np.zeros(8)
+        e1[1] = 1.0
+        vecs = [
+            e0,          # id 0 -> centroid 0
+            e1,          # id 1 -> centroid 1 (isolated)
+            3.0 * e0,    # id 2: cosine-to-centroid = 1.0, L2 dist 2.0
+            e0 + 0.05 * e1,  # id 3: cosine ~0.99875, L2 dist 0.05
+        ]
+        out = similarity.semantic_dedup(
+            self._emb_df(spark, vecs), k=2, threshold=0.99, method="block"
+        )
+        rows = {r.vec_id: r for r in out.collect()}
+        dup_group = {i for i in rows if rows[i].group_id == 0}
+        assert dup_group == {0, 2, 3}
+        assert [i for i in dup_group if rows[i].keep == 1] == [3]
 
     def test_ivf_cluster_pushdown_matches_exact_block(self, spark):
         """Round-9 verdict #4: pushing the cluster id into the IVF

@@ -779,6 +779,19 @@ def test_ivf_gram_cost_contract(spark):
     ).collect()[0]
     assert ok_default.gram_skew_ok is True
     assert tight.gram_skew_ok is False
+    # (d) round-10 advisor: a tiny non-empty corpus whose raw flop
+    # budget is under one megaflop must NOT spuriously fail the bound
+    # (the old compare floored predicted to integer mflops = 0 first)
+    rng = np.random.default_rng(3)
+    tiny = spark.createDataFrame(
+        [(i, rng.normal(size=2).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    tiny_row = similarity.ivf_gram_cost_contract(
+        tiny, n_rows=10, dim=2, target_occupancy=4
+    ).collect()[0]
+    assert tiny_row.predicted_gram_mflops == 0  # reporting floor
+    assert tiny_row.gram_skew_ok is True  # raw-flops compare
 
 
 def test_ivf_empty_input_short_circuits(spark):
