@@ -865,7 +865,9 @@ def _near_dup_candidates_ivf(
             v = np.asarray(
                 b.column(cols_in[vec_col]).flatten(), dtype=np.float64
             ).reshape(b.num_rows, -1)
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            # not in-place: asarray over an Arrow float64 buffer is a
+            # read-only zero-copy view (float32 inputs copy on cast)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             dots = v @ cent.T  # (n, k_eff) cosine to centroids
             top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
             rep = np.repeat(v.astype(np.float32), m, axis=0)
@@ -1002,7 +1004,9 @@ def _near_dup_candidates_ivf(
             v = np.asarray(
                 b.column(cols_in[vec_col]).flatten(), dtype=np.float64
             ).reshape(b.num_rows, -1)
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            # not in-place: asarray over an Arrow float64 buffer is a
+            # read-only zero-copy view (float32 inputs copy on cast)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             dots = v @ cent.T
             top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
             arrays = [pa.array(top.astype(np.int32).ravel())]
@@ -1247,20 +1251,25 @@ def ivf_gram_cost_contract(
         m_eff = min(m_sched, k_eff)
 
         def assign_counts(batches):
-            for pdf in batches:
-                if not len(pdf):
+            # Arrow-native like the join kernel's counting pass (r11)
+            import pyarrow as pa
+
+            for b in batches:
+                if b.num_rows == 0:
                     continue
-                v = np.stack(
-                    [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-                )
-                v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                v = np.asarray(
+                    b.column(0).flatten(), dtype=np.float64
+                ).reshape(b.num_rows, -1)
+                v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
                 dots = v @ cent.T
                 top = np.argpartition(-dots, m_eff - 1, axis=1)[:, :m_eff]
-                yield pd.DataFrame({"list_id": top.astype(np.int32).ravel()})
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(top.astype(np.int32).ravel())], names=["list_id"]
+                )
 
         obs = (
             embeddings.select(vec_col)
-            .mapInPandas(assign_counts, schema="list_id int")
+            .mapInArrow(assign_counts, schema="list_id int")
             .groupBy("list_id")
             .agg(F.count("*").alias("c"))
             .agg(
