@@ -35,9 +35,17 @@ def _release_tracked_caches():
     release them after every test so the shared session never
     accumulates cached RDDs across the suite."""
     yield
-    from streaming_ecom_analytics_spark.caching import release_tracked
+    from streaming_ecom_analytics_spark.caching import (
+        release_shared,
+        release_tracked,
+    )
 
     release_tracked()
+    # family-shared subtrees (round 11) survive release_tracked by
+    # design; between TESTS they must go too, or a materialized shared
+    # frame from one test rewrites later tests' plan shapes
+    # (test_plans assertions read subtree internals)
+    release_shared()
 
 
 @pytest.fixture(scope="session")
