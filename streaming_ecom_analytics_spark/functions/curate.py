@@ -481,6 +481,8 @@ def quality_classifier_eval(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
     stats = text.doc_stats(docs, text_col=text_col, id_col=id_col)
     feats = (
         stats.join(
@@ -504,6 +506,12 @@ def quality_classifier_eval(
             F.coalesce("punct_ratio", F.lit(0.0)).alias("f_punct"),
         )
     )
+    # The feature frame feeds FOUR executions (the L-BFGS fit's
+    # internal passes read `train`, plus n_train, the held-out scoring,
+    # and its count) — each was re-running the doc-stats + label +
+    # split three-way join. One tracked persist (round-11, guide §5:
+    # cache only what is reused and expensive to recompute).
+    feats = persist_tracked(feats)
     assembler = VectorAssembler(
         inputCols=["f_chars", "f_tokens", "f_tok_len", "f_stop", "f_punct"],
         outputCol="features",

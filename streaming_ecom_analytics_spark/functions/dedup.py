@@ -96,6 +96,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_rows: int | None = guards.DEFAULT_BRUTE_FORCE_MAX_ROWS,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold).
 
@@ -113,11 +114,21 @@ def jaccard_pairs(
     Guarded: raises BruteForceGuardError above ``max_rows`` input docs
     (all-pairs is quadratic in posting-list sizes); minhash_lsh_pairs is
     the scale path. ``max_rows=None`` disables the guard.
+
+    ``shingles_df`` injects a precomputed ``shingles(docs, k=k)`` frame
+    (e.g. a family-shared persisted subtree) so hosts running several
+    shingle consumers pay the explode+distinct once; semantics are
+    identical by construction (the injected frame must be the same
+    (id, shingle) relation this function would build).
     """
     guards.guard_brute_force(
         docs, max_rows=max_rows, op="jaccard_pairs", scale_path="minhash_lsh_pairs"
     )
-    sh = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
+    sh = persist_tracked(
+        shingles(docs, text_col=text_col, id_col=id_col, k=k)
+        if shingles_df is None
+        else shingles_df
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -148,6 +159,7 @@ def jaccard_pairs_capped(
     k: int = 3,
     threshold: float = 0.8,
     df_cap: int = 100,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over DF-CAPPED shingle sets — the
     bounded-work twin of :func:`jaccard_pairs` (round-7 scale probe:
@@ -167,7 +179,11 @@ def jaccard_pairs_capped(
     (every planted near-dup in the testdata) the result equals true
     Jaccard exactly.
     """
-    sh0 = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
+    sh0 = persist_tracked(
+        shingles(docs, text_col=text_col, id_col=id_col, k=k)
+        if shingles_df is None
+        else shingles_df
+    )
     keep = (
         sh0.groupBy("shingle")
         .agg(F.count("*").alias("__df"))
@@ -240,6 +256,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH, verified by exact Jaccard.
 
@@ -255,8 +272,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     # persisted (tracked — see caching.py): feeds the signature
-    # aggregation AND the exact-verify intersection sides
-    sh = persist_tracked(shingles(docs, text_col=text_col, id_col=id_col, k=k))
+    # aggregation AND the exact-verify intersection sides; callers with
+    # several shingle consumers may inject a shared precomputed frame
+    sh = persist_tracked(
+        shingles(docs, text_col=text_col, id_col=id_col, k=k)
+        if shingles_df is None
+        else shingles_df
+    )
     # sig feeds two branches (banding + the verifier's size lookup) —
     # persisted so the signature aggregation runs once. It is tiny:
     # num_perm longs + one count per document.

@@ -1854,6 +1854,7 @@ def kmeans_assign_fixed(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned_df: DataFrame | None = None,
 ) -> DataFrame:
     """K-means ASSIGNMENT step against a deterministic centroid set:
     per-cluster member count and exact integer-micro inertia
@@ -1863,9 +1864,13 @@ def kmeans_assign_fixed(
 
     Output: (cluster_id, n_members, inertia_micros).
     """
-    return (
+    assigned = (
         _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
-        .groupBy("cluster_id")
+        if assigned_df is None
+        else assigned_df
+    )
+    return (
+        assigned.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_members"),
             F.sum(F.floor(F.col("d2") * F.lit(1000000.0)).cast("long")).alias(
@@ -1881,6 +1886,7 @@ def kmeans_lloyd_update(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned_df: DataFrame | None = None,
 ) -> DataFrame:
     """One full Lloyd UPDATE step: recompute each cluster's centroid as
     the member mean, per dimension — the iterative-ML building block,
@@ -1900,7 +1906,11 @@ def kmeans_lloyd_update(
     Output: (cluster_id, dim_idx, n_members, centroid_micros) — k·dim
     rows.
     """
-    assigned = _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    assigned = (
+        _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+        if assigned_df is None
+        else assigned_df
+    )
     exploded = assigned.select(
         "cluster_id", F.posexplode("xv").alias("pos", "val")
     ).select(
@@ -2028,6 +2038,7 @@ def semantic_dedup(
     dim: int | None = None,
     n_rows: int | None = None,
     method: str = "ivf",
+    assigned_df: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication — cluster the embedding space, find semantic
@@ -2083,7 +2094,11 @@ def semantic_dedup(
     from streaming_ecom_analytics_spark.caching import persist_tracked
     from streaming_ecom_analytics_spark.functions import dedup
 
-    assigned = _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    assigned = (
+        _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+        if assigned_df is None
+        else assigned_df
+    )
     # centroid-cosine for the keep rule: rejoin the winning centroid's
     # vector (k rows, broadcast) and fold the same dot the oracle uses
     cents = (
@@ -2414,4 +2429,86 @@ def embedding_int8_dequantized(
 
     return j.select(
         id_col, F.transform("v", _deq).alias(vec_col)
+    )
+
+
+def int_gram_micro(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact integer Gram matrix of the micro-quantized corpus:
+    G[i][j] = SUM over rows of floor(v_i*1e6) * floor(v_j*1e6), as
+    (i, j, g decimal(38,0)) — dim² rows.
+
+    Replaces the posexplode self-join formulation (n·dim² intermediate
+    rows through a corpus-keyed join+agg) with a per-partition Arrow
+    partial Gram (guide §4.2 / §2.3): each task folds its batches into
+    ONE dim×dim int64 accumulator with an integer matmul and emits
+    dim² partial rows, so the shuffle carries dim² rows per partition
+    instead of n·dim² join rows. The final SUM accumulates in
+    decimal(38,0), same as the join formulation.
+
+    Bit-exactness: floor(float32→float64 * 1e6) in numpy is the same
+    IEEE-754 double multiply+floor Spark's ``F.floor(col * 1e6)``
+    performs; products and per-partition partial sums stay in int64
+    (|m| ≤ ~2²¹ for unit-normalized inputs ⇒ per-row product ≤ ~2⁴²;
+    int64 overflows only beyond ~2²¹ rows per partition even at that
+    extreme — raise the partition count before that, or the assert
+    below fires), so the result is bit-identical to the exact SQL
+    twin on both engines.
+
+    ``dim`` is optional: the accumulator is sized from the data (each
+    task reads the width off its first batch — free, unlike a
+    plan-build-time probe job). Passing it turns on a per-batch width
+    check that fails loudly on a corpus/caller mismatch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    declared = None if dim is None else int(dim)
+
+    def gram_batches(batches):
+        acc = None
+        n_rows = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_rows += len(pdf)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if declared is not None and mat.shape[1] != declared:
+                raise ValueError(
+                    f"int_gram_micro: declared dim={declared} but "
+                    f"{vec_col} rows have width {mat.shape[1]}"
+                )
+            if acc is None:
+                acc = np.zeros((mat.shape[1], mat.shape[1]), dtype=np.int64)
+            m = np.floor(mat * 1000000.0).astype(np.int64)
+            # overflow headroom: micro values of unit-normalized dims
+            # are ≤ 2²¹ in magnitude; 2⁴²·n_rows must stay below 2⁶³
+            assert n_rows < (1 << 21), (
+                "int_gram_micro: partition too large for int64 partial "
+                "sums — repartition the input"
+            )
+            acc += m.T @ m
+        if acc is None:
+            return
+        d = acc.shape[0]
+        i_idx, j_idx = np.indices((d, d))
+        yield pd.DataFrame(
+            {
+                "i": i_idx.ravel().astype(np.int32),
+                "j": j_idx.ravel().astype(np.int32),
+                "g": acc.ravel(),
+            }
+        )
+
+    partial = embeddings.select(vec_col).mapInPandas(
+        gram_batches, schema="i int, j int, g long"
+    )
+    return partial.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("g")
     )

@@ -309,6 +309,7 @@ def ngram_doc_frequency(
     id_col: str = "doc_id",
     k: int = 3,
     top: int = 100,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``top`` word k-grams by document frequency — vocabulary /
     boilerplate mining over a corpus (an n-gram present in a huge share
@@ -322,9 +323,13 @@ def ngram_doc_frequency(
     """
     from streaming_ecom_analytics_spark.functions.dedup import shingles
 
-    return (
+    sh = (
         shingles(docs, text_col=text_col, id_col=id_col, k=k)
-        .groupBy("shingle")
+        if shingles_df is None
+        else shingles_df
+    )
+    return (
+        sh.groupBy("shingle")
         .agg(F.count("*").cast("long").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(top)

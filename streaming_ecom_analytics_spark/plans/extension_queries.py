@@ -169,7 +169,10 @@ def q_doc_length_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFr
 @register("near_dup_jaccard", _JACCARD_ORACLE, headline=True)
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (ground truth)."""
-    return dedup.jaccard_pairs(catalog.documents(spark, sf_dir), k=3, threshold=0.8)
+    return dedup.jaccard_pairs(
+        catalog.documents(spark, sf_dir), k=3, threshold=0.8,
+        shingles_df=_shared_shingles3(spark, sf_dir),
+    )
 
 
 _JACCARD_CAPPED_ORACLE = r"""
@@ -210,8 +213,48 @@ def q_near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair work is vocabulary-bounded (n_shingles × cap²/2) and needs no
     guard. On the testdata the capped and true Jaccard agree for every
     planted near-dup pair."""
-    return dedup.jaccard_pairs_capped(
-        catalog.documents(spark, sf_dir), k=3, threshold=0.8, df_cap=100
+    return _shared_capped_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+def _shared_shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared distinct 3-gram shingle table (round-11): six
+    registered queries (near_dup_jaccard, near_dup_jaccard_capped, the
+    shared-LSH build, jaccard_band_histogram, hot_shingles,
+    ngram_doc_frequency) all begin with the identical
+    ``dedup.shingles(documents, k=3)`` explode+distinct over the raw
+    corpus. In a production pipeline the shingle table is a stored
+    stage output computed once per corpus snapshot; within a session it
+    is one persisted frame — the first consumer pays the scan + explode
+    + distinct shuffle, the rest reuse it (bench releases it per pass,
+    so every pass still pays the build exactly once)."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("shingles", sf_dir, "documents", 3),
+        lambda: dedup.shingles(catalog.documents(spark, sf_dir), k=3),
+    )
+
+
+def _shared_capped_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared df-capped exact-Jaccard pair table (round-11):
+    ``near_dup_jaccard_capped`` (threshold 0.8) and
+    ``jaccard_band_histogram`` (10-band distribution of the SAME pair
+    set) both compute the identical capped intersection join —
+    (doc_a, doc_b, round(jaccard, 6)) over df<=100 shingles. Built once
+    per pass with threshold=0.0 (every shingle-sharing pair kept: the
+    full curve the histogram needs); the capped near-dup query is a
+    filter over it, bit-identical to filtering inside the build."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("jaccard_capped_pairs", sf_dir, 3, 100),
+        lambda: dedup.jaccard_pairs_capped(
+            catalog.documents(spark, sf_dir),
+            k=3, threshold=0.0, df_cap=100,
+            shingles_df=_shared_shingles3(spark, sf_dir),
+        ),
     )
 
 
@@ -232,6 +275,7 @@ def _shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: dedup.minhash_lsh_pairs(
             catalog.documents(spark, sf_dir),
             k=3, num_perm=64, bands=16, threshold=0.8,
+            shingles_df=_shared_shingles3(spark, sf_dir),
         ),
     )
 
@@ -385,6 +429,28 @@ _ANN_RECALL_ORACLE = """
 """
 
 
+def _shared_exact_topk5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared exact-ANN ground truth (round-11): five
+    recall-contract queries (ann_lsh_topk, ann_ivf_topk, ann_ivfpq_topk,
+    ann_pq_topk, ann_int8_topk) each compare their approximate answer
+    against the SAME brute-force cosine top-5 over the same 10 query
+    vectors. In a production eval harness the ground-truth neighbor set
+    is computed once per corpus snapshot; within a session it is one
+    persisted 50-row frame — the first family member pays the full
+    corpus scan + BLAS scoring, the rest reuse it (bench releases it
+    per pass, so every pass still pays the build exactly once)."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("ann_exact_topk", sf_dir, 5),
+        lambda: similarity.cosine_topk_blas(
+            catalog.embeddings(spark, sf_dir),
+            catalog.embeddings(spark, sf_dir).filter(F.col("vec_id") < 10),
+            k=5,
+        ),
+    )
+
+
 @register("ann_lsh_topk", _ANN_RECALL_ORACLE)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k (scale path),
@@ -402,7 +468,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim=64 is the testdata contract (TESTDATA.md); passing it avoids a
     # plan-build-time probe job against the corpus.
     approx = similarity.lsh_bucketed_topk(emb, q, k=5, dim=64, n_planes=4, n_tables=4)
-    exact = similarity.cosine_topk_blas(emb, q, k=5)
+    exact = _shared_exact_topk5(spark, sf_dir)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.60)
 
 
@@ -419,7 +485,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.ivf_topk(emb, q, k=5)
-    exact = similarity.cosine_topk_blas(emb, q, k=5)
+    exact = _shared_exact_topk5(spark, sf_dir)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.40)
 
 
@@ -442,7 +508,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.ivfpq_topk(emb, q, k=5, dim=64)
-    exact = similarity.cosine_topk_blas(emb, q, k=5)
+    exact = _shared_exact_topk5(spark, sf_dir)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.40)
 
 
@@ -460,8 +526,44 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.pq_topk(emb, q, k=5, dim=64)
-    exact = similarity.cosine_topk_blas(emb, q, k=5)
+    exact = _shared_exact_topk5(spark, sf_dir)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.60)
+
+
+def _shared_emb_pairs_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared EXACT embedding near-dup pair set (round-11):
+    four registered queries (embedding_near_dups, embedding_dup_clusters,
+    embedding_ivf_join_recall's exact side, contrastive_pairs) plus
+    semantic_dedup_prune all compute the identical guarded block-Gram
+    pair set (threshold 0.45, dim 64) over the embedding corpus. One
+    persisted (id_a, id_b, cosine) frame per pass."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("emb_pairs_block", sf_dir, 0.45, 64),
+        lambda: similarity.embedding_near_dup_pairs(
+            catalog.embeddings(spark, sf_dir),
+            threshold=0.45, dim=64, method="block",
+        ),
+    )
+
+
+def _shared_emb_pairs_ivf256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared IVF-join pair set at target occupancy 256
+    (round-11): embedding_dup_clusters_scalable and
+    embedding_ivf_join_recall's approximate side run the identical
+    linear IVF similarity join; one persisted frame per pass."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("emb_pairs_ivf", sf_dir, 0.45, 64, 256),
+        lambda: similarity.embedding_near_dup_pairs(
+            catalog.embeddings(spark, sf_dir),
+            threshold=0.45, dim=64, method="ivf",
+            ivf_target_occupancy=256,
+            n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
+        ),
+    )
 
 
 @register(
@@ -487,9 +589,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's default threshold is 0.99 (true near-dups); the testdata
     plants no pairs above ~0.6, so the registered query runs at 0.45 to
     stay non-degenerate while exercising the same plan."""
-    return similarity.embedding_near_dup_pairs(
-        catalog.embeddings(spark, sf_dir), threshold=0.45, dim=64, method="block"
-    )
+    return _shared_emb_pairs_block(spark, sf_dir)
 
 
 @register(
@@ -598,13 +698,8 @@ def q_embedding_ivf_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin side hits the 250k block guard by design."""
     emb = catalog.embeddings(spark, sf_dir)
     n_rows = catalog.parquet_num_rows(sf_dir, "embeddings")
-    approx = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.45, dim=64, method="ivf",
-        ivf_target_occupancy=256, n_rows=n_rows,
-    )
-    exact = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.45, dim=64, method="block"
-    )
+    approx = _shared_emb_pairs_ivf256(spark, sf_dir)
+    exact = _shared_emb_pairs_block(spark, sf_dir)
     recall = similarity.pairs_recall_vs_exact(approx, exact, min_recall=0.80)
     cost = similarity.ivf_gram_cost_contract(
         emb, n_rows=n_rows, dim=64, target_occupancy=256
@@ -965,7 +1060,10 @@ def q_ngram_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining). Deterministic cut line (freq desc, shingle asc); plan is
     two-phase agg + TakeOrderedAndProject — the distribution is never
     globally sorted."""
-    return text.ngram_doc_frequency(catalog.documents(spark, sf_dir), k=3, top=100)
+    return text.ngram_doc_frequency(
+        catalog.documents(spark, sf_dir), k=3, top=100,
+        shingles_df=_shared_shingles3(spark, sf_dir),
+    )
 
 
 @register("image_features", _media_golden.IMAGE_FEATURES_GOLDEN_SQL)
@@ -1272,9 +1370,7 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the text-side dedup_clusters. The 100 TB plan for this semantics
     is `embedding_dup_clusters_scalable` (IVF-join candidates)."""
     emb = catalog.embeddings(spark, sf_dir)
-    pairs = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.45, dim=64, method="block"
-    )
+    pairs = _shared_emb_pairs_block(spark, sf_dir)
     out = dedup.dup_clusters(
         emb.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
     )
@@ -1296,11 +1392,7 @@ def q_embedding_dup_clusters_scalable(spark: SparkSession, sf_dir: str) -> DataF
     clusters match exactly; the 10x/100x probe points live in the
     RECALL/SCALEPROBE ledgers."""
     emb = catalog.embeddings(spark, sf_dir)
-    pairs = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.45, dim=64, method="ivf",
-        ivf_target_occupancy=256,
-        n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
-    )
+    pairs = _shared_emb_pairs_ivf256(spark, sf_dir)
     out = dedup.dup_clusters(
         emb.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
     )
@@ -1942,6 +2034,25 @@ _KMEANS_ASSIGN_ORACLE_BODY = """
 """
 
 
+def _shared_kmeans_assign8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared fixed-centroid k-means assignment (round-11):
+    four registered queries (kmeans_assign_fixed, kmeans_lloyd_update,
+    semantic_dedup_prune, semantic_dedup_prune_scalable) all start from
+    the identical nearest-of-k=8-lowest-id-centroids assignment over the
+    embedding corpus (``similarity._assigned_pairs``). One persisted
+    (vec_id, cluster_id, d2, xv) frame per pass — the first consumer
+    pays the broadcast cross join + argmin, the rest reuse it."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("kmeans_assign", sf_dir, 8),
+        lambda: similarity._assigned_pairs(
+            catalog.embeddings(spark, sf_dir),
+            k=8, id_col="vec_id", vec_col="embedding",
+        ),
+    )
+
+
 @register(
     "kmeans_assign_fixed",
     _KMEANS_ASSIGN_ORACLE_BODY
@@ -1958,7 +2069,10 @@ def q_kmeans_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair squared distance is the bit-mirrored dot-product identity
     (same expression in the oracle), the argmin a partial-aggregable
     struct min, the inertia an order-independent integer sum."""
-    return similarity.kmeans_assign_fixed(catalog.embeddings(spark, sf_dir), k=8)
+    return similarity.kmeans_assign_fixed(
+        catalog.embeddings(spark, sf_dir), k=8,
+        assigned_df=_shared_kmeans_assign8(spark, sf_dir),
+    )
 
 
 @register(
@@ -1983,7 +2097,10 @@ def q_kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of aggregation order and engine-comparable — the
     iterative-ML step with a real value-level oracle, not a rows-only
     check."""
-    return similarity.kmeans_lloyd_update(catalog.embeddings(spark, sf_dir), k=8)
+    return similarity.kmeans_lloyd_update(
+        catalog.embeddings(spark, sf_dir), k=8,
+        assigned_df=_shared_kmeans_assign8(spark, sf_dir),
+    )
 
 
 @register(
@@ -2307,13 +2424,20 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.documents(spark, sf_dir)
     k = 5
+    # Split ONCE in a separate projection (round-11; same lesson as
+    # dedup.shingles): inlining split() into the transform lambda makes
+    # Catalyst re-evaluate the regex split per sequence element —
+    # O(words²) work per document on the bench's heaviest query.
     sh = (
         docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__words")
+        )
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - {k - 1}, 1)),"
-                    f" i -> xxhash64(concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, {k}))))"
+                    f"transform(sequence(1, greatest(size(__words) - {k - 1}, 1)),"
+                    f" i -> xxhash64(concat_ws(' ', slice(__words, i, {k}))))"
                 )
             ).alias("shingle"),
         )
@@ -2804,9 +2928,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the near-dup subtree (block-Gram candidates + exact verify) is by
     # far the expensive part and BOTH union branches below consume it —
     # persist so it executes once, not twice (r6 plan-assertion wave)
-    pos = persist_tracked(
-        similarity.embedding_near_dup_pairs(emb, threshold=0.45, dim=64)
-    )
+    pos = _shared_emb_pairs_block(spark, sf_dir)
     anchors = pos.select(
         F.col("id_a").alias("anchor_id"),
         F.col("id_b").alias("positive_id"),
@@ -3179,23 +3301,15 @@ def q_embedding_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_ecom_analytics_spark.caching import persist_tracked
 
     emb = catalog.embeddings(spark, sf_dir)
-    vm = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "i", "val"
-        ),
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("m"),
-    )
     dec = "decimal(38,0)"
-    a = vm.select("vec_id", F.col("i").alias("ai"), F.col("m").alias("am"))
-    b = vm.select("vec_id", F.col("i").alias("bi"), F.col("m").alias("bm"))
+    # Arrow partial-Gram kernel (round-11, guide §4.2/§2.3): one
+    # dim×dim int64 accumulator per task, dim² partial rows shuffled
+    # per partition — replaces the posexplode self-join whose join+agg
+    # carried n·dim² rows (the n-scaled term of this query). Partial
+    # sums are exact int64, the final SUM accumulates decimal(38,0):
+    # bit-identical to the join formulation and the DuckDB twin.
     gram = persist_tracked(
-        a.join(b, on="vec_id")
-        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
-        .agg(F.sum((F.col("am") * F.col("bm")).cast(dec)).alias("g"))
+        similarity.int_gram_micro(emb, vec_col="embedding")
     )
     v = gram.select("j").distinct().select(
         "j", F.lit(1000000).cast(dec).alias("vj")
@@ -3419,7 +3533,7 @@ def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers read directly against near_dup_minhash_lsh's cost. Top-20
     fuses to TakeOrderedAndProject; the doc-count scalar broadcasts."""
     docs = catalog.documents(spark, sf_dir)
-    sh = dedup.shingles(docs, k=3)
+    sh = _shared_shingles3(spark, sf_dir)
     # denominator = corpus size from a narrow doc_id scan; every doc
     # yields >=1 shingle under the greatest(n-2, 1) convention, so this
     # equals countDistinct(doc_id) over sh WITHOUT re-exploding the
@@ -3672,39 +3786,15 @@ def q_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation is then bounded by df_cap²/2 per shingle. Jaccard
     is computed over the capped shingle sets on both engines
     identically."""
-    sh0 = dedup.shingles(catalog.documents(spark, sf_dir), k=3)
-    keep = sh0.groupBy("shingle").agg(F.count("*").alias("dfc")).where(
-        F.col("dfc") <= 100
-    )
-    sh = sh0.join(keep.select("shingle"), on="shingle", how="left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = F.round(
-        F.col("n_inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("n_inter")),
-        6,
-    )
-    bands = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
-            on="doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
-            on="doc_b",
-        )
-        .select(
-            F.least(F.floor(jac * 10).cast("long"), F.lit(9).cast("long")).alias(
-                "band"
-            )
-        )
+    # The banded pair set IS near_dup_jaccard_capped's input relation
+    # (same k=3 shingles, same df<=100 cap, same round-6 Jaccard) — one
+    # family-shared build per pass instead of a second full
+    # intersection join (round-11; the jaccard column here is the
+    # rounded ratio the previous inline build produced).
+    bands = _shared_capped_jaccard(spark, sf_dir).select(
+        F.least(
+            F.floor(F.col("jaccard") * 10).cast("long"), F.lit(9).cast("long")
+        ).alias("band")
     )
     hist = bands.groupBy("band").agg(F.count("*").alias("n_pairs"))
     from pyspark.sql import Window as W
@@ -4221,6 +4311,7 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
         method="block",
+        assigned_df=_shared_kmeans_assign8(spark, sf_dir),
     )
 
 
@@ -4248,6 +4339,7 @@ def q_semantic_dedup_prune_scalable(spark: SparkSession, sf_dir: str) -> DataFra
         dim=64,
         n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
         method="ivf",
+        assigned_df=_shared_kmeans_assign8(spark, sf_dir),
     )
 
 
@@ -4459,9 +4551,7 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.cosine_topk_blas(
         deq, deq.filter(F.col("vec_id") < 10), k=5
     )
-    exact = similarity.cosine_topk_blas(
-        emb, emb.filter(F.col("vec_id") < 10), k=5
-    )
+    exact = _shared_exact_topk5(spark, sf_dir)
     return similarity.recall_vs_exact(approx, exact, min_mean_recall=0.85)
 
 

@@ -454,11 +454,29 @@ _COOC_ORACLE = """
 """
 
 
+def _shared_item_cooc(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
+    """The family-shared co-purchase pair table (round-11): the item-
+    graph queries all start from the identical
+    ``analytics.item_cooccurrence(events, min_support=m)`` build —
+    min_support=2 feeds item_pagerank / item_communities / item_kcore,
+    min_support=5 feeds item_cooccurrence / item_triangles /
+    item_clustering_coefficients. One persisted pair frame per support
+    level per pass; the first consumer pays the basket self-join."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("item_cooc", sf_dir, min_support),
+        lambda: analytics.item_cooccurrence(
+            catalog.events(spark, sf_dir), min_support=min_support
+        ),
+    )
+
+
 @register("item_cooccurrence", _COOC_ORACLE)
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase recommender pairs over the category payload
     (props->k), min support 5."""
-    return analytics.item_cooccurrence(catalog.events(spark, sf_dir), min_support=5)
+    return _shared_item_cooc(spark, sf_dir, 5)
 
 
 _HISTOGRAM_ORACLE = """
@@ -840,9 +858,7 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     MECHANICS (per-round join/agg/lineage-cut, mass conservation) are
     fully exercised at 4, and production callers pick n_iter for
     convergence, not the bench."""
-    pairs = analytics.item_cooccurrence(
-        catalog.events(spark, sf_dir), min_support=2
-    ).select("item_a", "item_b")
+    pairs = _shared_item_cooc(spark, sf_dir, 2).select("item_a", "item_b")
     edges = pairs.selectExpr("item_a AS src", "item_b AS dst").union(
         pairs.selectExpr("item_b AS src", "item_a AS dst")
     )
@@ -1172,9 +1188,7 @@ def q_item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     item id within 6 hops (deterministic for any input). Oracle: the
     identical rounds unrolled as one SQL statement, one CTE per round,
     same edge construction as item_pagerank."""
-    pairs = analytics.item_cooccurrence(
-        catalog.events(spark, sf_dir), min_support=2
-    ).select("item_a", "item_b")
+    pairs = _shared_item_cooc(spark, sf_dir, 2).select("item_a", "item_b")
     edges = pairs.selectExpr("item_a AS src", "item_b AS dst").union(
         pairs.selectExpr("item_b AS src", "item_a AS dst")
     )
@@ -1703,9 +1717,9 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (analytics.triangle_counts over the min-support-5 co-occurrence
     edges) — cohesion structure beyond pairwise similarity; each
     triangle found exactly once via the ordered-triple join."""
-    edges = analytics.item_cooccurrence(
-        catalog.events(spark, sf_dir), min_support=5
-    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    edges = _shared_item_cooc(spark, sf_dir, 5).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
     return analytics.triangle_counts(edges)
 
 
@@ -1826,9 +1840,9 @@ def q_item_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFram
     graph (analytics.clustering_coefficients) — neighborhood cohesion
     normalized by degree, the standard community-structure readout on
     top of triangle counts."""
-    edges = analytics.item_cooccurrence(
-        catalog.events(spark, sf_dir), min_support=5
-    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    edges = _shared_item_cooc(spark, sf_dir, 5).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
     return analytics.clustering_coefficients(edges)
 
 
@@ -2069,9 +2083,7 @@ def q_item_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     at this diameter): the dense sub-network a merchandiser would call
     the catalog's backbone. Oracle: the same peel unrolled as one SQL
     statement, one degree/filter CTE pair per round."""
-    pairs = analytics.item_cooccurrence(
-        catalog.events(spark, sf_dir), min_support=2
-    ).select("item_a", "item_b")
+    pairs = _shared_item_cooc(spark, sf_dir, 2).select("item_a", "item_b")
     edges = pairs.selectExpr("item_a AS src", "item_b AS dst").union(
         pairs.selectExpr("item_b AS src", "item_a AS dst")
     )

@@ -990,7 +990,17 @@ def test_fixpoint_family_exchange_budget(spark):
     round-7 verdict #2), so the measured counts dropped 58→13 / 69→14;
     ceilings are those plus small slack for AQE variation across Spark
     versions. The cache-build budget is pinned too: it inflating means
-    the persisted edge frame's upstream got heavier."""
+    the persisted edge frame's upstream got heavier.
+
+    Round-11 rebaseline: the edge input moved into the family-shared
+    co-occurrence subtree (one persisted build feeds item_triangles /
+    item_clustering_coefficients / item_cooccurrence per pass), which
+    nests the co-occurrence pipeline's own persisted frames INSIDE the
+    shared frame's build plan — the static string count sees those
+    exchanges twice (measured 63 / 77 vs 50 / 60 before), while the
+    EXECUTED exchanges per pass dropped (one build for three queries).
+    Consumer-plan ceilings are unchanged — they are the per-query
+    regression signal."""
     import importlib.util
     from pathlib import Path
 
@@ -1000,8 +1010,8 @@ def test_fixpoint_family_exchange_budget(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     budgets = {
-        "item_triangles": (16, 50),
-        "item_clustering_coefficients": (18, 60),
+        "item_triangles": (16, 70),
+        "item_clustering_coefficients": (18, 85),
     }
     for name, (budget, cache_budget) in budgets.items():
         fp = mod.plan_fingerprint(_plan(spark, name))
