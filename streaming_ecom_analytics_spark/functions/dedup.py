@@ -257,6 +257,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     shingles_df: DataFrame | None = None,
+    sigs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH, verified by exact Jaccard.
 
@@ -281,8 +282,16 @@ def minhash_lsh_pairs(
     )
     # sig feeds two branches (banding + the verifier's size lookup) —
     # persisted so the signature aggregation runs once. It is tiny:
-    # num_perm longs + one count per document.
-    sig = persist_tracked(minhash_signatures(sh, id_col=id_col, num_perm=num_perm))
+    # num_perm longs + one count per document. ``sigs_df`` injects a
+    # precomputed ``minhash_signatures(shingles(docs))`` frame (e.g. a
+    # family-shared subtree also feeding the incremental cross-corpus
+    # path) — identical by construction when built from the same
+    # shingle relation with the same num_perm.
+    sig = persist_tracked(
+        minhash_signatures(sh, id_col=id_col, num_perm=num_perm)
+        if sigs_df is None
+        else sigs_df
+    )
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band_{b}"
@@ -650,6 +659,8 @@ def minhash_lsh_pairs_against(
     threshold: float = 0.8,
     ref_sigs: DataFrame | None = None,
     ref_sh_hash: DataFrame | None = None,
+    new_shingles_df: DataFrame | None = None,
+    new_sigs_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: MinHash-LSH candidates between NEW docs and
     a standing REFERENCE corpus only, verified by exact cross-corpus
@@ -691,11 +702,22 @@ def minhash_lsh_pairs_against(
     if ref_sigs is None and reference is None:
         raise ValueError("need a reference corpus or a stored artifact")
     rows_per_band = num_perm // bands
+    # ``new_shingles_df`` / ``new_sigs_df`` inject precomputed delta-side
+    # frames (round-11): shingling and the per-doc signature aggregation
+    # both commute with restricting the doc set, so a full-corpus
+    # family-shared shingle/signature table semi-joined to the delta ids
+    # is identical to building from ``new_docs`` directly — and a host
+    # running the symmetric LSH family in the same pass pays the
+    # signature aggregation once, not twice.
     sh_n = persist_tracked(
         shingles(new_docs, text_col=text_col, id_col=id_col, k=k)
+        if new_shingles_df is None
+        else new_shingles_df
     )
     sig_n = persist_tracked(
         minhash_signatures(sh_n, id_col=id_col, num_perm=num_perm)
+        if new_sigs_df is None
+        else new_sigs_df
     )
     if ref_sigs is None:
         sh_r = persist_tracked(

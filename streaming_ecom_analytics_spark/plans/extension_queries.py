@@ -237,6 +237,24 @@ def _shared_shingles3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_minhash_sigs64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared full-corpus MinHash signature table (round-11,
+    second batch): the symmetric LSH build (`_shared_lsh_pairs`) and the
+    incremental cross-corpus gate (`near_dup_cross_corpus`, delta side)
+    both aggregate the identical 64-perm signatures from the k=3
+    shingle table — the per-doc aggregation commutes with restricting
+    the doc set, so one full-corpus table semi-joined to the delta ids
+    serves both. One signature aggregation per pass instead of two."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("minhash_sigs", sf_dir, 3, 64),
+        lambda: dedup.minhash_signatures(
+            _shared_shingles3(spark, sf_dir), id_col="doc_id", num_perm=64
+        ),
+    )
+
+
 def _shared_capped_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The family-shared df-capped exact-Jaccard pair table (round-11):
     ``near_dup_jaccard_capped`` (threshold 0.8) and
@@ -276,6 +294,7 @@ def _shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             catalog.documents(spark, sf_dir),
             k=3, num_perm=64, bands=16, threshold=0.8,
             shingles_df=_shared_shingles3(spark, sf_dir),
+            sigs_df=_shared_minhash_sigs64(spark, sf_dir),
         ),
     )
 
@@ -4655,12 +4674,24 @@ def q_near_dup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     work scales with the batch."""
     docs = catalog.documents(spark, sf_dir)
     ref_sigs, ref_sh = dedup.corpus_signature_artifact(spark, sf_dir)
+    # Delta-side shingles/signatures from the family-shared full-corpus
+    # tables (round-11, second batch): both commute with restricting to
+    # the delta ids, so a semi-join over the shared frames is identical
+    # to shingling/signing the delta directly — and the pass's signature
+    # aggregation is paid once (shared with `_shared_lsh_pairs`).
+    delta_ids = docs.filter(F.col("source") != "src0").select("doc_id")
     return dedup.minhash_lsh_pairs_against(
         docs.filter(F.col("source") != "src0"),
         k=3,
         threshold=0.8,
         ref_sigs=ref_sigs,
         ref_sh_hash=ref_sh,
+        new_shingles_df=_shared_shingles3(spark, sf_dir).join(
+            delta_ids, on="doc_id", how="left_semi"
+        ),
+        new_sigs_df=_shared_minhash_sigs64(spark, sf_dir).join(
+            delta_ids, on="doc_id", how="left_semi"
+        ),
     ).sort("doc_id", "ref_id")
 
 

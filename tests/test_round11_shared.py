@@ -55,6 +55,36 @@ class TestInjectedShingles:
         )
         assert _sorted_rows(base) == _sorted_rows(injected)
 
+    def test_minhash_lsh_pairs_with_injected_sigs(self, spark, docs_df):
+        """``sigs_df`` injection (round-11 second batch): the shared
+        full-corpus signature table must reproduce the internal
+        aggregation exactly."""
+        base = dedup.minhash_lsh_pairs(docs_df, k=3, threshold=0.8)
+        sh = dedup.shingles(docs_df, k=3)
+        sigs = dedup.minhash_signatures(sh, id_col="doc_id", num_perm=64)
+        injected = dedup.minhash_lsh_pairs(
+            docs_df, k=3, threshold=0.8, shingles_df=sh, sigs_df=sigs
+        )
+        assert _sorted_rows(base) == _sorted_rows(injected)
+
+    def test_lsh_against_with_injected_delta_frames(self, spark, docs_df):
+        """Delta-side injection for the incremental cross-corpus path:
+        full-corpus shared shingle/signature tables semi-joined to the
+        delta ids must equal shingling/signing the delta directly (both
+        operations commute with restricting the doc set)."""
+        delta = docs_df.filter(F.col("source") != "src0")
+        ref = docs_df.filter(F.col("source") == "src0")
+        base = dedup.minhash_lsh_pairs_against(delta, ref, k=3, threshold=0.8)
+        sh_full = dedup.shingles(docs_df, k=3)
+        sig_full = dedup.minhash_signatures(sh_full, id_col="doc_id", num_perm=64)
+        ids = delta.select("doc_id")
+        injected = dedup.minhash_lsh_pairs_against(
+            delta, ref, k=3, threshold=0.8,
+            new_shingles_df=sh_full.join(ids, on="doc_id", how="left_semi"),
+            new_sigs_df=sig_full.join(ids, on="doc_id", how="left_semi"),
+        )
+        assert _sorted_rows(base) == _sorted_rows(injected)
+
     def test_jaccard_pairs_capped_with_injected_shingles(self, spark, docs_df):
         base = dedup.jaccard_pairs_capped(docs_df, k=3, threshold=0.8, df_cap=100)
         sh = dedup.shingles(docs_df, k=3)
