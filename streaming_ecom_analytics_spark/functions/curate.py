@@ -264,6 +264,7 @@ def dedup_keep_best(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    clusters_df: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution with QUALITY-aware canonical
     selection: resolve near-dup pairs into clusters (connected
@@ -278,13 +279,22 @@ def dedup_keep_best(
     pass over text); the argmax is a row_number window on the cluster
     key with group-limit pushdown, shuffling only (cluster, id, score)
     triples.
+
+    ``clusters_df`` injects a precomputed ``dup_clusters(docs, pairs)``
+    frame (e.g. a family-shared subtree also feeding the plain
+    clusters query) — the CC fixpoint is the expensive stage here, and
+    a host running several cluster consumers in one pass pays it once.
     """
     from pyspark.sql import Window
 
     from streaming_ecom_analytics_spark.functions import text as text_fns
     from streaming_ecom_analytics_spark.functions.dedup import dup_clusters
 
-    clusters = dup_clusters(docs, pairs, id_col=id_col)
+    clusters = (
+        dup_clusters(docs, pairs, id_col=id_col)
+        if clusters_df is None
+        else clusters_df
+    )
     scored = docs.select(
         F.col(id_col), text_fns.quality_score_col(text_col).alias("quality_score")
     )

@@ -239,12 +239,33 @@ def minhash_signatures(
     (|A∪B| = n_a + n_b − |A∩B|), saving a separate count pass over
     the shingle table.
     """
-    base = F.xxhash64(F.col("shingle"))
+    # Each aggregate is built as one SQL string: the per-element
+    # Column form (min∘xxhash64∘bitwiseXOR∘xxhash64) costs ~5 py4j
+    # round-trips per permutation — ~0.35 s of driver plan-construction
+    # for 64 perms per call site (measured round-11); the parser form
+    # resolves to the identical expression.
     aggs = [
-        F.min(F.xxhash64(base.bitwiseXOR(F.lit(mask)))).alias(f"mh_{i}")
+        F.expr(f"min(xxhash64(xxhash64(shingle) ^ {mask}L))").alias(f"mh_{i}")
         for i, mask in enumerate(_mix_constants(num_perm))
     ]
     return sh.groupBy(id_col).agg(F.count("*").alias("n_sh"), *aggs)
+
+
+def _band_structs_sql(bands: int, rows_per_band: int) -> str:
+    """SQL text of the banded-LSH struct array over the ``mh_*``
+    signature columns: array of (band_id, band_hash=xxhash64(the
+    band's rows)). One parser call instead of ~6 py4j round-trips per
+    band (~0.2 s of driver plan-construction per call site at 16
+    bands, measured round-11); the analyzed expression is identical
+    to the per-element F.struct/F.xxhash64 form it replaced."""
+    structs = ",".join(
+        "named_struct('band_id', {b}, 'band_hash', xxhash64({cols}))".format(
+            b=b,
+            cols=",".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"array({structs})"
 
 
 def minhash_lsh_pairs(
@@ -292,21 +313,9 @@ def minhash_lsh_pairs(
         if sigs_df is None
         else sigs_df
     )
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    stacked = sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
+        F.explode(F.expr(_band_structs_sql(bands, rows_per_band))).alias("bb"),
     ).select(id_col, "bb.band_id", "bb.band_hash")
     a = stacked.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
     b = stacked.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash")
@@ -456,6 +465,11 @@ def hamming_pairs(
     never goes all-pairs."""
     width = 64 // n_chunks
     mask = (1 << width) - 1
+    # The signature frame feeds BOTH sides of the chunk self-join;
+    # unpersisted, the upstream signature computation (a pandas kernel
+    # for SimHash/dHash callers) executes twice. Persist: one row per
+    # document, two longs wide.
+    signatures = persist_tracked(signatures)
     chunks = signatures.select(
         F.col(id_col).alias("__id"),
         F.col(sig_col).alias("__sig"),
@@ -734,26 +748,9 @@ def minhash_lsh_pairs_against(
         sig_r = ref_sigs
 
     def _stacked(sig: DataFrame, out_id: str) -> DataFrame:
-        band_cols = [
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ]
-        banded = sig.select(F.col(id_col).alias(out_id), *band_cols)
-        return banded.select(
-            out_id,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.col(f"band_{b}").alias("band_hash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.expr(_band_structs_sql(bands, rows_per_band))).alias("bb"),
         ).select(out_id, "bb.band_id", "bb.band_hash")
 
     candidates = persist_tracked(

@@ -117,6 +117,38 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal with exact round-trip (repr is the shortest
+    decimal that parses back bit-identically; the D suffix types it)."""
+    return repr(float(x)) + "D"
+
+
+def _dot_lit_sql(vec_sql: str, values) -> str:
+    """SQL text of ``_dot(vec, literal-array)`` — the identical
+    fixed-fold-order aggregate/zip_with expression, built as ONE parser
+    call instead of one py4j round-trip per element. Plan-construction
+    cost, not execution cost: a 16×64 centroid grid costs ~1.2 s of
+    driver time per query through per-element ``F.lit`` (measured
+    round-11) and ~5 ms through the parser; the analyzed expression —
+    and therefore every computed value — is the same."""
+    arr = ",".join(_dlit(x) for x in values)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _hyperplane_bucket_sql(vec_sql: str, planes) -> str:
+    """SQL text of :func:`hyperplane_bucket` (same sign-bit values; see
+    ``_dot_lit_sql`` for why the SQL form exists). The per-element and
+    SQL forms are pinned equal in tests/test_round11_shared.py."""
+    out = "0"
+    for p in planes:
+        bit = f"(CASE WHEN {_dot_lit_sql(vec_sql, p)} >= 0 THEN 1 ELSE 0 END)"
+        out = f"(({out}) * 2 + {bit})"
+    return out
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -151,6 +183,14 @@ def lsh_bucketed_topk(
     one projection per table of a shared scan, not extra passes.
     The planes derive deterministically from ``seed`` so results are
     reproducible (rows-only check — approximation is the point).
+
+    All tables share ONE corpus projection: each row emits its
+    (table_id, bucket) assignment for every table via posexplode, and
+    the per-table bucket joins collapse into a single equi-join on
+    (table_id, bucket) — the union over tables of per-table joins is
+    identical to one join whose key carries the table id (round-11:
+    n_tables corpus scans → 1; the candidate multiset is unchanged,
+    so the deduped pair set and the rerank output are too).
     """
     import numpy as np
 
@@ -159,24 +199,51 @@ def lsh_bucketed_topk(
     probes = n_planes if n_probes is None else n_probes
 
     v = F.col(vec_col).cast("array<double>")
-    cand = None
-    for _ in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim)).tolist()
-        c = embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            hyperplane_bucket(v, planes).alias("bucket"),
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    # Same RNG consumption order as the historical per-table loop, so
+    # every table's planes (and hence every bucket id) are unchanged.
+    # Bucket expressions are built as SQL text (_hyperplane_bucket_sql:
+    # one parser call instead of n_tables·n_planes·dim py4j literal
+    # round-trips — ~1 s of driver plan-construction per query at the
+    # registered 4×4×64 grid); values are identical and pinned so in
+    # tests/test_round11_shared.py.
+    table_planes = [rng.standard_normal((n_planes, dim)).tolist() for _ in range(n_tables)]
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.expr(
+                "array("
+                + ",".join(_hyperplane_bucket_sql(vec_sql, p) for p in table_planes)
+                + ")"
+            )
+        ).alias("table_id", "bucket"),
+    )
+    q_tables = []
+    for t, planes in enumerate(table_planes):
+        base_bucket = F.expr(_hyperplane_bucket_sql(vec_sql, planes))
+        q_tables.append(
+            F.struct(
+                F.lit(t).alias("table_id"),
+                F.array(
+                    base_bucket,
+                    *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(probes)],
+                ).alias("buckets"),
+            )
         )
-        base_bucket = hyperplane_bucket(v, planes)
-        probe_buckets = F.array(
-            base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(probes)]
-        )
-        q = queries.select(
+    q = (
+        queries.select(
             F.col(id_col).alias("query_id"),
-            F.explode(probe_buckets).alias("bucket"),
+            F.explode(F.array(*q_tables)).alias("t"),
         )
-        pairs_t = c.join(F.broadcast(q), on="bucket").select("query_id", "neighbor_id")
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+        .select("query_id", F.col("t.table_id").alias("table_id"),
+                F.explode("t.buckets").alias("bucket"))
+    )
+    cand = (
+        c.join(F.broadcast(q), on=["table_id", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
 
     # exact cosine rerank over the deduped candidates: join vectors
     # back (query side broadcast — it is the small side by contract)
@@ -223,57 +290,66 @@ def ivf_topk(
     + probe-the-nearest-lists exact rerank — the other classic ANN
     scale path beside hyperplane LSH.
 
-    - Train: Spark ML KMeans on a deterministic SAMPLE of the corpus
-      (~``max_train_rows`` rows by default — quantizer quality needs
+    - Train: deterministic numpy Lloyd (``_lloyd_np``) on the bounded
+      id-sorted driver-side sample (``_ivf_training_sample`` — the SAME
+      training policy as pq_topk/ivfpq_topk and the IVF similarity
+      join; ~``max_train_rows`` rows: quantizer quality needs
       ~100-1000 points per centroid, not the whole corpus; fitting
-      Lloyd's on 100 TB of vectors would rescan everything maxIter
-      times for no recall gain).
+      Lloyd's on 100 TB of vectors would rescan everything per
+      iteration for no recall gain). Round-11: this replaced a Spark ML
+      ``KMeans.fit`` — at bench scale MLlib's k-means|| init + per-
+      iteration jobs cost ~1 s of pure scheduling per query, and its
+      training order/parallelism is float-nondeterministic across
+      hosts, which is why the registered recall floor carried a
+      nondeterminism margin; the numpy trainer is bit-deterministic.
     - Index: each corpus vector assigned to its nearest centroid's
-      list — at scale this is the partitioning/bucketing key, so one
-      query touches n_probe/n_lists of the data.
-    - Search: each query scores the n_lists centroids (tiny,
-      broadcast-literal dot products), explodes its n_probe nearest
-      list ids, joins corpus lists, exact cosine rerank, window top-k.
+      list IN-PLAN (argmin over centroid-literal squared distances,
+      codegen'd — no MLlib transform, no vector-UDT conversion) — at
+      scale this is the partitioning/bucketing key, so one query
+      touches n_probe/n_lists of the data.
+    - Search: each query scores the same centroid literals, explodes
+      its n_probe nearest list ids, joins corpus lists, exact cosine
+      rerank, window top-k. Corpus assignment and query probing use
+      the SAME distance expression (|c|² − 2·x·c: the |x|² term is
+      row-constant and cannot move an argmin), so the probed lists are
+      exactly the index's nearest lists.
 
     Deterministic via fixed seed (sampling included). Approximate by
     design → rows-only check; recall asserted in unit tests.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from streaming_ecom_analytics_spark.caching import persist_tracked
+    del train_fraction  # superseded by the bounded id-sorted sample policy
 
     v = F.col(vec_col).cast("array<double>")
-    # cached (tracked — see caching.py): the KMeans transform and the
-    # probe join both rescan the assigned corpus
-    feat = persist_tracked(
-        embeddings.select(
-            F.col(id_col), v.alias("arr"), array_to_vector(v).alias("features")
-        )
+    mat = _ivf_training_sample(
+        embeddings, id_col=id_col, vec_col=vec_col, train_rows=max_train_rows
     )
-    if train_fraction is None:
-        n_rows = feat.count()  # cheap: materializes the cache we need anyway
-        train_fraction = min(1.0, max_train_rows / max(n_rows, 1))
-    train = feat if train_fraction >= 1.0 else feat.sample(train_fraction, seed=seed)
-    model = KMeans(k=n_lists, seed=seed, maxIter=5, tol=1e-3).fit(train)
-    corpus = model.transform(feat).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("arr").alias("nvec"),
-        _norm(F.col("arr")).alias("nnorm"),
-        F.col("prediction").alias("list_id"),
-    )
+    if mat is None:
+        # empty corpus: no candidate can exist; the exact path returns
+        # the same (query_id, neighbor_id, cosine) empty frame
+        return cosine_topk(embeddings, queries, id_col=id_col, vec_col=vec_col, k=k)
+    k_eff, cent = _ivf_centroids(mat, n_lists, seed)
+    c2 = (cent * cent).sum(axis=1)
 
-    centers = [c.tolist() for c in model.clusterCenters()]
-    # per-query centroid scores as literal-array dot products; keep the
-    # n_probe nearest lists (euclidean on unit-ish vectors ≈ max dot)
-    dists = F.array(*[
-        F.struct(
-            (-_dot(v, F.array(*[F.lit(float(x)) for x in c]))).alias("neg_dot"),
-            F.lit(i).alias("list_id"),
-        )
-        for i, c in enumerate(centers)
-    ])
-    probe = F.slice(F.array_sort(dists), 1, n_probe)
+    # squared euclidean to each centroid literal, up to the
+    # row-constant |x|²: d'_i = |c_i|² − 2·x·c_i. Sorted structs break
+    # ties by list_id — deterministic on every engine. Built as ONE
+    # SQL string (see _dot_lit_sql): per-element F.lit over the
+    # n_lists×dim centroid grid cost ~1.2 s of driver plan-construction
+    # per call site (measured round-11).
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    nearest_sql = "array_sort(array(" + ",".join(
+        f"named_struct('d2', {_dlit(c2[i])} - 2.0D * {_dot_lit_sql(vec_sql, cent[i])}, "
+        f"'list_id', {i})"
+        for i in range(k_eff)
+    ) + "))"
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("nvec"),
+        _norm(v).alias("nnorm"),
+        F.expr(nearest_sql)[0]["list_id"].alias("list_id"),
+    )
+    probe = F.slice(F.expr(nearest_sql), 1, min(n_probe, k_eff))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         v.alias("qvec"),
@@ -2039,6 +2115,7 @@ def semantic_dedup(
     n_rows: int | None = None,
     method: str = "ivf",
     assigned_df: DataFrame | None = None,
+    pairs_df: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication — cluster the embedding space, find semantic
@@ -2094,6 +2171,12 @@ def semantic_dedup(
     from streaming_ecom_analytics_spark.caching import persist_tracked
     from streaming_ecom_analytics_spark.functions import dedup
 
+    if pairs_df is not None and method == "ivf":
+        raise ValueError(
+            "semantic_dedup: pairs_df injection is only valid for exact "
+            "candidate methods — the ivf path generates candidates "
+            "cluster-locally ((cluster, list) keys)"
+        )
     assigned = (
         _assigned_pairs(embeddings, k=k, id_col=id_col, vec_col=vec_col)
         if assigned_df is None
@@ -2146,15 +2229,24 @@ def semantic_dedup(
         ).select("id_a", "id_b")
     else:
         # exact candidate paths emit the full pair set — apply the
-        # cluster constraint as a filter on the verified pairs
-        pairs = embedding_near_dup_pairs(
-            embeddings,
-            threshold=threshold,
-            id_col=id_col,
-            vec_col=vec_col,
-            dim=dim,
-            n_rows=n_rows,
-            method=method,
+        # cluster constraint as a filter on the verified pairs.
+        # ``pairs_df`` injects a precomputed frame of the SAME exact
+        # pair set (e.g. the family-shared block-Gram subtree); it is
+        # rejected for method='ivf' because that path's pair set is
+        # generated cluster-locally (the (cluster, list) bucket key),
+        # which a plain full-corpus pair frame does not reproduce.
+        pairs = (
+            embedding_near_dup_pairs(
+                embeddings,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                n_rows=n_rows,
+                method=method,
+            )
+            if pairs_df is None
+            else pairs_df
         ).select("id_a", "id_b")
         ca = asg.select(
             F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("__ca")

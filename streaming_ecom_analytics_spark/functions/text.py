@@ -727,12 +727,23 @@ def doc_containment(
     docs alone yields H² pairs, so the df cap bounds the join blowup
     the way banding bounds MinHash.
     """
-    rows = winnow_fingerprint_rows(
-        docs, text_col=text_col, id_col=id_col, k=k, window=window
-    ).select(id_col, "fp_hash").distinct()
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    # rows feeds the df-count AND the kept join; kept feeds the size
+    # aggregate and BOTH sides of the pair self-join. Unpersisted, the
+    # winnowing pandas kernel (the expensive part) re-executes once per
+    # consumer — measured 6 executions per query (round-11). Persist
+    # both: rows is (doc_id, fp_hash) distinct, kept a subset of it.
+    rows = persist_tracked(
+        winnow_fingerprint_rows(
+            docs, text_col=text_col, id_col=id_col, k=k, window=window
+        ).select(id_col, "fp_hash").distinct()
+    )
     hash_df = rows.groupBy("fp_hash").agg(F.count("*").alias("__df"))
-    kept = rows.join(
-        hash_df.filter(F.col("__df") <= max_hash_df).select("fp_hash"), on="fp_hash"
+    kept = persist_tracked(
+        rows.join(
+            hash_df.filter(F.col("__df") <= max_hash_df).select("fp_hash"), on="fp_hash"
+        )
     )
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("__n"))
     a = kept.select(F.col(id_col).alias("doc_a"), "fp_hash")

@@ -350,6 +350,23 @@ _DUP_CLUSTER_ORACLE = f"""
 """
 
 
+def _shared_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family-shared duplicate-cluster table over the LSH pair
+    graph (round-11, third batch): `dedup_clusters` and
+    `dedup_keep_best` both resolve the SAME shared pair set through
+    the SAME connected-components fixpoint — and the CC star rounds
+    (three eager lineage-cut checkpoints each) are the expensive stage
+    of both. One (doc_id, cluster_id, is_canonical) frame per pass."""
+    from streaming_ecom_analytics_spark.caching import shared_subtree
+
+    return shared_subtree(
+        ("lsh_dup_clusters", sf_dir),
+        lambda: dedup.dup_clusters(
+            catalog.documents(spark, sf_dir), _shared_lsh_pairs(spark, sf_dir)
+        ),
+    )
+
+
 @register("dedup_clusters", _DUP_CLUSTER_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS resolved into duplicate CLUSTERS: connected
@@ -357,11 +374,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pair graph, then a per-document canonical flag. The oracle
     recomputes components as a recursive-CTE transitive closure over
     the brute-force Jaccard pairs — closure is test-scale-only; the
-    star algorithm is the O(log n)-round scale path.
-    """
-    docs = catalog.documents(spark, sf_dir)
-    pairs = _shared_lsh_pairs(spark, sf_dir)
-    out = dedup.dup_clusters(docs, pairs)
+    star algorithm is the O(log n)-round scale path. Clusters come
+    from the family-shared CC subtree (one fixpoint per pass, shared
+    with dedup_keep_best)."""
+    out = _shared_lsh_clusters(spark, sf_dir)
     return out.select(
         "doc_id", "cluster_id", F.col("is_canonical").cast("long").alias("is_canonical")
     )
@@ -493,14 +509,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_ivf_topk", _ANN_RECALL_ORACLE)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (Spark ML KMeans coarse quantizer + n_probe-list exact
-    rerank) as a checkable recall assertion vs brute force — observed
-    mean recall 0.50/0.52/0.64 at sf0.001/0.01/0.1 (r5 measurement),
-    floor 0.40: observed minimum minus a 0.10 margin, because Spark ML
-    KMeans training order/parallelism is float-nondeterministic across
-    Spark versions and hardware (r5 advisor note — 0.45 left only 0.05
-    of headroom); a 1-probe regression still demonstrably fails it
-    (tests/test_similarity.py)."""
+    """IVF ANN (deterministic numpy-Lloyd coarse quantizer — the
+    pq/ivfpq training policy since round 11, replacing Spark ML KMeans
+    whose fit cost ~1 s of MLlib job scheduling per query at bench
+    scale — + n_probe-list exact rerank) as a checkable recall
+    assertion vs brute force — observed mean recall 0.64/0.50/0.64 at
+    sf0.001/0.01/0.1 (r11 measurement with the numpy trainer; Spark ML
+    measured 0.50/0.52/0.64 at r5), floor 0.40: observed minimum minus
+    a 0.10 margin (the pq/ivfpq margin convention; training is now
+    bit-deterministic, so the old nondeterminism rationale no longer
+    applies but the floor is unchanged); a 1-probe regression still
+    demonstrably fails it (tests/test_similarity.py)."""
     emb = catalog.embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
     approx = similarity.ivf_topk(emb, q, k=5)
@@ -1348,12 +1367,17 @@ _KEEP_BEST_ORACLE = f"""
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware duplicate resolution: cluster near-dups (star
     rounds over the LSH pair graph), keep each cluster's best-quality
-    member. End-to-end composition of dedup + quality scoring."""
+    member. End-to-end composition of dedup + quality scoring.
+    Clusters come from the family-shared CC subtree (one fixpoint per
+    pass, shared with dedup_clusters; injection output-identity is
+    unit-pinned in tests/test_round11_shared.py)."""
     from streaming_ecom_analytics_spark.functions import curate
 
     docs = catalog.documents(spark, sf_dir)
     pairs = _shared_lsh_pairs(spark, sf_dir)
-    return curate.dedup_keep_best(docs, pairs)
+    return curate.dedup_keep_best(
+        docs, pairs, clusters_df=_shared_lsh_clusters(spark, sf_dir)
+    )
 
 
 _EMB_CLUSTER_ORACLE = """
@@ -4321,7 +4345,11 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional on the join's recall being 1.0 — this registration is
     now exact at any input, and the scale path lives in
     `semantic_dedup_prune_scalable`). The 250k block guard is fine at
-    every oracle SF and refuses at the probe decades by design."""
+    every oracle SF and refuses at the probe decades by design.
+    Candidate pairs come from the family-shared block-Gram subtree
+    (round-11 third batch — this query previously rebuilt the exact
+    pair set the B5 family already shares; injection identity is the
+    pair set being a property of the two vectors alone)."""
     emb = catalog.embeddings(spark, sf_dir)
     return similarity.semantic_dedup(
         emb,
@@ -4331,6 +4359,7 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows=catalog.parquet_num_rows(sf_dir, "embeddings"),
         method="block",
         assigned_df=_shared_kmeans_assign8(spark, sf_dir),
+        pairs_df=_shared_emb_pairs_block(spark, sf_dir),
     )
 
 

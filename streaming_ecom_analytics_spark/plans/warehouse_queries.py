@@ -2749,10 +2749,17 @@ def q_item_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses to TakeOrderedAndProject. For catalogs with pathological
     baskets, cap basket size upstream (the standard market-basket
     guard)."""
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
     li = catalog.load_table(spark, "lineitem", sf_dir)
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # op feeds the per-part counts AND both sides of the per-order
+    # self-join; unpersisted, the lineitem scan + distinct shuffle runs
+    # three times per query (round-11). Two narrow long columns/row.
+    op = persist_tracked(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
     cnt = op.groupBy("p").agg(F.count("*").alias("c"))
     a = op.select(F.col("o"), F.col("p").alias("pa"))
     b = op.select(F.col("o"), F.col("p").alias("pb"))

@@ -193,3 +193,163 @@ class TestSharedSubtree:
         release_shared()
         c = shared_subtree(("t11", "x"), build)
         assert len(calls) == 2 and c is not None
+
+
+class TestLshSingleScan:
+    """Round-11 second batch: the multi-table LSH candidate join was
+    collapsed from a union of per-table bucket joins (n_tables corpus
+    scans) into ONE posexplode + equi-join on (table_id, bucket). The
+    candidate multiset — and therefore the deduped pair set and the
+    reranked top-k — must be identical to the historical union form."""
+
+    @staticmethod
+    def _union_form_topk(emb, q, *, k, dim, n_planes, n_tables, seed=42):
+        """The pre-round-11 per-table union implementation, inlined as
+        the reference."""
+        import numpy as np
+        from pyspark.sql import Window
+
+        rng = np.random.default_rng(seed)
+        v = F.col("embedding").cast("array<double>")
+        cand = None
+        for _ in range(n_tables):
+            planes = rng.standard_normal((n_planes, dim)).tolist()
+            c = emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                similarity.hyperplane_bucket(v, planes).alias("bucket"),
+            )
+            base_bucket = similarity.hyperplane_bucket(v, planes)
+            probe_buckets = F.array(
+                base_bucket,
+                *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+            qb = q.select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(probe_buckets).alias("bucket"),
+            )
+            pairs_t = c.join(F.broadcast(qb), on="bucket").select(
+                "query_id", "neighbor_id"
+            )
+            cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+        nbr = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            v.alias("nv"),
+            similarity._norm(v).alias("nn"),
+        )
+        qv = q.select(
+            F.col("vec_id").alias("query_id"),
+            v.alias("qv"),
+            similarity._norm(v).alias("qn"),
+        )
+        cos = similarity._dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        scored = (
+            cand.join(nbr, on="neighbor_id")
+            .join(F.broadcast(qv), on="query_id")
+            .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    def test_single_scan_equals_union_form(self, spark, emb_df):
+        q = emb_df.filter(F.col("vec_id") < 10)
+        new = similarity.lsh_bucketed_topk(
+            emb_df, q, k=5, dim=64, n_planes=4, n_tables=4
+        )
+        ref = self._union_form_topk(
+            emb_df, q, k=5, dim=64, n_planes=4, n_tables=4
+        )
+        assert _sorted_rows(new) == _sorted_rows(ref)
+
+    def test_single_table_unchanged(self, spark, emb_df):
+        """n_tables=1 (the library default) goes through the same
+        posexplode path — still identical to the union form."""
+        q = emb_df.filter(F.col("vec_id") < 5)
+        new = similarity.lsh_bucketed_topk(
+            emb_df, q, k=3, dim=64, n_planes=6, n_tables=1
+        )
+        ref = self._union_form_topk(
+            emb_df, q, k=3, dim=64, n_planes=6, n_tables=1
+        )
+        assert _sorted_rows(new) == _sorted_rows(ref)
+
+
+class TestSqlLiteralForms:
+    """The SQL-text expression builders (_dot_lit_sql & friends) exist
+    only to cut py4j plan-construction cost; they must be bit-identical
+    to the per-element Column forms they replaced."""
+
+    def test_dot_lit_sql_bit_equal(self, spark, emb_df):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vals = rng.standard_normal(64).tolist()
+        v = F.col("embedding").cast("array<double>")
+        per_elem = similarity._dot(v, F.array(*[F.lit(float(x)) for x in vals]))
+        sql_form = F.expr(
+            similarity._dot_lit_sql("cast(`embedding` as array<double>)", vals)
+        )
+        bad = emb_df.select(
+            (per_elem != sql_form).alias("diff")
+        ).filter("diff").count()
+        assert bad == 0
+
+    def test_hyperplane_bucket_sql_bit_equal(self, spark, emb_df):
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        planes = rng.standard_normal((4, 64)).tolist()
+        v = F.col("embedding").cast("array<double>")
+        per_elem = similarity.hyperplane_bucket(v, planes)
+        sql_form = F.expr(
+            similarity._hyperplane_bucket_sql(
+                "cast(`embedding` as array<double>)", planes
+            )
+        )
+        bad = emb_df.select(
+            (per_elem != sql_form).alias("diff")
+        ).filter("diff").count()
+        assert bad == 0
+
+
+class TestSharedClusters:
+    """Round-11 third batch: the CC fixpoint output and the SemDeDup
+    exact pair set are injectable; injection must be output-identical
+    to the internal build."""
+
+    def test_dedup_keep_best_with_injected_clusters(self, spark, docs_df):
+        from streaming_ecom_analytics_spark.functions import curate
+
+        pairs = dedup.minhash_lsh_pairs(docs_df, k=3, threshold=0.8)
+        base = curate.dedup_keep_best(docs_df, pairs)
+        clusters = dedup.dup_clusters(docs_df, pairs)
+        injected = curate.dedup_keep_best(docs_df, pairs, clusters_df=clusters)
+        assert _sorted_rows(base) == _sorted_rows(injected)
+
+    def test_semantic_dedup_with_injected_block_pairs(self, spark, emb_df):
+        base = similarity.semantic_dedup(
+            emb_df, k=8, threshold=0.45, dim=64, method="block"
+        )
+        pairs = similarity.embedding_near_dup_pairs(
+            emb_df, threshold=0.45, dim=64, method="block"
+        )
+        injected = similarity.semantic_dedup(
+            emb_df, k=8, threshold=0.45, dim=64, method="block", pairs_df=pairs
+        )
+        assert _sorted_rows(base) == _sorted_rows(injected)
+
+    def test_semantic_dedup_rejects_pairs_df_for_ivf(self, spark, emb_df):
+        pairs = similarity.embedding_near_dup_pairs(
+            emb_df, threshold=0.45, dim=64, method="block"
+        )
+        with pytest.raises(ValueError, match="pairs_df injection"):
+            similarity.semantic_dedup(
+                emb_df, k=8, threshold=0.45, dim=64, method="ivf",
+                n_rows=1000, pairs_df=pairs,
+            )
