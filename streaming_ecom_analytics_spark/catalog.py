@@ -52,9 +52,37 @@ def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
         spark.conf.set(key, value)
 
 
+_TABLE_HANDLES: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = None  # type: ignore[assignment]
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame.
+
+    The returned DataFrame is an immutable LAZY relation; per (session,
+    path) it is built once and the same object handed back on repeat
+    calls — exactly what ``spark.table()`` over a registered catalog
+    does. This caches NO data and NO results: every execution still
+    scans the parquet from disk; what is skipped is the driver-side
+    re-construction (reader options, JVM footer/schema inference,
+    NTZ normalization — ~0.1 s per call, paid by every one of the
+    several hundred load_table calls in a bench pass, round-11
+    measurement). Keyed weakly on the session so test sessions don't
+    pin stale frames; tests that monkey-patch ``load_table`` or use
+    per-test tmp dirs are unaffected (different function / different
+    key)."""
+    global _TABLE_HANDLES
+    if _TABLE_HANDLES is None:
+        import weakref
+
+        _TABLE_HANDLES = weakref.WeakKeyDictionary()
     path = f"{sf_dir or DEFAULT_SF_DIR}/{name}.parquet"
+    per_session = _TABLE_HANDLES.get(spark)
+    if per_session is None:
+        per_session = {}
+        _TABLE_HANDLES[spark] = per_session
+    cached = per_session.get(path)
+    if cached is not None:
+        return cached
     # Day-grain truncation and date casts are wall-clock-relative: pin
     # UTC even when the caller's session was built elsewhere, so results
     # match the (UTC-naive) DuckDB oracle under any host timezone.
@@ -88,6 +116,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    per_session[path] = df
     return df
 
 
