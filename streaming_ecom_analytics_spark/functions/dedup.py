@@ -1084,18 +1084,29 @@ def span_dedup_docs(
     order, engine-identical), and rebuild each document from its
     surviving spans in order.
 
-    Plan: the span explode is the chunk projection (no shuffle); the
-    keep-first is one hash aggregate on span content + one equi-join
-    back (16-byte-ish keys at real scale if pre-hashed — text keys
-    here keep the oracle portable); reconstruction is
-    array_sort(collect_list(struct)) per doc — list size bounded by
-    doc length, order made deterministic by the struct sort, never by
-    collect order.
+    Plan (round 11): the span explode is the chunk projection (no
+    shuffle); keep-first is ONE window over chunk_text (row_number
+    ordered by (doc_id, span_id) — the same total order as the
+    previous min-struct aggregate, so rn=1 marks exactly the same
+    surviving spans), then ONE per-doc aggregate computes totals,
+    kept counts AND the reconstruction together:
+    collect_list(when(rn=1, struct)) skips non-survivors (collect_list
+    drops NULLs), array_sort makes the rebuild order deterministic.
+    The previous shape ran the chunk projection THREE times (first-agg,
+    join probe, totals) and shuffled the span set by chunk_text twice
+    (aggregate + join-back) plus two doc-grain aggregates and a doc
+    join — ~5 exchanges down to 2 (chunk_text window, doc_id agg),
+    output-identical. Skew note: a corpus-hot boilerplate span makes a
+    hot chunk_text partition in EITHER shape (the old join probe also
+    hash-partitioned every span row by chunk_text); span texts are
+    bounded at span_tokens words, so a hot key is wide, not deep.
 
     Output: (doc_id, n_spans, n_spans_kept, text_dedup) — docs whose
     every span was seen earlier come back with empty text, preserving
     corpus row count for downstream joins.
     """
+    from pyspark.sql import Window as W
+
     from streaming_ecom_analytics_spark.functions import text as text_fns
 
     spans = text_fns.chunk_documents(
@@ -1105,33 +1116,36 @@ def span_dedup_docs(
         chunk_tokens=span_tokens,
         stride=span_tokens,
     ).select(id_col, F.col("chunk_id").alias("span_id"), F.col("chunk_text"))
-    first = spans.groupBy("chunk_text").agg(
-        F.min(F.struct(F.col(id_col), F.col("span_id"))).alias("__f")
+    marked = spans.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("chunk_text").orderBy(F.col(id_col), F.col("span_id"))
+        ),
     )
-    kept = (
-        spans.join(first, on="chunk_text")
-        .where(
-            (F.col(id_col) == F.col("__f")[id_col])
-            & (F.col("span_id") == F.col("__f.span_id"))
-        )
-        .groupBy(id_col)
+    return (
+        marked.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_spans_kept"),
+            F.count("*").alias("n_spans"),
+            F.count(F.when(F.col("__rn") == 1, F.lit(1))).alias("n_spans_kept"),
             F.concat_ws(
                 " ",
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("span_id", "chunk_text"))
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("span_id", "chunk_text"),
+                            )
+                        )
                     ),
                     lambda s: s["chunk_text"],
                 ),
             ).alias("text_dedup"),
         )
-    )
-    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
-    return totals.join(kept, on=id_col, how="left").select(
-        id_col,
-        "n_spans",
-        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        .select(
+            id_col,
+            "n_spans",
+            F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+            F.col("text_dedup"),
+        )
     )

@@ -2065,6 +2065,12 @@ def kmeans_fit_trace(
             # this checkpoint every round's broadcast cross-join ran
             # twice (round-4 advisor). Also truncates lineage, so the
             # downstream centroid frame needs no checkpoint of its own.
+            # eager=True stays (round-11 measurement): unlike the
+            # graph fixpoints (pagerank/label-prop/kcore, which went
+            # eager=False), each round here feeds a BROADCAST of the
+            # next centroid set — lazy checkpointing was measured
+            # ~0.4 s SLOWER at sf0.1 (broadcast builds then trigger
+            # the parent materialization inside the final action).
             .localCheckpoint(eager=True)
         )
         traces.append(

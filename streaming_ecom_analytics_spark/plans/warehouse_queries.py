@@ -1419,11 +1419,19 @@ def q_target_encoded_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back. The code is emitted UNROUNDED: every input double and
     the exact-decimal sum are bit-identical on both engines, so the
     quotient is too — while ROUND-on-double is the one step whose
-    half-way tie rule differs between engines (see tpch_deep)."""
-    e = catalog.events(spark, sf_dir).select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("cat"),
-        "value",
+    half-way tie rule differs between engines (see tpch_deep).
+    The parsed projection is persisted (round 11): it feeds BOTH the
+    category aggregate and the join probe side, and without the cache
+    each branch re-runs the full events scan + per-row JSON parse —
+    the duplicated-subtree cost is the parse, not the 24-byte rows."""
+    from streaming_ecom_analytics_spark.caching import persist_tracked
+
+    e = persist_tracked(
+        catalog.events(spark, sf_dir).select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("cat"),
+            "value",
+        )
     )
     g = e.groupBy("cat").agg(
         F.count("*").alias("n_cat"),
