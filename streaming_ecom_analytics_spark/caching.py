@@ -40,8 +40,33 @@ def shared_subtree(key: tuple, builder) -> DataFrame:
     return df
 
 
+_SHARED_VALUES: dict = {}
+
+
+def shared_driver_value(anchor, key: tuple, builder):
+    """A per-pass memo for bounded DRIVER-side artifacts derived from a
+    DataFrame (round 11): the IVF-join family re-collected the same
+    bounded training sample and re-ran the same deterministic numpy
+    Lloyd up to 5× per bench pass (one per consumer query). The memo
+    key is (id(anchor), *key) and the anchor object is STRONGLY
+    referenced by the entry, so a key can never alias a different
+    frame through id() reuse — and DataFrames are immutable, so a hit
+    is always the identical value. Cleared by :func:`release_shared`
+    alongside the shared subtrees: nothing survives a bench pass, and
+    nothing is keyed on the data directory across runs."""
+    k = (id(anchor), *key)
+    hit = _SHARED_VALUES.get(k)
+    if hit is not None:
+        return hit[1]
+    value = builder()
+    _SHARED_VALUES[k] = (anchor, value)
+    return value
+
+
 def release_shared() -> int:
-    """Unpersist and forget every shared subtree; returns the count."""
+    """Unpersist and forget every shared subtree (and driver-value
+    memo); returns the subtree count."""
+    _SHARED_VALUES.clear()
     n = 0
     while _SHARED:
         _, df = _SHARED.popitem()

@@ -901,14 +901,19 @@ def connected_components(
     # previous round's, so without lineage truncation the logical plan
     # nests one level per iteration and Catalyst compile time grows
     # superlinearly — measured minutes for a 40-node path graph.
-    # Eager localCheckpoint materializes to executor storage and cuts
-    # the lineage; on a cluster, swap for checkpoint() on a reliable
-    # dir if executor loss during the (short) fixpoint loop matters.
+    # eager=False (round 11): every checkpoint here is IMMEDIATELY
+    # followed by the _fingerprint action, which materializes the
+    # checkpointed RDD anyway — the eager count() was a second
+    # blocking job per round for nothing (one job per round instead
+    # of two, across every CC consumer). The lineage cut (LogicalRDD
+    # barrier) is installed either way; on a cluster, swap for
+    # checkpoint() on a reliable dir if executor loss during the
+    # (short) fixpoint loop matters.
     e = (
         edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
         .where(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(df: DataFrame) -> tuple:
@@ -946,10 +951,11 @@ def connected_components(
     # One star round per checkpoint: batching two rounds between
     # checkpoints was measured 70% SLOWER — the un-checkpointed
     # intermediate doubles plan nesting and Catalyst compile time
-    # dominates at fixpoint scale. Checkpoint eagerly, probe, repeat.
+    # dominates at fixpoint scale. Checkpoint (lazily — the probe
+    # materializes it), probe, repeat.
     fp = _fingerprint(e)
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(e)).localCheckpoint()
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
         nfp = _fingerprint(nxt)
         e = nxt
         if nfp == fp:

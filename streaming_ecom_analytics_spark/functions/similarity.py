@@ -428,6 +428,7 @@ def embedding_near_dup_pairs(
     ivf_max_list_rows: int | None = 65_536,
     ivf_assign_mode: str = "sym",
     partition_col: str | None = None,
+    ivf_train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ thr).
 
@@ -546,6 +547,7 @@ def embedding_near_dup_pairs(
             train_rows=ivf_train_rows, target_occupancy=ivf_target_occupancy,
             n_rows=n_rows, max_list_rows=ivf_max_list_rows,
             assign_mode=ivf_assign_mode, partition_col=partition_col,
+            train_df=ivf_train_df,
         )
         # the per-list BLAS prefilter makes the candidate set
         # output-sized per ROW, but the output of a near-dup join is
@@ -704,33 +706,61 @@ def _ivf_training_sample(
     float64 matrix (the pq_topk/ivf_topk training policy — one bounded
     job, the codebook becomes a plan literal), or None when the input
     is empty. Shared by the IVF-join candidate generator and the Gram
-    cost contract so both see the SAME codebook."""
+    cost contract so both see the SAME codebook.
+
+    Memoized per pass (round 11, caching.shared_driver_value): up to
+    five consumers per bench pass collected the identical sample from
+    the identical session-cached DataFrame object (~0.2–0.5 s of
+    collect each). Keyed on the frame OBJECT (strong ref — no id()
+    aliasing) + the sampling params; the returned matrix is marked
+    read-only so an accidental in-place mutation downstream fails
+    loudly instead of corrupting later hits."""
     import numpy as np
 
-    sample = [
-        r[0]
-        for r in embeddings.select(vec_col)
-        .orderBy(id_col)
-        .limit(train_rows)
-        .collect()
-    ]
-    if not sample:
-        return None
-    mat = np.asarray(sample, dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    return mat
+    from streaming_ecom_analytics_spark.caching import shared_driver_value
+
+    def build():
+        sample = [
+            r[0]
+            for r in embeddings.select(vec_col)
+            .orderBy(id_col)
+            .limit(train_rows)
+            .collect()
+        ]
+        if not sample:
+            return ()  # sentinel: memoizable "empty input"
+        mat = np.asarray(sample, dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        mat.flags.writeable = False
+        return mat
+
+    out = shared_driver_value(
+        embeddings, ("ivf_sample", id_col, vec_col, train_rows), build
+    )
+    return None if isinstance(out, tuple) else out
 
 
 def _ivf_centroids(mat, n_lists: int, seed: int):
     """(k_eff, unit-normalized centroids) from the deterministic numpy
     Lloyd over a prepared training matrix — the IVF coarse quantizer
-    shared by the join and the cost contract."""
+    shared by the join and the cost contract. Memoized per pass keyed
+    on the (memoized, read-only) sample matrix object + (n_lists,
+    seed) — consumers with the same corpus and list sizing skip the
+    repeated numpy Lloyd (round 11)."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    k_eff, cent = _lloyd_np(mat, n_lists, rng)
-    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-    return k_eff, cent
+    from streaming_ecom_analytics_spark.caching import shared_driver_value
+
+    def build():
+        rng = np.random.default_rng(seed)
+        k_eff, cent = _lloyd_np(mat, n_lists, rng)
+        cent = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+        )
+        cent.flags.writeable = False
+        return k_eff, cent
+
+    return shared_driver_value(mat, ("ivf_centroids", n_lists, seed), build)
 
 
 def _ivf_auto_n_assign(n_lists: int) -> int:
@@ -778,6 +808,7 @@ def _near_dup_candidates_ivf(
     max_list_rows: int | None,
     assign_mode: str = "sym",
     partition_col: str | None = None,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs via an IVF coarse quantizer with multi-assignment
     — the scale-safe MID-THRESHOLD candidate generator (round-7 verdict
@@ -842,8 +873,19 @@ def _near_dup_candidates_ivf(
     import numpy as np
     import pandas as pd
 
+    # ``train_df``: an alternate frame to draw the bounded training
+    # sample from (round 11). SemDeDup's cluster-pushdown path calls
+    # this generator on embeddings ⋈ cluster-assignment — a 1:1 join
+    # that leaves (id, vec) values identical — so sampling from the
+    # UNJOINED corpus frame yields the same id-sorted sample while
+    # letting the per-pass sample/centroid memo hit the same entry as
+    # the plain IVF-join consumers (one collect + one Lloyd per pass
+    # for the whole family instead of one per query).
     mat = _ivf_training_sample(
-        embeddings, id_col=id_col, vec_col=vec_col, train_rows=train_rows
+        embeddings if train_df is None else train_df,
+        id_col=id_col,
+        vec_col=vec_col,
+        train_rows=train_rows,
     )
     if mat is None:
         # empty (or filtered-to-empty) input: np.linalg.norm on a
@@ -2232,6 +2274,11 @@ def semantic_dedup(
             n_rows=n_rows,
             method="ivf",
             partition_col="__sem_cluster",
+            # train on the unjoined corpus frame: the 1:1 cluster join
+            # leaves (id, vec) identical, so the id-sorted sample is
+            # the same — and the per-pass training memo then hits the
+            # entry the plain IVF-join consumers built (round 11)
+            ivf_train_df=embeddings,
         ).select("id_a", "id_b")
     else:
         # exact candidate paths emit the full pair set — apply the

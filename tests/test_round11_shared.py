@@ -353,3 +353,88 @@ class TestSharedClusters:
                 emb_df, k=8, threshold=0.45, dim=64, method="ivf",
                 n_rows=1000, pairs_df=pairs,
             )
+
+
+class TestSharedDriverValueMemo:
+    """Round-11 fourth batch: the per-pass driver-value memo that
+    de-duplicates the IVF family's bounded training collects and numpy
+    Lloyd runs (caching.shared_driver_value)."""
+
+    def test_memo_hits_on_same_anchor_and_clears_on_release(self, spark):
+        from streaming_ecom_analytics_spark.caching import (
+            shared_driver_value,
+        )
+
+        anchor = object()
+        calls = []
+        build = lambda: calls.append(1) or len(calls)  # noqa: E731
+        v1 = shared_driver_value(anchor, ("k",), build)
+        v2 = shared_driver_value(anchor, ("k",), build)
+        assert v1 == v2 and len(calls) == 1
+        # different key or different anchor → rebuild
+        shared_driver_value(anchor, ("other",), build)
+        shared_driver_value(object(), ("k",), build)
+        assert len(calls) == 3
+        release_shared()
+        shared_driver_value(anchor, ("k",), build)
+        assert len(calls) == 4
+
+    def test_training_sample_memoized_per_frame_and_readonly(
+        self, spark, emb_df
+    ):
+        import numpy as np
+
+        release_shared()
+        m1 = similarity._ivf_training_sample(
+            emb_df, id_col="vec_id", vec_col="embedding", train_rows=65536
+        )
+        m2 = similarity._ivf_training_sample(
+            emb_df, id_col="vec_id", vec_col="embedding", train_rows=65536
+        )
+        assert m1 is m2  # memo hit: identical object, no second collect
+        assert not m1.flags.writeable
+        with pytest.raises(ValueError):
+            m1[0, 0] = 0.0
+        # different params → genuinely different sample
+        m3 = similarity._ivf_training_sample(
+            emb_df, id_col="vec_id", vec_col="embedding", train_rows=16
+        )
+        assert m3 is not m1 and m3.shape[0] == 16
+        # centroid memo keys on (sample object, n_lists, seed)
+        c1 = similarity._ivf_centroids(m1, 8, 42)
+        c2 = similarity._ivf_centroids(m1, 8, 42)
+        assert c1[1] is c2[1]
+        c3 = similarity._ivf_centroids(m1, 4, 42)
+        assert c3[1] is not c1[1]
+        release_shared()
+        m4 = similarity._ivf_training_sample(
+            emb_df, id_col="vec_id", vec_col="embedding", train_rows=65536
+        )
+        assert m4 is not m1  # release cleared the memo
+        assert np.array_equal(np.asarray(m4), np.asarray(m1))
+        release_shared()
+
+    def test_ivf_train_df_sample_identical_through_1to1_join(
+        self, spark, emb_df
+    ):
+        """semantic_dedup trains the cluster-pushdown IVF join on the
+        UNJOINED corpus frame (ivf_train_df); that is sound only if the
+        id-sorted bounded sample drawn through the 1:1 cluster join is
+        value-identical to the plain corpus sample."""
+        import numpy as np
+
+        release_shared()
+        asg = similarity._assigned_pairs(
+            emb_df, k=8, id_col="vec_id", vec_col="embedding"
+        )
+        joined = emb_df.join(
+            asg.select(F.col("vec_id"), F.col("cluster_id")), on="vec_id"
+        )
+        m_plain = similarity._ivf_training_sample(
+            emb_df, id_col="vec_id", vec_col="embedding", train_rows=64
+        )
+        m_joined = similarity._ivf_training_sample(
+            joined, id_col="vec_id", vec_col="embedding", train_rows=64
+        )
+        assert np.array_equal(np.asarray(m_plain), np.asarray(m_joined))
+        release_shared()
