@@ -80,6 +80,21 @@ EXTRA = [
 
 _NODE_RE = re.compile(r"^[\s:+\-*()\d]*([A-Za-z][A-Za-z0-9_]*)")
 
+# Structural tree depth of a plan line: the column of its "+- " / ":- "
+# branch glyph. The round-7..11 tagger used the column of the node NAME
+# instead, which codegen stars shift right ("*(12) HashAggregate" names
+# 6 columns deeper than an unstarred sibling at the same tree depth), so
+# a starred sibling AFTER an InMemoryRelation failed the subtree-exit
+# test and whole consumer trees were mis-tagged (round-11 verdict #5:
+# split_leakage_audit read 165 consumer exchanges / 1 cache exchange —
+# the inversion of its real plan). Root lines have no glyph: depth -1.
+_GLYPH_RE = re.compile(r"^([\s:]*)[+:]- ")
+
+
+def _structural_col(raw: str) -> int:
+    m = _GLYPH_RE.match(raw)
+    return len(m.group(1)) if m else -1
+
 
 def _top_level_groups(raw: str) -> list[str]:
     """Top-level [...] bracket groups of one plan line (nested brackets
@@ -131,10 +146,21 @@ def plan_fingerprint(plan: str) -> dict:
     their exchanges land in ``n_cache_build_exchanges``; ``n_exchanges``
     is per-consumer plan shape only, stable under persist-only changes.
     ``ReusedExchange``/``ReusedSubquery`` nodes are likewise counted on
-    their own."""
+    their own.
+
+    Round 12 (round-11 verdict #5): subtree membership is decided by
+    STRUCTURAL tree depth (the branch-glyph column, ``_structural_col``)
+    instead of the node name's column, which codegen stars shifted —
+    the mis-tagging that inverted split_leakage_audit's counters. The
+    md5 therefore re-tags for every cached consumer; ``hash_legacy``
+    keeps the round-11 tagging so r11→r12 plan-change diffs can still
+    use a stable key (tool-level hash moves vs real plan moves stay
+    distinguishable)."""
     nodes: list[str] = []
+    legacy_nodes: list[str] = []
     n_global_windows = 0
-    cache_col: int | None = None  # indent column of the open InMemoryRelation
+    cache_col: int | None = None  # structural depth of the open InMemoryRelation
+    legacy_cache_col: int | None = None  # round-11 name-column tagging
     for raw in plan.splitlines():
         m = _NODE_RE.match(raw)
         if not m:
@@ -142,12 +168,18 @@ def plan_fingerprint(plan: str) -> dict:
         kind = m.group(1)
         if kind in ("Arguments", "Output", "Input", "Condition", "ReadSchema"):
             continue
-        col = m.start(1)
+        col = _structural_col(raw)
         if cache_col is not None and col <= cache_col:
             cache_col = None  # left the cache-build subtree
         in_cache = cache_col is not None
         if kind == "InMemoryRelation" and cache_col is None:
             cache_col = col  # deeper lines are the cache's build plan
+        lcol = m.start(1)
+        if legacy_cache_col is not None and lcol <= legacy_cache_col:
+            legacy_cache_col = None
+        legacy_in_cache = legacy_cache_col is not None
+        if kind == "InMemoryRelation" and legacy_cache_col is None:
+            legacy_cache_col = lcol
         if kind == "Window" and _is_global_window(raw):
             # counted whether or not it sits in a cache-build subtree:
             # a one-partition funnel runs either way
@@ -169,11 +201,13 @@ def plan_fingerprint(plan: str) -> dict:
             fmt = re.search(r"FileScan (\w+)", raw)
             tag += ":" + (fmt.group(1) if fmt else "?")
         nodes.append(("cache:" if in_cache else "") + tag)
+        legacy_nodes.append(("cache:" if legacy_in_cache else "") + tag)
     canonical = "\n".join(nodes)
     main = [n for n in nodes if not n.startswith("cache:")]
     cache = [n[len("cache:"):] for n in nodes if n.startswith("cache:")]
     return {
         "hash": hashlib.md5(canonical.encode()).hexdigest()[:16],
+        "hash_legacy": hashlib.md5("\n".join(legacy_nodes).encode()).hexdigest()[:16],
         "n_nodes": len(nodes),
         "n_exchanges": sum(n.startswith("Exchange") for n in main),
         "n_cache_build_exchanges": sum(n.startswith("Exchange") for n in cache),

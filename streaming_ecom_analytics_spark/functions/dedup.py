@@ -68,6 +68,21 @@ def shingles(
     default stays). Collision risk is birthday-bounded: ~n²/2^65 for n
     distinct shingles; one collision perturbs one pair's intersection
     count by 1.
+
+    The distinct's exchange is keyed by ``id_col`` ALONE (round 12,
+    guide §2.4 "two operations keyed the same way share one
+    exchange"): hash(id) satisfies the distinct's ClusteredDistribution
+    on (id, shingle) — all rows of a key land in one partition — and
+    every per-doc aggregation downstream (MinHash signatures, shingle
+    set sizes) then reuses the partitioning instead of adding its own
+    exchange. The signature aggregation previously paid the worst
+    shape: shingles hash-spread by (id, shingle) put every doc on
+    every task, so partial aggregation emitted ~n_tasks × n_docs ×
+    520-byte partial rows (measured 137 MB at the 100x probe decade —
+    now zero). Cost: intra-doc duplicate shingles are no longer
+    pre-deduped map-side below the exchange (cross-doc rows never
+    deduped anyway — the key includes id); joins keyed on ``shingle``
+    re-exchange exactly as before.
     """
     # Split ONCE in a separate projection: inlining split() into the
     # transform lambda makes Catalyst re-evaluate it per sequence
@@ -85,7 +100,7 @@ def shingles(
     )
     if hashed:
         sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    return sh.distinct()
+    return sh.repartition(F.col(id_col)).distinct()
 
 
 def jaccard_pairs(

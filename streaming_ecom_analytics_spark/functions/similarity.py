@@ -836,12 +836,15 @@ def _near_dup_candidates_ivf(
     the probe measured it at 59 s / exp 1.12 at the 10x decade vs this
     shape's 2.8-5.5 s — shuffling 40M id pairs costs far more than
     BLAS-scoring them in place. Vectors travel the packing shuffle as
-    little-endian FLOAT32 bytes and each list is scored in
-    applyInPandas as a float32 Gram with a 1e-4 prefilter margin
-    (round 10 — the BLAS-bound-host lever: ~2x sgemm-vs-dgemm
-    throughput and half the shuffle bytes; the margin dwarfs float32
-    rounding so no exact-threshold pair is ever dropped, and the
-    float64 re-verify keeps output bits identical). The
+    little-endian FLOAT16 bytes (round 12 — the round-10 docstring's
+    "fp16 inputs as the next documented ~2x" lever, now taken: the
+    packing shuffle is the n·m byte term that dominates at 100 TB
+    when output is sparse) and each list is scored in applyInArrow as
+    a float32 Gram over one bulk fp16→f32 upcast, with a 2e-3
+    prefilter margin — 2x the certified fp16 dot error bound (~1e-3,
+    derivation at the margin_threshold assignment), so no
+    exact-threshold pair is ever dropped; candidates only WIDEN and
+    the float64 re-verify keeps output bits identical. The
     array<double> + collect_list form this replaced spent ~40 s of
     the 100x point in per-element Python boxing (measured; the round-9
     query ran that decade in ~30 s, exponent 0.69).
@@ -946,7 +949,21 @@ def _near_dup_candidates_ivf(
     # exact float64 re-verify prunes the extra margin noise so output
     # bits are unchanged. (The block path keeps float64 + 1e-6: it is
     # the EXACT oracle twin and 1e-6 would not dwarf float32 error.)
-    margin_threshold = threshold - 1e-4
+    # Round 12 (§2.3 narrower types): vectors travel the packing shuffle
+    # as little-endian FLOAT16 — half of round-10's float32 bytes, and
+    # the packing shuffle is the n·m term that dominates at 100 TB when
+    # output is sparse. Certified error chain for a dot of f64-unit
+    # vectors quantized f64→f32→f16 and accumulated in float32:
+    #   per-component relative error ≤ 2^-11 (+2^-24), two operands →
+    #   |dot16 − dot64| ≤ 2·2^-11·Σ|x_i||y_i| ≤ 2·2^-11·‖x‖‖y‖ = 2^-10
+    #   (Cauchy-Schwarz), plus f32 accumulation ≤ (d+2)·2^-24 ≈ 4e-6
+    #   and ~2e-7 normalization error → bound ≈ 1.0e-3.
+    # The margin is set to 2e-3 (2x the bound): a pair whose exact
+    # cosine clears the threshold can NEVER fall below it, so the
+    # candidate set only WIDENS vs the float32/1e-4 shape — recall is
+    # monotonically >= and the float64 re-verify prunes the extra
+    # margin noise, so output bits are unchanged (unit-pinned).
+    margin_threshold = threshold - 2e-3
 
     def assign(batches):
         # Arrow-NATIVE (round-11): the mapInPandas form of this stage
@@ -958,12 +975,13 @@ def _near_dup_candidates_ivf(
         # mapInArrow removes both loops: the input ListArray flattens
         # to one (n, dim) ndarray view, and the output vec column is
         # built as ONE binary Array over the repeated float32 buffer
-        # (fixed 4·dim-byte stride offsets). Measured: assignment
+        # (fixed 2·dim-byte stride offsets). Measured: assignment
         # 27 s → 11.6 s, full candidate stage 130.7 s → 49.3 s cold /
         # 21.5 s warm at the 100x decade, byte-identical pair output.
-        # Vectors still travel as little-endian FLOAT32 (half the
-        # shuffle bytes, margin-covered — see above); assignment top-m
-        # stays float64 so the list schedule is bit-stable.
+        # Vectors travel as little-endian FLOAT16 since round 12 (half
+        # of round-10's float32 bytes, margin-covered — see the
+        # margin_threshold note); assignment top-m stays float64 so
+        # the list schedule is bit-stable.
         import pyarrow as pa
 
         names = (
@@ -988,10 +1006,12 @@ def _near_dup_candidates_ivf(
             v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             dots = v @ cent.T  # (n, k_eff) cosine to centroids
             top = np.argpartition(-dots, m - 1, axis=1)[:, :m]
-            rep = np.repeat(v.astype(np.float32), m, axis=0)
+            # float16 copies: see the margin_threshold note — the 2e-3
+            # margin certifies no exact-threshold pair is ever dropped
+            rep = np.repeat(v.astype(np.float16), m, axis=0)
             nm, dim_ = rep.shape
             offsets = pa.py_buffer(
-                (np.arange(nm + 1, dtype=np.int32) * (dim_ * 4)).tobytes()
+                (np.arange(nm + 1, dtype=np.int32) * (dim_ * 2)).tobytes()
             )
             vec = pa.Array.from_buffers(
                 pa.binary(), nm, [None, offsets, pa.py_buffer(rep.tobytes())]
@@ -1054,9 +1074,10 @@ def _near_dup_candidates_ivf(
         )
 
     def _binary_col_matrix(tbl, col):
-        # zero-copy: every row is a fixed 4·dim-byte value, so the
-        # BinaryArray data buffer IS the packed float32 matrix — one
-        # frombuffer instead of n_rows bytes objects re-joined
+        # zero-copy: every row is a fixed 2·dim-byte value, so the
+        # BinaryArray data buffer IS the packed float16 matrix — one
+        # frombuffer instead of n_rows bytes objects re-joined. The
+        # Gram still runs in float32 (sgemm): one bulk upcast per list.
         import pyarrow as pa  # noqa: F401
 
         arr = tbl.column(col).combine_chunks()
@@ -1065,10 +1086,10 @@ def _near_dup_candidates_ivf(
         ]
         return np.frombuffer(
             arr.buffers()[2],
-            dtype="<f4",
-            count=(int(offs[-1]) - int(offs[0])) // 4,
+            dtype="<f2",
+            count=(int(offs[-1]) - int(offs[0])) // 2,
             offset=int(offs[0]),
-        ).reshape(len(arr), -1)
+        ).reshape(len(arr), -1).astype(np.float32)
 
     def score(tbl):
         # one group = one IVF list, delivered as ONE Arrow table by
@@ -1197,12 +1218,12 @@ def _near_dup_candidates_ivf(
             for row in pdf.itertuples(index=False):
                 ids_a = np.asarray(row.ids_a, dtype=np.int64)
                 ids_b = np.asarray(row.ids_b, dtype=np.int64)
-                ma = np.frombuffer(b"".join(row.vecs_a), dtype="<f4").reshape(
+                ma = np.frombuffer(b"".join(row.vecs_a), dtype="<f2").reshape(
                     len(ids_a), -1
-                )
-                mb = np.frombuffer(b"".join(row.vecs_b), dtype="<f4").reshape(
+                ).astype(np.float32)
+                mb = np.frombuffer(b"".join(row.vecs_b), dtype="<f2").reshape(
                     len(ids_b), -1
-                )
+                ).astype(np.float32)
                 yield _emit_pairs(ids_a, ma, ids_b, mb)
 
     fat_pairs = sub_pairs.mapInPandas(

@@ -60,6 +60,54 @@ def test_plan_fingerprint_sensitive_to_join_strategy_only(spark):
     assert fp_smj["n_sort_merge_joins"] == 1 and fp_smj["n_broadcast_hash_joins"] == 0
 
 
+def test_plan_fingerprint_cache_subtree_tagging_survives_codegen_stars():
+    """Round-11 verdict #5: the cache-subtree tracker keyed on the node
+    NAME's column, which codegen stars shift right, so a starred sibling
+    after an InMemoryRelation stayed 'inside' the cache (or the inverse)
+    and the 42 shared-subtree consumers lost their exchange-count
+    regression tripwire. The structural-depth tagger must (a) keep a
+    starred consumer node after a cache block in the MAIN counts and
+    (b) still catch a synthetic regression: an exchange added to the
+    CONSUMER plan moves n_exchanges even when a cache subtree is present."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "dump_plans", Path(__file__).resolve().parents[1] / "scripts" / "dump_plans.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # join of a cached frame with a scan; the post-cache sibling and the
+    # downstream aggregate are codegen-starred (name columns deeper than
+    # the InMemoryRelation's) — the round-11 tagger mis-filed them
+    base = (
+        "*(3) HashAggregate(keys=[k#1], functions=[sum(v#2)])\n"
+        "+- *(3) BroadcastHashJoin [k#1], [k#9], Inner, BuildRight, false\n"
+        "   :- InMemoryTableScan [k#1, v#2]\n"
+        "   :     +- InMemoryRelation [k#1, v#2], StorageLevel(disk, memory)\n"
+        "   :           +- Exchange hashpartitioning(k#1, 32)\n"
+        "   :              +- *(1) FileScan parquet db.t1[k#1,v#2]\n"
+        "   +- *(2) FileScan parquet db.t2[k#9]\n"
+    )
+    fp = mod.plan_fingerprint(base)
+    assert fp["n_exchanges"] == 0, "cache-build exchange leaked into main"
+    assert fp["n_cache_build_exchanges"] == 1
+    assert fp["n_scans"] == 1, "post-cache starred sibling mis-tagged as cache"
+    assert fp["n_broadcast_hash_joins"] == 1
+
+    # synthetic regression: a new exchange in the CONSUMER plan (above
+    # the cache) must move the main counter and the hash
+    regressed = base.replace(
+        "+- *(3) BroadcastHashJoin",
+        "+- Exchange hashpartitioning(k#1, 32)\n"
+        "   +- *(3) SortMergeJoin",
+    ).replace("Inner, BuildRight, false", "Inner")
+    fp_reg = mod.plan_fingerprint(regressed)
+    assert fp_reg["n_exchanges"] == 1
+    assert fp_reg["hash"] != fp["hash"]
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """daily_revenue's event_type filter must be pushed to parquet."""
     plan = _plan(spark, "daily_revenue")
