@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from streaming_ecom_analytics_spark.caching import release_tracked  # noqa: E402
+from streaming_ecom_analytics_spark.caching import (  # noqa: E402
+    release_shared_except,
+    release_tracked,
+)
 from streaming_ecom_analytics_spark.plans import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -38,10 +41,15 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
     """Release the previous query's tracked caches before building the
     next plan — the driver runs queries sequentially, so any cache
     registered by an earlier query has already been materialized and
-    consumed by the time the next one is requested."""
+    consumed by the time the next one is requested. Shared
+    family-subtrees for the CURRENT data directory survive (that reuse
+    is their point); entries keyed to other directories are dropped so
+    a long driver session stays bounded (round-11 advisor — this host
+    never calls release_shared())."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_tracked()
+        release_shared_except(sf_dir)
         return fn(spark, sf_dir)
 
     return wrapped

@@ -86,6 +86,12 @@ PROBE_QUERIES = [
     "decontaminate_bloom",
     "near_dup_cross_corpus",
     "curriculum_schedule",
+    # round-12 additions (round-11 verdict #3/#4): the scalable triplet
+    # miner's exponent contract, and the corpus-snapshot signing pass —
+    # the amortized build cost the stored-artifact queries no longer pay
+    # per run, now measured per decade instead of narrated.
+    "contrastive_pairs_scalable",
+    "corpus_signature_build",
 ]
 
 # (label, dir, relative scale). Override with SPARK_GRAFT_PROBE_SCALES =

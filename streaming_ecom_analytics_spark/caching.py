@@ -52,8 +52,10 @@ def shared_driver_value(anchor, key: tuple, builder):
     referenced by the entry, so a key can never alias a different
     frame through id() reuse — and DataFrames are immutable, so a hit
     is always the identical value. Cleared by :func:`release_shared`
-    alongside the shared subtrees: nothing survives a bench pass, and
-    nothing is keyed on the data directory across runs."""
+    (the bench calls it every pass, so nothing survives a bench pass
+    and nothing is keyed on the data directory across runs) and
+    bounded by :func:`release_shared_except` on the driver-contract
+    path, which only calls per-query releases."""
     k = (id(anchor), *key)
     hit = _SHARED_VALUES.get(k)
     if hit is not None:
@@ -75,6 +77,33 @@ def release_shared() -> int:
             n += 1
         except Exception:
             pass
+    return n
+
+
+def release_shared_except(sf_dir: str) -> int:
+    """Release shared subtrees/memos NOT keyed to ``sf_dir`` (round-11
+    advisor: a host that only calls ``release_tracked()`` — the bare
+    driver-contract path — accumulated shared entries for the life of
+    the session). Within one data directory the family-sharing benefit
+    is exactly the point, so those entries stay; entries for OTHER
+    directories can never be hit again by a sequential per-directory
+    run and are dropped. Shared-subtree keys carry the sf_dir string
+    as a component; driver-value memo keys carry it inside ``key``."""
+    stale = [k for k in _SHARED if sf_dir not in k]
+    n = 0
+    for k in stale:
+        df = _SHARED.pop(k)
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    # driver-value memo keys are (id(anchor), *key) — no sf_dir to match
+    # on, so bound the map instead: beyond 64 entries the session is
+    # hopping directories/params and the oldest memos are dead weight
+    # (each pins its anchor DataFrame strongly).
+    while len(_SHARED_VALUES) > 64:
+        _SHARED_VALUES.pop(next(iter(_SHARED_VALUES)))
     return n
 
 

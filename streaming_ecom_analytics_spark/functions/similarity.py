@@ -2295,11 +2295,16 @@ def semantic_dedup(
             n_rows=n_rows,
             method="ivf",
             partition_col="__sem_cluster",
-            # train on the unjoined corpus frame: the 1:1 cluster join
-            # leaves (id, vec) identical, so the id-sorted sample is
-            # the same — and the per-pass training memo then hits the
-            # entry the plain IVF-join consumers built (round 11)
-            ivf_train_df=embeddings,
+            # train on the unjoined corpus frame: the built-in
+            # assignment is total and 1:1, so the cluster join leaves
+            # (id, vec) identical and the id-sorted sample is the same
+            # — the per-pass training memo then hits the entry the
+            # plain IVF-join consumers built (round 11). A CALLER
+            #-injected assigned_df may be partial (round-11 advisor),
+            # shrinking the joined corpus — then the shortcut would
+            # train on vectors outside the candidate set, so it is
+            # skipped and training samples the joined frame itself.
+            ivf_train_df=embeddings if assigned_df is None else None,
         ).select("id_a", "id_b")
     else:
         # exact candidate paths emit the full pair set — apply the

@@ -541,11 +541,15 @@ def pagerank(
     out-edges) redistribute uniformly via the standard teleport term.
     ``n_iter`` fixed iterations rather than convergence testing keeps
     the plan deterministic and avoids a driver-side loop on a metric.
-    Each iteration ends in an EAGER ``localCheckpoint`` — persist alone
-    is not enough for iterative algorithms, because the logical plan
-    still nests the previous iteration's plan and each round here
-    references ``ranks`` twice (contributions + dangling mass), so the
-    un-truncated plan doubles per round and OOMs the analyzer around
+    Each iteration ends in a LAZY ``localCheckpoint`` (round 11: the
+    lineage cut is installed at mark time and materialized by the
+    final action — no driver decision reads per-round state here, so
+    eager materialization only added a blocking job per round) —
+    persist alone is not enough for iterative algorithms, because the
+    logical plan still nests the previous iteration's plan and each
+    round here references ``ranks`` twice (contributions + dangling
+    mass), so the un-truncated plan doubles per round and OOMs the
+    analyzer around
     a dozen iterations. Checkpointing cuts lineage to the materialized
     RDD, keeping every round's plan constant-size. (On a multi-node
     cluster prefer ``checkpoint()`` to a reliable dir if executor loss
@@ -903,8 +907,10 @@ def label_propagation_min(
 
     Undirected input should list both directions. Per round: one join
     (labels onto edges) + one min-aggregate per destination + one
-    eager localCheckpoint — same constant-size-plan discipline as
-    :func:`pagerank` (lineage doubles per round otherwise).
+    lazy localCheckpoint (round 11: lineage cut installed at mark
+    time, materialized by the final action) — same constant-size-plan
+    discipline as :func:`pagerank` (lineage doubles per round
+    otherwise).
 
     Output: (node, label) — label = min node id in the T-hop
     neighborhood.
@@ -1309,7 +1315,8 @@ def kcore(
 
     Per round: one degree hash-aggregate + two semi joins (src and dst
     must both survive) — never an all-pairs product; each round ends
-    in an eager localCheckpoint so the logical plan stays
+    in a lazy localCheckpoint (round 11: lineage cut installed at mark
+    time, materialized by the final action) so the logical plan stays
     constant-size instead of nesting round-over-round (same lineage
     rule as pagerank; prefer checkpoint() on a real cluster).
 

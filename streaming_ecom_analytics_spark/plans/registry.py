@@ -394,7 +394,10 @@ def q_event_wire_format_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Populate the registry with the other query families. Imported at module
-# end so their register() calls see the infrastructure above.
+# end so their register() calls see the infrastructure above. ORDER
+# MATTERS: the driver samples the first 50 keys of queries() insertion
+# order (round-11 verdict #6), so new modules append AFTER existing ones
+# and existing modules never gain registrations above old ones.
 from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401
     extension_queries,
     relational_queries,
@@ -402,3 +405,4 @@ from streaming_ecom_analytics_spark.plans import (  # noqa: E402,F401
     tpch_deep,
     warehouse_queries,
 )
+from streaming_ecom_analytics_spark.plans import r12_queries  # noqa: E402,F401
