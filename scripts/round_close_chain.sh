@@ -27,4 +27,11 @@ SPARK_GRAFT_PROBE_RUNS=1 SPARK_GRAFT_PROBE_SCALES="sf0.1:/root/testdata/sf0.1:1,
   python3 scripts/scale_probe.py > /root/repo/SCALEPROBE_${R}_3pt.json \
   2>/tmp/scale_probe_${R}.err
 echo "PROBE rc=$?"
+
+# Deep test tier (round-11 verdict #2): the default `pytest tests/` run
+# is the driver-facing fast tier; the endurance soaks run once per
+# round here so coverage never depends on the driver's capture window.
+SPARK_GRAFT_DEEP_TESTS=1 python3 -m pytest tests/test_versioned_lake.py -q \
+  > /tmp/deep_tests_${R}.log 2>&1
+echo "DEEPTESTS rc=$?"
 echo "CHAIN DONE"

@@ -156,6 +156,28 @@ def _table_disk_bytes(path: str) -> int:
         return 1 << 62  # unknown size: never hint
 
 
+def spread_small_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin repartition a scan of ``name`` ONLY when the table's
+    on-disk footprint is too small for the scan itself to parallelize
+    (guide §2.5 input skew: the testdata tables are single-row-group
+    single-file parquet, so every scan is ONE task no matter what
+    ``minPartitionNum`` asks for, and a CPU-heavy chain above it —
+    tokenize, explode, per-row scoring — runs serially on one core
+    while the rest idle; lm_generalization_gap measured 14 consecutive
+    single-task stages). The gate is the parquet footprint from a
+    driver-side os.stat (no Spark job): below 1 GiB the scan could not
+    have had meaningful split parallelism anyway and the repartition
+    ships at most that much once; at production scale the gate is
+    false and the plan is untouched — no constant tuned to the local
+    core count (the repartition width is the session's
+    spark.sql.shuffle.partitions, the same env-parameterised knob the
+    whole engine derives from)."""
+    if _table_disk_bytes(f"{sf_dir}/{name}.parquet") < (1 << 30):
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return df.repartition(n)
+    return df
+
+
 def parquet_num_rows(sf_dir: str, name: str) -> int:
     """Exact row count from the parquet FOOTER (metadata read, no scan,
     no Spark job) — the documented driver-side size hint for operators

@@ -368,7 +368,13 @@ def q_event_wire_format_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     (category_code NULL on 'error' rows, brand all-NULL)."""
     from streaming_ecom_analytics_spark.sources import avro_wire
 
-    ev = catalog.events(spark, sf_dir)
+    # the testdata's single-row-group parquet gives this scan ONE task,
+    # serializing the whole Python codec chain on one core (guide §2.5);
+    # spread_small_scan round-robins it (no-op past 1 GiB of input — at
+    # scale the scan splits by itself and the chain stays shuffle-free)
+    ev = catalog.spread_small_scan(
+        catalog.events(spark, sf_dir), sf_dir, "events"
+    )
     shaped = ev.select(
         F.col("ts").alias("event_time"),
         "event_type",

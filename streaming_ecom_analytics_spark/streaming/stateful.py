@@ -115,7 +115,16 @@ def funnel_conversions_stateful(
     timeout_minutes: int = 60,
 ) -> DataFrame:
     """Streaming ordered-funnel tracker. Input must be a streaming
-    frame; output appends one row per completed funnel."""
+    frame; output appends one row per completed funnel.
+
+    Termination note (round 12): ``ProcessingTimeTimeout`` registers
+    wall-clock timers, so Spark keeps the query alive firing EMPTY
+    micro-batches (~1/s) until the last timer's horizon — an
+    ``availableNow`` backfill therefore does NOT self-terminate within
+    ``timeout_minutes``. Bounded backfills should drain and stop
+    (``q.processAllAvailable(); q.stop()``); the timeout exists for the
+    continuous-ingest deployment, where expired users must be evicted
+    even if they never produce another event."""
 
     def track(key, pdf_iter, state: GroupState):
         (user_id,) = key

@@ -92,8 +92,25 @@ def test_streaming_funnel_with_cross_batch_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    rows = spark.sql("SELECT * FROM conv_out").collect()
+    # ProcessingTimeTimeout keeps the query alive firing empty timer
+    # micro-batches (~1/s) until the 60-min state timeout horizon, so
+    # availableNow never self-terminates here — awaitTermination(180)
+    # burned its FULL timeout every run, and processAllAvailable never
+    # quiesces either (every timer batch is new 'work'). Poll the sink
+    # for the expected conversion (lands with the 3rd source batch,
+    # seconds), then stop (round-12: 199 s → ~15 s; the operator
+    # docstring documents the drain-then-stop pattern for bounded
+    # backfills).
+    import time
+
+    deadline = time.time() + 120
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql("SELECT * FROM conv_out").collect()
+        if rows:
+            break
+        time.sleep(1)
+    q.stop()
     assert [(r.user_id, r.seconds_to_convert) for r in rows] == [(1, 300.0)]
 
 

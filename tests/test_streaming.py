@@ -21,10 +21,15 @@ def _t(minute: int, second: int = 0) -> dt.datetime:
     return dt.datetime(2024, 1, 1, 10, minute, second)
 
 
-@pytest.fixture()
-def events_dir(spark, tmp_path):
+@pytest.fixture(scope="session")
+def events_dir(spark, tmp_path_factory):
     """Three parquet files = three micro-batches, event-time ordered
-    with one late row in the last file."""
+    with one late row in the last file. Session-scoped (round 12): every
+    consumer treats the directory as read-only input — tests that need
+    their own batch layout build a private dir — and the per-test write
+    of 4 tiny parquet jobs was ~15 repeated Spark-job setups across the
+    module (the suite must fit the driver's pytest window, round-11
+    verdict #2)."""
     batches = [
         [(1, _t(0), 1, "view", 10.0, "{}"), (2, _t(1), 2, "purchase", 20.0, "{}")],
         [(3, _t(6), 1, "view", 5.0, "{}"), (4, _t(7), 3, "purchase", 7.5, "{}")],
@@ -33,7 +38,7 @@ def events_dir(spark, tmp_path):
         # global watermark propagates with a one-batch lag) + a fresh row
         [(6, _t(3), 9, "view", 2.0, "{}"), (7, _t(13), 3, "view", 3.0, "{}")],
     ]
-    d = tmp_path / "events"
+    d = tmp_path_factory.mktemp("stream_events") / "events"
     for i, rows in enumerate(batches):
         spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
             str(d / f"batch_{i}"), mode="overwrite"

@@ -10,6 +10,17 @@ import pytest
 
 from streaming_ecom_analytics_spark.sources.versioned_lake import VersionedTable
 
+# Deep tier (round-11 verdict #2: the default suite must fit the
+# driver's pytest window — these two 20-30-micro-batch soaks alone cost
+# ~5 min of streaming-engine fixed cost). The fast materializer tests
+# below cover the same operators per-commit; the soaks add restart +
+# vacuum endurance and run once per round via round_close_chain.sh
+# (SPARK_GRAFT_DEEP_TESTS=1).
+deep_tier = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_DEEP_TESTS"),
+    reason="deep tier: set SPARK_GRAFT_DEEP_TESTS=1 (round close runs it)",
+)
+
 
 @pytest.fixture()
 def table(tmp_path):
@@ -125,6 +136,7 @@ def test_rejects_unknown_mode(spark, table):
         table.commit(_df(spark, ["a"]), mode="merge")
 
 
+@deep_tier
 def test_versioned_materializer_soak_with_restart(spark, tmp_path):
     """The overwrite-snapshot half of the materializer family, soaked
     (round-4 verdict #7): 20 micro-batches of a complete-mode count
@@ -295,6 +307,7 @@ def test_cdc_upsert_materializer_stream(spark, tmp_path):
     assert v0 == {1: "alice", 2: "bob"}
 
 
+@deep_tier
 def test_cdc_materializer_soak_with_restart_and_vacuum(spark, tmp_path):
     """Long-horizon soak (round-4 verdict #7): 24 micro-batches of
     interleaved upserts, deletes, and post-delete re-inserts over a
