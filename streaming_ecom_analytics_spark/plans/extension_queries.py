@@ -2951,11 +2951,21 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative) triplets are what an embedding fine-tune consumes.
 
     Scale: anchors are bounded by the near-dup count (≪ corpus); the
-    negative search is a block equi-join (corpus/8 candidates per
-    anchor, never all-pairs); the argmax is a partial-aggregable
-    struct max, not a window over the corpus. Cosines round to 6 dp
-    before the argmax so the tie order is engine-identical."""
-    from streaming_ecom_analytics_spark.functions.similarity import _dot, _norm
+    negative search is block-local (corpus/8 candidates per block,
+    never all-pairs). Round 12: the hardest negative is a PER-ANCHOR
+    property (a positive has cos ≥ 0.45 and can never qualify as a
+    cos < 0.45 negative), so instead of the anchors×block equi-join
+    scored by per-row JVM fold cosines (~20 µs each — guide §4.2), ONE
+    applyInArrow float64 Gram per md5 block computes every vector's
+    hardest-below-threshold block neighbor and a pairs-sized join
+    attaches it to the anchors. Semantics, block definition, the
+    round-6-then-argmax tie rule and the oracle are UNCHANGED —
+    equivalence is proven by the same DuckDB oracle at every shipped
+    SF (hash-green, driver_sim) plus the unit suite; interleaved A/B
+    below in OPTIMIZATION_r12.md."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
 
     emb = catalog.embeddings(spark, sf_dir)
     x = emb.select(
@@ -2966,11 +2976,38 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 8
         ).alias("blk"),
     )
-    from streaming_ecom_analytics_spark.caching import persist_tracked
 
+    def hardest_negative(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        v = np.asarray(
+            tbl.column("v").combine_chunks().flatten(), dtype=np.float64
+        ).reshape(len(ids), -1)
+        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+        g = np.round((v @ v.T) / np.outer(nrm, nrm), 6)
+        np.fill_diagonal(g, np.inf)  # self never a negative
+        g[g >= 0.45] = -np.inf  # at/above threshold excluded
+        best = g.max(axis=1)
+        keep = np.isfinite(best)
+        bid = np.where(
+            g == best[:, None], ids[None, :], np.iinfo(np.int64).max
+        ).min(axis=1)  # tie → smallest id
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "anchor_id": ids[keep],
+                    "negative_id": bid[keep],
+                    "cos_neg": best[keep],
+                }
+            ),
+            preserve_index=False,
+        )
+
+    hn = x.groupBy("blk").applyInArrow(
+        hardest_negative, schema="anchor_id long, negative_id long, cos_neg double"
+    )
     # the near-dup subtree (block-Gram candidates + exact verify) is by
     # far the expensive part and BOTH union branches below consume it —
-    # persist so it executes once, not twice (r6 plan-assertion wave)
+    # shared/persisted so it executes once, not twice
     pos = _shared_emb_pairs_block(spark, sf_dir)
     anchors = pos.select(
         F.col("id_a").alias("anchor_id"),
@@ -2983,45 +3020,8 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cosine").alias("cos_pos"),
         )
     )
-    a = x.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("v").alias("av"),
-        F.col("blk").alias("ablk"),
-    )
-    c = x.select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("v").alias("cv"),
-        F.col("blk").alias("cblk"),
-    )
-    cos_neg = F.round(
-        _dot(F.col("av"), F.col("cv"))
-        / (_norm(F.col("av")) * _norm(F.col("cv"))),
-        6,
-    )
-    cand = (
-        anchors.join(a, on="anchor_id")
-        .join(c, F.col("cblk") == F.col("ablk"))
-        .filter(F.col("negative_id") != F.col("anchor_id"))
-        .select(
-            "anchor_id",
-            "positive_id",
-            "cos_pos",
-            "negative_id",
-            cos_neg.alias("cos_neg"),
-        )
-        .filter(F.col("cos_neg") < 0.45)
-    )
-    best = cand.groupBy("anchor_id", "positive_id", "cos_pos").agg(
-        F.max(F.struct(F.col("cos_neg"), (-F.col("negative_id")).alias("nid"))).alias(
-            "b"
-        )
-    )
-    return best.select(
-        "anchor_id",
-        "positive_id",
-        (-F.col("b.nid")).alias("negative_id"),
-        "cos_pos",
-        F.col("b.cos_neg").alias("cos_neg"),
+    return anchors.join(hn, on="anchor_id").select(
+        "anchor_id", "positive_id", "negative_id", "cos_pos", "cos_neg"
     )
 
 
