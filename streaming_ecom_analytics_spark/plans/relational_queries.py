@@ -550,8 +550,16 @@ def q_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all four grouping sets in one
-    Expand-based single-shuffle plan."""
+    Expand-based single-shuffle plan. The 3-column projection is
+    round-robined when the input is a single-row-group file (guide
+    §2.5: the scan is ONE task there, serializing Expand + partial
+    aggregation of 4x the rows on one core; no-op past 1 GiB)."""
     li = catalog.load_table(spark, "lineitem", sf_dir)
+    li = catalog.spread_small_scan(
+        li.select("l_returnflag", "l_linestatus", "l_extendedprice"),
+        sf_dir,
+        "lineitem",
+    )
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_extendedprice")).cast("double").alias("gross_revenue")
     )
