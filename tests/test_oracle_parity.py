@@ -51,6 +51,7 @@ EXPECTED_ROWS_ONLY = {
     "bpe_learned_merges",
     "bpe_learned_token_counts",
     "doc_compression_ratio",  # no DEFLATE in SQL; zlib level pinned, unit-tested
+    "corpus_signature_build",  # xxhash64/MinHash digests: no DuckDB twin (r12)
 }
 
 

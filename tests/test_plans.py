@@ -795,13 +795,17 @@ def test_contrastive_pairs_persists_neardup_and_blocks_negative_search(spark):
     """contrastive_pairs: the near-dup positive set is persisted and
     consumed by BOTH anchor directions (InMemoryTableScan x2 — removing
     the persist recomputes the block-Gram subtree twice and fails
-    here), the hard-negative search is a blk equi-join (never
+    here), the hard-negative search is BLOCK-LOCAL (round 12: one
+    applyInArrow float64 Gram per md5 block keyed by `blk`, replacing
+    the anchors×block equi-join of per-row fold cosines — never
     all-pairs), and the only nested-loop is the bounded block-pair
     frame inside the near-dup candidate generator."""
     plan = _plan(spark, "contrastive_pairs")
     assert "CartesianProduct" not in plan
     assert plan.count("InMemoryTableScan") >= 2
-    assert "ablk" in plan and "cblk" in plan  # block-keyed equi-join
+    # negative stage: grouped Arrow Gram keyed on the md5 block
+    assert "PythonGroupedMap" in plan or "FlatMapGroupsInArrow" in plan
+    assert "blk" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
