@@ -87,13 +87,22 @@ _NODE_RE = re.compile(r"^[\s:+\-*()\d]*([A-Za-z][A-Za-z0-9_]*)")
 # a starred sibling AFTER an InMemoryRelation failed the subtree-exit
 # test and whole consumer trees were mis-tagged (round-11 verdict #5:
 # split_leakage_audit read 165 consumer exchanges / 1 cache exchange —
-# the inversion of its real plan). Root lines have no glyph: depth -1.
+# the inversion of its real plan). Lines WITHOUT a glyph — the true plan
+# root, and the first node under a materialized-AQE section header like
+# "+- == Final Plan ==" inside an InMemoryRelation — take their
+# rail-stripped indentation as depth (a bare -1 made every section root
+# falsely EXIT the cache subtree, resurrecting the inversion whenever a
+# cache was already materialized at dump time).
 _GLYPH_RE = re.compile(r"^([\s:]*)[+:]- ")
+_RAIL_RE = re.compile(r"^([\s:]*)")
+_SECTION_RE = re.compile(r"== \w[\w ]* ==")
 
 
 def _structural_col(raw: str) -> int:
     m = _GLYPH_RE.match(raw)
-    return len(m.group(1)) if m else -1
+    if m:
+        return len(m.group(1))
+    return len(_RAIL_RE.match(raw).group(1))
 
 
 def _top_level_groups(raw: str) -> list[str]:
@@ -162,6 +171,15 @@ def plan_fingerprint(plan: str) -> dict:
     cache_col: int | None = None  # structural depth of the open InMemoryRelation
     legacy_cache_col: int | None = None  # round-11 name-column tagging
     for raw in plan.splitlines():
+        # Materialized-AQE caches print "== Final Plan ==" / "== Initial
+        # Plan ==" sections whose content indentation RESTARTS relative
+        # to the section header — often SHALLOWER than the enclosing
+        # InMemoryRelation's own depth — so while a cache is open, a
+        # section header lowers the exit boundary to its own column
+        # (content sits deeper than the header; the consumer tree
+        # resumes at or above the original relation's ancestors).
+        if cache_col is not None and "== " in raw and _SECTION_RE.search(raw):
+            cache_col = min(cache_col, _structural_col(raw))
         m = _NODE_RE.match(raw)
         if not m:
             continue

@@ -96,6 +96,32 @@ def test_plan_fingerprint_cache_subtree_tagging_survives_codegen_stars():
     assert fp["n_scans"] == 1, "post-cache starred sibling mis-tagged as cache"
     assert fp["n_broadcast_hash_joins"] == 1
 
+    # materialized-AQE cache: the node under "== Final Plan ==" has NO
+    # branch glyph — its rail-stripped indentation must keep it INSIDE
+    # the cache subtree (a -1 depth falsely exited, resurrecting the
+    # r11 inversion whenever a cache was materialized at dump time)
+    aqe_cached = (
+        "*(3) HashAggregate(keys=[k#1], functions=[sum(v#2)])\n"
+        "+- *(3) BroadcastHashJoin [k#1], [k#9], Inner, BuildRight, false\n"
+        "   :- InMemoryTableScan [k#1, v#2]\n"
+        "   :     +- InMemoryRelation [k#1, v#2], StorageLevel(disk, memory)\n"
+        "   :           +- AdaptiveSparkPlan isFinalPlan=true\n"
+        "   :              +- == Final Plan ==\n"
+        "   :                 *(2) HashAggregate(keys=[k#1], functions=[])\n"
+        "   :                 +- Exchange hashpartitioning(k#1, 32)\n"
+        "   :                    +- *(1) FileScan parquet db.t1[k#1,v#2]\n"
+        "   :              +- == Initial Plan ==\n"
+        "   :                 HashAggregate(keys=[k#1], functions=[])\n"
+        "   :                 +- Exchange hashpartitioning(k#1, 32)\n"
+        "   :                    +- FileScan parquet db.t1[k#1,v#2]\n"
+        "   +- *(2) FileScan parquet db.t2[k#9]\n"
+    )
+    fp_aqe = mod.plan_fingerprint(aqe_cached)
+    assert fp_aqe["n_exchanges"] == 0, "AQE section root exited the cache"
+    assert fp_aqe["n_cache_build_exchanges"] == 2  # final + initial sections
+    assert fp_aqe["n_scans"] == 1
+    assert fp_aqe["n_broadcast_hash_joins"] == 1
+
     # synthetic regression: a new exchange in the CONSUMER plan (above
     # the cache) must move the main counter and the hash
     regressed = base.replace(
