@@ -2943,8 +2943,10 @@ def q_revenue_pareto_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c.c_nationkey, o.o_custkey
     )
     SELECT c_nationkey, o_custkey AS c_custkey, cents,
-           ROUND(percent_rank() OVER w, 6) AS spend_pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS spend_cume_dist,
+           FLOOR(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0
+             AS spend_pct_rank,
+           FLOOR(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0
+             AS spend_cume_dist,
            CAST(ntile(10) OVER w AS BIGINT) AS spend_decile
     FROM spend
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents DESC, o_custkey ASC)
@@ -2957,7 +2959,18 @@ def q_customer_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     rank windows parallelize across partitions (no global sort); the
     ORDER BY carries a custkey tiebreak so ntile is a total order and
     the output is deterministic on both engines. Spend is exact
-    integer cents through DECIMAL(18,2)."""
+    integer cents through DECIMAL(18,2).
+
+    The 6-dp quantization is FLOOR(x·10⁶ + 0.5)/10⁶ on BOTH engines
+    (round 12, pre-existing sf0.1 mismatch inherited from r11): k/n
+    rank fractions can land exactly on a 7-digit decimal midpoint
+    (nation 11 at sf0.1 has 640 customers — 323/640 = 0.5046875), and
+    there ROUND diverges across engines: Spark's Round canonicalizes
+    the double through its shortest decimal repr then HALF_UP
+    (→ .504688) while DuckDB rounds the raw binary (→ .504687). The
+    floor formula is the same IEEE ops on the same double on both
+    sides — bit-identical everywhere, equal to the old output on every
+    non-midpoint row (sf0.001/sf0.01 hashes unchanged)."""
     from pyspark.sql import Window as W
 
     orders = catalog.load_table(spark, "orders", sf_dir)
@@ -2976,12 +2989,16 @@ def q_customer_spend_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     w = W.partitionBy("c_nationkey").orderBy(F.desc("cents"), F.asc("o_custkey"))
+
+    def _q6(col):
+        return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
     return spend.select(
         "c_nationkey",
         F.col("o_custkey").alias("c_custkey"),
         "cents",
-        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+        _q6(F.percent_rank().over(w)).alias("spend_pct_rank"),
+        _q6(F.cume_dist().over(w)).alias("spend_cume_dist"),
         F.ntile(10).over(w).cast("long").alias("spend_decile"),
     )
 
